@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+All real logic lives in the ``e2e_stock_data_pipeline_spark`` package;
+this module only adapts the registry to the driver's shape.
 """
 
 from __future__ import annotations
@@ -13,26 +15,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules
+from e2e_stock_data_pipeline_spark.session import configure_existing
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (filtered decimal-exact pricing summary) on sf0.001."""
+    configure_existing(spark)
+    registry = load_all_query_modules()
+    return registry["q01_pricing_summary"].spark(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    registry = load_all_query_modules()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(spec):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_existing(spark)
+            return spec.spark(spark, sf_dir)
+
+        run.__name__ = spec.name
+        return run
+
+    return {name: wrap(spec) for name, spec in registry.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    registry = load_all_query_modules()
+    return {name: spec.oracle for name, spec in registry.items() if spec.oracle is not None}

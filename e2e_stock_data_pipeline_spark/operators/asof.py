@@ -1,0 +1,90 @@
+"""As-of (point-in-time) join.
+
+The reference's Gold layer implies two as-of joins with no
+implementation (SURVEY.md §2.9): prices x latest treasury rate with
+rate_date <= trade_date, and prices x latest filing with
+filing_date <= trade_date. Spark has no ASOF JOIN builtin, so the
+engine provides one built from a union + ordered window — the shape
+that scales: ONE shuffle on the join key, one sort, no range
+explosion, no driver collect.
+
+Algorithm (backward as-of, ties include equality):
+  1. tag right rows 1, left rows 0; union by (key, t) with left's
+     payload nulled on right rows and vice versa;
+  2. window per key ordered by (t, tag DESC, right-time) —
+     tag DESC puts the right row *before* a left row at equal t, so
+     "<=" semantics fall out;
+  3. last(right_value, ignoreNulls) over unbounded-preceding..current
+     fills each left row with the newest right value at or before t;
+  4. keep left rows; inner semantics = drop rows with no match.
+
+Equivalent to DuckDB `ASOF JOIN ... ON l.key = r.key AND l.t >= r.t`
+(when right (key, t) pairs are unique, which callers should ensure —
+otherwise the *latest-sorted* right row wins deterministically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: for each left row, newest right row with
+    right_time <= left_time within the same `on` key.
+
+    Result columns: all of ``left`` + ``right_time`` (as matched time)
+    + ``value_cols`` from right. ``how`` is "inner" or "left".
+    """
+    lcols = left.columns
+    tag = "_asof_is_right"
+    rtime = "_asof_rtime"
+
+    lhs = left.select(
+        F.col(on).alias("_asof_key"),
+        F.col(left_time).alias("_asof_t"),
+        F.lit(0).alias(tag),
+        F.lit(None).cast(right.schema[right_time].dataType).alias(rtime),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*lcols).alias("_asof_payload"),
+    )
+    rhs = right.select(
+        F.col(on).alias("_asof_key"),
+        F.col(right_time).alias("_asof_t"),
+        F.lit(1).alias(tag),
+        F.col(right_time).alias(rtime),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(left.select(F.struct(*lcols)).schema[0].dataType).alias("_asof_payload"),
+    )
+
+    w = (
+        Window.partitionBy("_asof_key")
+        .orderBy(F.col("_asof_t"), F.col(tag).desc(), F.col(rtime))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = rhs.unionByName(lhs).select(
+        "*",
+        F.last(F.col(rtime), ignorenulls=True).over(w).alias("_matched_t"),
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.filter(F.col(tag) == 0)
+    if how == "inner":
+        out = out.filter(F.col("_matched_t").isNotNull())
+    elif how != "left":
+        raise ValueError(f"unsupported how={how!r}")
+    return out.select(
+        *[F.col(f"_asof_payload.{c}").alias(c) for c in lcols],
+        F.col("_matched_t").alias(f"asof_{right_time}"),
+        *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in value_cols],
+    )

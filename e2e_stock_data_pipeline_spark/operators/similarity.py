@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns [EXT].
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant (random-hyperplane signs -> bucket join) is the 100 TB path:
+signatures are per-row transforms (no shuffle) and the candidate join
+shuffles only on bucket key, never materializing the n^2 pair matrix.
+
+Numeric parity design: cosine is computed over vectors QUANTIZED to
+integers (floor(x * 10000) per component). Integer dot products are
+exact in both Spark (bigint) and DuckDB (double holding ints < 2^53),
+so ranking and values hash-match bit-for-bit — no FP summation-order
+fuzz. All array math is Catalyst `transform`/`zip_with`/`aggregate`
+(JVM-side, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 10000
+
+
+def quantized(col: str | Column = "embedding") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.floor(x.cast("double") * QUANT).cast("bigint"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors (bigint)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_quantized_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    q = quantized(vec_col)
+    return df.withColumn("_q", q).withColumn("_nn", dot_q(F.col("_q"), F.col("_q")))
+
+
+def cosine_q(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
+    """Cosine over quantized vectors: exact int dot / product of sqrts."""
+    return dot_q(qa, qb).cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k candidates per query by quantized cosine, deterministic ties.
+
+    The (small) query side is broadcast; the candidate scan streams —
+    this is the shape that survives a 100 TB candidate table as long as
+    the query set fits in memory.
+    """
+    q = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_q").alias("_qq"), F.col("_nn").alias("_qn")
+    )
+    c = with_quantized_norm(candidates, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col("_q").alias("_cq"), F.col("_nn").alias("_cn")
+    )
+    cos = cosine_q(F.col("_qq"), F.col("_cq"), F.col("_qn"), F.col("_cn"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "cand_id", cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign-bit signature).
+
+    Hyperplanes are derived from the engine's portable hash of
+    (seed, plane, dim) so they are deterministic and reproducible in
+    SQL. Returns (id, bucket) — similar vectors collide with high
+    probability; join on bucket for the scale path of near-dup/ANN.
+    """
+    # plane p, dim d coefficient in {-1, +1} from parity of a portable hash
+    coeffs = []
+    for p in range(n_planes):
+        terms = (
+            f"aggregate(zip_with(_q, _planes[{p}], (x, c) -> x * c), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        coeffs.append(f"CASE WHEN {terms} > 0 THEN CAST(pow(2, {p}) AS BIGINT) ELSE 0 END")
+    bucket_expr = " + ".join(coeffs)
+
+    dim = len(df.select(vec_col).first()[0])
+    import hashlib
+
+    def sign(p: int, d: int) -> int:
+        h = hashlib.sha256(f"plane:{seed}:{p}:{d}".encode()).hexdigest()
+        return 1 if int(h[:2], 16) % 2 == 0 else -1
+
+    planes = F.array(
+        *[
+            F.array(*[F.lit(sign(p, d)).cast("bigint") for d in range(dim)])
+            for p in range(n_planes)
+        ]
+    )
+    return (
+        df.withColumn("_q", quantized(vec_col))
+        .withColumn("_planes", planes)
+        .select(F.col(id_col), F.expr(bucket_expr).alias("bucket"))
+    )

@@ -1,0 +1,139 @@
+"""Dedup query inventory [EXT] over the `documents` table: exact
+(hash-groupBy), MinHash-LSH candidates, n-gram Jaccard, SimHash.
+Every hash is the portable sha256-prefix hash so DuckDB reproduces the
+values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..sources import tables
+from .registry import query
+
+# Shared SQL fragments for the oracle side --------------------------------
+
+_SQL_WORDS = "regexp_split_to_array(text, ' +')"
+
+_SQL_SHINGLES = f"""
+  shingled AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len({_SQL_WORDS}) - 1, 1)),
+                    i -> {_SQL_WORDS}[i] || ' ' || {_SQL_WORDS}[i+1] || ' ' || {_SQL_WORDS}[i+2])) AS shingle
+      FROM documents
+    ) t
+  )
+"""
+
+
+def _sql_seeded_hash(expr: str, seed_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(sha256('s' || CAST({seed_expr} AS VARCHAR) || ':' || {expr}), 1, 15)) AS BIGINT)"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+@query(
+    "q40_exact_dedup",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS text_hash,
+           MIN(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY sha256(text)) AS n_copies
+    FROM documents
+    """,
+    doc="Exact dedup: content-hash grouping with canonical (min) id per duplicate set.",
+    tags=("dedup", "hash", "ext"),
+)
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = F.sha2(F.col("text"), 256)
+    w = Window.partitionBy(h)
+    return d.select(
+        "doc_id",
+        h.alias("text_hash"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+
+
+@query(
+    "q41_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    seeds AS (SELECT unnest(range(6)) AS seed),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN({_sql_seeded_hash("shingle", "seed")}) AS sig
+      FROM shingled CROSS JOIN seeds
+      GROUP BY doc_id, seed
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH near-dup candidates: 6 minhashes over 3-word shingles, "
+    "single-row bands, bucket join (shuffle on (seed, sig) only).",
+    tags=("dedup", "minhash", "lsh", "ext"),
+    bench=True,
+)
+def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.exploded_shingles(_docs(spark, sf_dir))
+    sigs = D.minhash_signatures(sh, num_hashes=6)
+    return D.lsh_candidate_pairs(sigs)
+
+
+@query(
+    "q42_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.05
+    """,
+    doc="Exact 3-gram Jaccard similarity for pairs sharing shingles (threshold 0.05).",
+    tags=("dedup", "jaccard", "ext"),
+)
+def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.exploded_shingles(_docs(spark, sf_dir))
+    return D.ngram_jaccard_pairs(sh, threshold=0.05)
+
+
+@query(
+    "q43_simhash",
+    oracle=f"""
+    WITH wds AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents
+      ) t
+    ),
+    hashed AS (SELECT doc_id, {_sql_seeded_hash("word", "7")} AS h FROM wds),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed CROSS JOIN (SELECT unnest(range(16)) AS b) bb
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+    FROM bits GROUP BY doc_id
+    """,
+    doc="16-bit SimHash fingerprint per document (sign-aggregated word hashes).",
+    tags=("dedup", "simhash", "ext"),
+)
+def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash16(_docs(spark, sf_dir), seed=7)

@@ -1,0 +1,603 @@
+"""Relational query inventory: scans, filters, projections, aggregates,
+joins, set ops, top-k (SURVEY.md §2.1, §2.3, §2.5, §2.7–2.9).
+
+Numeric-parity convention: every money-style SUM goes through DECIMAL
+(exact in both Spark and DuckDB — the inputs have <= 2 decimal places)
+and the final column is cast to DOUBLE, so value hashes match bit-for-
+bit. AVGs are computed as exact-decimal SUM divided by COUNT in double
+space — one double division of identical operands is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import canonical_sha256, canonical_sha256_sql
+from ..sources import tables
+from .registry import query
+
+DEC = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+def dec(c):
+    return (F.col(c) if isinstance(c, str) else c).cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# Q1 family — scan + filter + hash aggregate (reference Silver/monitoring
+# aggregates, docs/databricks_setup.md:302-328; shape of TPC-H Q1).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship: full-scan filtered hash aggregate with exact decimal math.",
+    tags=("agg", "scan", "tpch"),
+    bench=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    # Narrow decimals keep the triple product exact (within precision 38)
+    # in BOTH engines; wider ones overflow DuckDB's cap into double math.
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = price * (one - F.col("l_discount").cast("decimal(3,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(3,2)"))
+    cnt = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+      AND l_discount >= 0.05
+      AND l_quantity < 25
+    """,
+    doc="Projection + conjunctive predicate; filters and pruning reach the scan (P1-P3).",
+    tags=("scan", "filter"),
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_quantity") < 25)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Pure filter + scalar aggregate (TPC-H Q6 shape).",
+    tags=("agg", "filter", "tpch"),
+    bench=True,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Join family (SURVEY.md §2.9) — the reference implies joins (Gold feature
+# layer combining prices x treasury x fundamentals); here the full Spark
+# join surface over the star schema. Small dims are broadcast explicitly.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q03_top_unshipped_revenue",
+    oracle="""
+    SELECT
+      o.o_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      o.o_orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="3-way join + agg + deterministic top-k (TPC-H Q3 shape).",
+    tags=("join", "agg", "topk", "tpch"),
+    bench=True,
+)
+def q03_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_region_revenue",
+    oracle="""
+    SELECT
+      n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="6-way star join with broadcast dims (TPC-H Q5 shape).",
+    tags=("join", "agg", "broadcast", "tpch"),
+    bench=True,
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="Left-semi join (EXISTS) + agg (TPC-H Q4 shape).",
+    tags=("join", "semi", "agg", "tpch"),
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q07_parts_never_ordered",
+    oracle="""
+    SELECT p.p_brand, COUNT(*) AS part_count
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    GROUP BY p.p_brand
+    """,
+    doc="Left-anti join (NOT EXISTS) + agg.",
+    tags=("join", "anti", "agg"),
+)
+def q07_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("part_count"))
+    )
+
+
+@query(
+    "q08_richer_customers_theta",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_richer_customers
+    FROM supplier s
+    JOIN customer c ON c.c_acctbal > s.s_acctbal
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    doc="Non-equi (theta) join via broadcast nested loop.",
+    tags=("join", "theta"),
+)
+def q08_richer_customers_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(s, c.c_acctbal > s.s_acctbal)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+    )
+
+
+@query(
+    "q09_nation_customer_rollcall",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(c.c_custkey) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Broadcast dim-dim join + left outer join + agg (C11 calendar-join analog).",
+    tags=("join", "outer", "broadcast"),
+)
+def q09_nation_customer_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Monitoring / data-quality aggregates (reference notebook cell-3 checks and
+# docs/databricks_setup.md:302-328).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q10_group_having_dupes",
+    oracle="""
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day, COUNT(*) AS n
+    FROM orders
+    GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+    HAVING COUNT(*) > 1
+    """,
+    doc="Duplicate detection: groupBy count + HAVING filter (A2/P6).",
+    tags=("agg", "having", "quality"),
+)
+def q10_group_having_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey"), F.col("o_orderdate").cast("date").alias("order_day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@query(
+    "q11_null_audit",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(event_id IS NULL AS INT)) AS BIGINT) AS null_event_id,
+      CAST(SUM(CAST(ts IS NULL AS INT)) AS BIGINT) AS null_ts,
+      CAST(SUM(CAST(user_id IS NULL AS INT)) AS BIGINT) AS null_user_id,
+      CAST(SUM(CAST(value IS NULL AS INT)) AS BIGINT) AS null_value,
+      CAST(SUM(CAST(props IS NULL AS INT)) AS BIGINT) AS null_props,
+      COUNT(*) AS total_rows
+    FROM events
+    """,
+    doc="Per-column null audit via conditional aggregation (A3).",
+    tags=("agg", "quality"),
+)
+def q11_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.col(c).isNull().cast("int")).alias(f"null_{c}")
+        for c in ["event_id", "ts", "user_id", "value", "props"]
+    ]
+    return e.agg(*aggs, F.count(F.lit(1)).alias("total_rows"))
+
+
+@query(
+    "q12_completeness_check",
+    oracle="""
+    SELECT o_custkey,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_order_days,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="MIN/MAX/COUNT DISTINCT per group completeness check (A4).",
+    tags=("agg", "distinct", "quality"),
+)
+def q12_completeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_order_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q13_topk_active_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 20
+    """,
+    doc="Top-k with deterministic tiebreak (O3: orderBy desc + limit).",
+    tags=("agg", "topk"),
+)
+def q13_topk_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_distinct_days",
+    oracle="""
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_day
+    FROM orders
+    ORDER BY order_day
+    """,
+    doc="Distinct-key extraction for partition enumeration (A6).",
+    tags=("distinct",),
+)
+def q14_distinct_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.col("o_orderdate").cast("date").alias("order_day"))
+        .distinct()
+        .orderBy("order_day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.8) and union (U1).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q15_union_event_slices",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT * FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT * FROM events WHERE event_type = 'purchase'
+    ) u
+    GROUP BY event_type
+    """,
+    doc="Vertical union of homogeneous slices then agg (U1: pl.concat analog).",
+    tags=("union", "agg"),
+)
+def q15_union_event_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    u = e.filter(F.col("event_type") == "click").unionByName(
+        e.filter(F.col("event_type") == "purchase")
+    )
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "q16_intersect_repeat_buyers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+    """,
+    doc="INTERSECT: customers ordering in both years.",
+    tags=("setop",),
+)
+def q16_intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y99 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    y00 = o.filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    return y99.intersect(y00)
+
+
+@query(
+    "q17_except_lapsed_buyers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    """,
+    doc="EXCEPT: early customers who disappeared.",
+    tags=("setop",),
+)
+def q17_except_lapsed_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")).select(
+        "o_custkey"
+    )
+    late = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")).select(
+        "o_custkey"
+    )
+    return early.subtract(late)
+
+
+# --------------------------------------------------------------------------
+# Column derivation / casts / scalar functions (SURVEY.md §2.4) and the
+# canonical content hash (C5).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q18_normalize_casts",
+    oracle="""
+    SELECT
+      o_orderkey,
+      upper(trim(o_orderstatus)) AS status_norm,
+      CAST(o_orderdate AS DATE) AS order_day,
+      year(o_orderdate) AS order_year,
+      month(o_orderdate) AS order_month,
+      CAST(trunc(o_totalprice) AS BIGINT) AS price_long,
+      CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      concat('ORD-', CAST(o_orderkey AS VARCHAR)) AS order_tag
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    doc="Cast/normalize battery: trim/upper, date parts, numeric casts (C1-C4, C9-C10).",
+    tags=("scalar", "cast"),
+)
+def q18_normalize_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper(F.trim(F.col("o_orderstatus"))).alias("status_norm"),
+        F.col("o_orderdate").cast("date").alias("order_day"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.col("o_totalprice").cast("bigint").alias("price_long"),
+        F.floor(F.col("o_totalprice")).alias("price_floor"),
+        F.concat(F.lit("ORD-"), F.col("o_orderkey").cast("string")).alias("order_tag"),
+    )
+
+
+@query(
+    "q19_content_hash",
+    oracle=f"""
+    SELECT
+      o_orderkey,
+      {canonical_sha256_sql("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")} AS row_hash
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+    doc="Canonical SHA-256 content hash as a Catalyst expression (C5: file_hash/payload hash).",
+    tags=("scalar", "hash"),
+)
+def q19_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        canonical_sha256("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").alias(
+            "row_hash"
+        ),
+    )
+
+
+@query(
+    "q20_json_extract",
+    oracle="""
+    SELECT
+      CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Schema-on-read JSON field extraction + agg (C6/C7: payload get pattern).",
+    tags=("json", "agg"),
+)
+def q20_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Similarity-search query inventory [EXT] over `embeddings`
+(array<float>, 64-dim): brute-force cosine top-k, label centroids,
+cosine near-duplicate pairs. Cosine runs over integer-quantized vectors
+(operators/similarity.py) so both engines produce bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..sources import tables
+from .registry import query
+
+_SQL_Q = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+@query(
+    "q48_knn_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_Q} AS q FROM embeddings),
+    n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn FROM e),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id >= 5
+    )
+    SELECT query_id, cand_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+      FROM pairs
+    ) t WHERE rnk <= 5
+    """,
+    doc="Brute-force cosine top-5 per query vector (queries broadcast, candidates stream).",
+    tags=("similarity", "knn", "ext"),
+    bench=True,
+)
+def q48_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return S.brute_force_topk(
+        e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5), k=5
+    )
+
+
+@query(
+    "q49_label_centroids",
+    oracle=f"""
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           CAST(SUM(qx) AS DOUBLE) / COUNT(*) AS centroid
+    FROM (
+      SELECT label, unnest({_SQL_Q}) AS qx, generate_subscripts({_SQL_Q}, 1) AS i
+      FROM embeddings
+    ) t
+    GROUP BY label, i - 1
+    """,
+    doc="Per-label centroid of quantized embeddings (posexplode + exact integer sums).",
+    tags=("similarity", "agg", "ext"),
+)
+def q49_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode(S.quantized("embedding")).alias("dim", "qx"))
+        .groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg((F.sum("qx").cast("double") / F.count(F.lit(1))).alias("centroid"))
+    )
+
+
+@query(
+    "q50_cosine_neardup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_SQL_Q} AS q FROM embeddings),
+    n AS (SELECT vec_id, label, q, list_dot_product(q, q) AS nn FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.2
+    """,
+    doc="Embedding-cosine near-dup pairs, label-blocked (the blocking key is the "
+    "scale lever: shuffle on label, never the full n^2).",
+    tags=("similarity", "dedup", "ext"),
+)
+def q50_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = S.with_quantized_norm(_emb(spark, sf_dir))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"),
+        F.col("_q").alias("_qa"), F.col("_nn").alias("_na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"),
+        F.col("_q").alias("_qb"), F.col("_nn").alias("_nb"),
+    )
+    cos = S.cosine_q(F.col("_qa"), F.col("_qb"), F.col("_na"), F.col("_nb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.2)
+    )

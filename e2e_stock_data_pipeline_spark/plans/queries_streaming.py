@@ -1,0 +1,120 @@
+"""Event-time window aggregates (SURVEY.md §2.10 [EXT]).
+
+The reference's stream is file-arrival only — all event-time analytics
+happen in batch. The engine adds the streaming-complete surface:
+tumbling / sliding / session windows, expressed with the SAME
+`F.window` / `F.session_window` operators Structured Streaming uses,
+validated here in batch mode against a SQL oracle (the streaming
+execution of these exact plans lives in streaming/windows.py and is
+exercised by the pytest streaming suite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import tables
+from .registry import query
+
+DEC = "decimal(18,4)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "events")
+
+
+@query(
+    "q29_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling 1h event-time window aggregate (streaming-identical plan).",
+    tags=("streaming", "window", "agg"),
+    bench=True,
+)
+def q29_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "q30_sliding_windows",
+    oracle="""
+    WITH half AS (
+      SELECT *, date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS t30
+      FROM events
+    ), exploded AS (
+      SELECT t30 AS bucket_start, value FROM half
+      UNION ALL
+      SELECT t30 - INTERVAL 30 MINUTE AS bucket_start, value FROM half
+    )
+    SELECT bucket_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM exploded
+    GROUP BY bucket_start
+    """,
+    doc="Sliding window (1h size, 30m slide): each event lands in 2 overlapping buckets.",
+    tags=("streaming", "window", "agg"),
+)
+def q30_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n", "total_value")
+    )
+
+
+@query(
+    "q31_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+    doc="Session windows with 30m inactivity gap (F.session_window vs SQL island detection).",
+    tags=("streaming", "window", "agg", "session"),
+)
+def q31_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

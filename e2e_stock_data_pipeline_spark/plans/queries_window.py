@@ -1,0 +1,234 @@
+"""Window-function query inventory — the Gold feature layer (SURVEY.md
+§2.6 W1–W5) generalized to the `events` series (user_id ~ symbol,
+ts ~ trade_date, value ~ close), plus the as-of join (§2.9).
+
+Determinism: every window orders by (ts, event_id) so ties are
+impossible; rolling sums go through DECIMAL; volatility is computed by
+an explicit sum-of-squares formula evaluated identically in both
+engines (double IEEE ops on exact-decimal inputs), so no rounding
+fuzz is needed anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.windows import keep_last
+from ..sources import tables
+from .registry import query
+
+DEC = "decimal(18,4)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "events")
+
+
+def _w():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@query(
+    "q21_moving_averages",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w5 AS DOUBLE) / COUNT(value) OVER w5 AS ma_5,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w20 AS DOUBLE) / COUNT(value) OVER w20 AS ma_20
+    FROM events
+    WINDOW
+      w5 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      w20 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing moving averages ma_5/ma_20 (W1/W2: gold ma_20/ma_50).",
+    tags=("window", "gold"),
+    bench=True,
+)
+def q21_moving_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w5 = _w().rowsBetween(-4, 0)
+    w20 = _w().rowsBetween(-19, 0)
+    sum5 = F.sum(F.col("value").cast(DEC)).over(w5).cast("double")
+    sum20 = F.sum(F.col("value").cast(DEC)).over(w20).cast("double")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (sum5 / F.count("value").over(w5)).alias("ma_5"),
+        (sum20 / F.count("value").over(w20)).alias("ma_20"),
+    )
+
+
+@query(
+    "q22_rolling_volatility",
+    oracle="""
+    SELECT event_id, user_id, ts,
+      CASE WHEN COUNT(value) OVER w > 1 THEN
+        sqrt(greatest(
+          (CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+           - CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(value) OVER w)
+          / (COUNT(value) OVER w - 1), 0.0))
+      END AS vol_20
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    doc="20-row rolling volatility (W3) via exact sum-of-squares — bit-identical across engines.",
+    tags=("window", "gold"),
+)
+def q22_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = _w().rowsBetween(-19, 0)
+    v = F.col("value").cast(DEC)
+    cnt = F.count("value").over(w)
+    s = F.sum(v).over(w).cast("double")
+    sq = F.sum(v * v).over(w).cast("double")
+    var = (sq - s * s / cnt) / (cnt - 1)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(cnt > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("vol_20"),
+    )
+
+
+@query(
+    "q23_step_returns",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+      CASE WHEN lag(value, 1) OVER w <> 0
+           THEN (value - lag(value, 1) OVER w) / lag(value, 1) OVER w
+      END AS ret
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Lag-based fractional change (W4: daily_return).",
+    tags=("window", "gold"),
+)
+def q23_step_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    prev = F.lag("value", 1).over(_w())
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(prev != 0, (F.col("value") - prev) / prev).alias("ret"),
+    )
+
+
+@query(
+    "q24_keep_last_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+    doc="Keep-newest-row-per-key dedup via ROW_NUMBER (U2/W5: Silver MERGE rank).",
+    tags=("window", "dedup", "gold"),
+)
+def q24_keep_last_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return keep_last(e, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+
+@query(
+    "q25_top3_purchases_ranked",
+    oracle="""
+    SELECT user_id, event_id, value, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+      FROM events
+      WHERE event_type = 'purchase'
+    ) t
+    WHERE rnk <= 3
+    """,
+    doc="Per-group top-n via ranking window.",
+    tags=("window", "topk"),
+)
+def q25_top3_purchases_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.select("user_id", "event_id", "value", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "q26_asof_purchase_view",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           v.ts AS asof_ts, v.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="Backward as-of join: each purchase matched to the newest view at or before it "
+    "(the prices x latest-treasury-rate pattern, SURVEY.md §2.9).",
+    tags=("join", "asof", "window"),
+    bench=True,
+)
+def q26_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(
+        purchases, views, on="user_id", left_time="ts", right_time="ts", value_cols=["value"]
+    ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+
+
+@query(
+    "q27_lead_first_last",
+    oracle="""
+    SELECT event_id, user_id, ts,
+      lead(value, 1) OVER w AS next_value,
+      first_value(value) OVER w AS first_val,
+      last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="LEAD / FIRST_VALUE / LAST_VALUE analytic battery (completes the §2.6 frame surface).",
+    tags=("window",),
+)
+def q27_lead_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    wfull = _w().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lead("value", 1).over(_w()).alias("next_value"),
+        F.first("value").over(_w()).alias("first_val"),
+        F.last("value").over(wfull).alias("last_val"),
+    )
+
+
+@query(
+    "q28_cumulative_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM events
+    """,
+    doc="Running cumulative sum per key (exact decimal).",
+    tags=("window",),
+)
+def q28_cumulative_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = _w().rowsBetween(Window.unboundedPreceding, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )

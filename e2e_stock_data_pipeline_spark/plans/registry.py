@@ -1,0 +1,64 @@
+"""Named query inventory.
+
+Every operator the engine claims (SURVEY.md §2) is exposed here as a
+named query: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus,
+when SQL-expressible, an equivalent ANSI-SQL oracle string that DuckDB
+runs on the same parquet tables. The driver's correctness gate compares
+the two (row count + schema + order-insensitive value hash), so:
+
+* every computed column is aliased IDENTICALLY on both sides;
+* money-style aggregates go through DECIMAL so sums are exact (and
+  bit-identical after the final cast to DOUBLE) in both engines;
+* top-k queries carry explicit deterministic tie-breakers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: SparkQuery
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator registering a Spark query plus its DuckDB oracle."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""), tuple(tags), bench)
+        return fn
+
+    return deco
+
+
+def load_all_query_modules() -> dict[str, QuerySpec]:
+    """Import every module that registers queries; return the registry."""
+    from . import queries_relational  # noqa: F401
+    from . import queries_window  # noqa: F401
+    from . import queries_dedup  # noqa: F401
+    from . import queries_text  # noqa: F401
+    from . import queries_similarity  # noqa: F401
+    from . import queries_streaming  # noqa: F401
+
+    return REGISTRY
