@@ -1,0 +1,80 @@
+"""Silver layer: quality gate + keep-latest upsert (reference:
+docs/databricks_setup.md:146-198 — `MERGE INTO silver USING (dedup
+subquery) ... WHEN MATCHED AND row_num=1 THEN UPDATE SET *`).
+
+delta-spark isn't importable in this environment, so `merge_upsert`
+implements the same semantics engine-side (union + ROW_NUMBER keep-
+latest + full rewrite); when Delta IS available the same call routes
+through DeltaTable.merge — gated on import, not on a fork of the logic.
+
+Scale note: the rewrite path shuffles on the merge key once; with Delta
+the shuffle shrinks to matched files only (partition pruning on the
+key), which is why the table keeps `partition_cols`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.windows import keep_last
+
+try:  # pragma: no cover - delta not present in this environment
+    from delta.tables import DeltaTable  # type: ignore
+
+    HAVE_DELTA = True
+except Exception:  # pragma: no cover
+    DeltaTable = None
+    HAVE_DELTA = False
+
+
+def apply_quality_gate(
+    df: DataFrame, predicates: list, quarantine_path: str | None = None
+) -> DataFrame:
+    """Split rows by conjunctive quality predicates (P4/P5); violations go
+    to a quarantine sink instead of being silently dropped."""
+    cond = None
+    for p in predicates:
+        cond = p if cond is None else (cond & p)
+    if cond is None:
+        return df
+    if quarantine_path is not None:
+        df.filter(~cond).write.mode("append").parquet(quarantine_path)
+    return df.filter(cond)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> None:
+    """Upsert: newest row per key wins across existing target + updates."""
+    if HAVE_DELTA and DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
+        deduped = keep_last(updates, keys, [order_col])
+        (
+            DeltaTable.forPath(spark, target_path)
+            .alias("t")
+            .merge(deduped.alias("s"), " AND ".join(f"t.{k} = s.{k}" for k in keys))
+            .whenMatchedUpdateAll(condition=f"s.{order_col} >= t.{order_col}")
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    try:
+        existing = spark.read.parquet(target_path)
+    except Exception:
+        existing = None
+    merged = updates if existing is None else existing.unionByName(updates)
+    result = keep_last(merged, keys, [order_col])
+    # Can't overwrite the path being read: stage to a sibling temp dir,
+    # then swap (distributed write, no driver materialization).
+    import os
+    import shutil
+
+    tmp = target_path.rstrip("/") + "._merge_tmp"
+    result.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.replace(tmp, target_path)

@@ -1,0 +1,152 @@
+"""Operator unit tests: as-of join edge cases, keep-last, SimHash
+properties, similarity vs numpy, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from e2e_stock_data_pipeline_spark.operators.asof import asof_join
+from e2e_stock_data_pipeline_spark.operators.dedup import (
+    exploded_shingles,
+    simhash16,
+)
+from e2e_stock_data_pipeline_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+)
+from e2e_stock_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_buckets,
+)
+from e2e_stock_data_pipeline_spark.operators.windows import keep_last
+
+
+def ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+class TestAsofJoin:
+    def frames(self, spark):
+        left = spark.createDataFrame(
+            [("A", ts(10), "p1"), ("A", ts(20), "p2"), ("B", ts(5), "p3"), ("C", ts(9), "p4")],
+            ["k", "t", "pid"],
+        )
+        right = spark.createDataFrame(
+            [("A", ts(10), 1.0), ("A", ts(15), 2.0), ("B", ts(6), 3.0)],
+            ["k", "rt", "val"],
+        )
+        return left, right
+
+    def test_backward_inner(self, spark):
+        left, right = self.frames(spark)
+        out = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                        value_cols=["val"], how="inner")
+        got = {r.pid: (r.asof_rt, r.asof_val) for r in out.collect()}
+        assert got == {
+            "p1": (ts(10), 1.0),  # tie: right at SAME time matches (<=)
+            "p2": (ts(15), 2.0),  # newest right before left
+        }
+        # p3: right exists but at ts(6) > ts(5) -> no match; p4: no right rows
+
+    def test_left_keeps_unmatched(self, spark):
+        left, right = self.frames(spark)
+        out = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                        value_cols=["val"], how="left")
+        got = {r.pid: r.asof_val for r in out.collect()}
+        assert got == {"p1": 1.0, "p2": 2.0, "p3": None, "p4": None}
+
+
+class TestKeepLast:
+    def test_ties_broken_by_order_cols(self, spark):
+        df = spark.createDataFrame(
+            [("A", 1, "old"), ("A", 2, "new"), ("B", 7, "only")], ["k", "v", "tag"]
+        )
+        out = {r.k: r.tag for r in keep_last(df, ["k"], ["v"]).collect()}
+        assert out == {"A": "new", "B": "only"}
+
+
+class TestSimHash:
+    def test_identical_docs_equal_similar_docs_close(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "the quick brown fox jumps over the lazy cat"),
+                (4, "entirely different words about database query engines"),
+            ],
+            ["doc_id", "text"],
+        )
+        sh = {r.doc_id: r.simhash16 for r in simhash16(docs).collect()}
+        assert sh[1] == sh[2]
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+        assert all(0 <= v < 2**16 for v in sh.values())
+
+    def test_shingles(self, spark):
+        docs = spark.createDataFrame([(1, "a b c d"), (2, "x y")], ["doc_id", "text"])
+        got = {(r.doc_id, r.shingle) for r in exploded_shingles(docs, n=3).collect()}
+        assert got == {(1, "a b c"), (1, "b c d")}  # doc 2 too short -> dropped
+
+
+class TestSimilarity:
+    def test_topk_matches_numpy(self, spark):
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(30, 8)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(30)], ["vec_id", "embedding"]
+        )
+        out = brute_force_topk(
+            df.filter(F.col("vec_id") < 2), df.filter(F.col("vec_id") >= 2), k=3
+        ).collect()
+        # numpy reference on the same quantization
+        q = np.floor(vecs.astype("float64") * 10000)
+        for qid in (0, 1):
+            sims = {}
+            for cid in range(2, 30):
+                dot = float(np.dot(q[qid], q[cid]))
+                sims[cid] = dot / (np.sqrt(np.dot(q[qid], q[qid])) * np.sqrt(np.dot(q[cid], q[cid])))
+            expect = sorted(sims, key=lambda c: (-sims[c], c))[:3]
+            got = [r.cand_id for r in sorted(out, key=lambda r: r.rnk) if r.query_id == qid]
+            assert got == expect
+
+    def test_lsh_buckets_deterministic_and_discriminative(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0, 0.0]),
+                (2, [1.0, 0.001, 0.0, 0.0]),   # nearly identical to 1
+                (3, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+            ],
+            ["vec_id", "embedding"],
+        )
+        b1 = {r.vec_id: r.bucket for r in hyperplane_lsh_buckets(df, n_planes=8).collect()}
+        b2 = {r.vec_id: r.bucket for r in hyperplane_lsh_buckets(df, n_planes=8).collect()}
+        assert b1 == b2                       # deterministic
+        assert b1[1] == b1[2]                 # near-identical vectors collide
+        assert b1[1] != b1[3]                 # opposite vectors split
+
+
+class TestMultimodal:
+    def media(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, bytearray(b"\x00\x02\x04\x06"), "png", 2, 2),
+                (2, None, "png", None, None),
+                (3, bytearray(b"\xff" * 8), None, None, None),
+            ],
+            "media_id long, content binary, format string, width int, height int",
+        )
+
+    def test_extract_features_stub(self, spark):
+        rows = {r.media_id: r for r in extract_features(self.media(spark)).collect()}
+        assert rows[1].decoded_ok and rows[1].n_bytes == 4 and rows[1].byte_mean == 3.0
+        assert not rows[2].decoded_ok and rows[2].n_bytes is None
+        assert not rows[3].decoded_ok  # format missing -> decode refused
+
+    def test_frame_sample(self, spark):
+        out = {r.media_id: r.sampled_bytes for r in frame_sample(self.media(spark), 4).collect()}
+        assert [bytes(b) for b in out[1]] == [b"\x00"]
+        assert len(out[3]) == 2  # bytes 1 and 5 of 8

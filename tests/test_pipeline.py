@@ -1,0 +1,177 @@
+"""Medallion pipeline tests — mirrors the reference's own test strategy
+(SURVEY.md §5: validation drops, schema lock, keep-last, sortedness)
+plus gold-feature golden values and the quality/quarantine split.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from e2e_stock_data_pipeline_spark.functions.calendar import (
+    build_trading_calendar,
+    last_n_trading_days,
+    trading_days_between,
+)
+from e2e_stock_data_pipeline_spark.operators.quality import audit_suite, run_suite
+from e2e_stock_data_pipeline_spark.pipeline.gold import price_features
+from e2e_stock_data_pipeline_spark.pipeline.prices import (
+    LOCKED_COLUMNS,
+    normalize_prices,
+    write_partitioned_by_day,
+)
+from e2e_stock_data_pipeline_spark.pipeline.silver import merge_upsert
+
+
+def raw_price_rows(spark):
+    rows = [
+        # symbol, date, open, high, low, close, volume, fetched_at, request_id, extra
+        ("aapl ", "2024-09-13", 1.0, 2.0, 0.5, 1.5, 100, "2024-09-15T01:00:00+00:00", "r1", "x"),
+        ("AAPL", "2024-09-16", 1.1, 2.1, 0.6, 1.6, 110, "2024-09-15T01:00:00+00:00", "r1", "x"),
+        ("AAPL", None, 1.0, 2.0, 0.5, 1.5, 100, "2024-09-15T01:00:00+00:00", "r1", "x"),
+        ("AAPL", "invalid-date", 1.0, 2.0, 0.5, 1.5, 100, "2024-09-15T01:00:00+00:00", "r1", "x"),
+        ("AAPL", "2024-09-17", 1.0, 2.0, 0.5, 1.5, -5, "2024-09-15T01:00:00+00:00", "r1", "x"),
+        # duplicate (symbol, date): later row must win (keep-last)
+        ("MSFT", "2024-09-16", 9.0, 9.0, 9.0, 9.0, 50, "2024-09-15T01:00:00+00:00", "r2", "x"),
+        ("MSFT", "2024-09-16", 8.0, 8.0, 8.0, 8.0, 60, "2024-09-15T01:00:00+00:00", "r2", "x"),
+    ]
+    cols = ["symbol", "date", "open", "high", "low", "close", "volume", "fetched_at", "request_id", "extra_field"]
+    return spark.createDataFrame(rows, cols)
+
+
+class TestNormalizePrices:
+    def test_schema_lock_and_validity(self, spark):
+        out = normalize_prices(raw_price_rows(spark))
+        assert out.columns == LOCKED_COLUMNS  # exact order, extras dropped
+        rows = out.collect()
+        # invalid date (null + unparseable) and negative volume dropped
+        assert {(r.symbol, str(r.as_of_date)) for r in rows} == {
+            ("AAPL", "2024-09-13"),
+            ("AAPL", "2024-09-16"),
+            ("MSFT", "2024-09-16"),
+        }
+
+    def test_keep_last_dedup(self, spark):
+        out = normalize_prices(raw_price_rows(spark))
+        msft = out.filter(F.col("symbol") == "MSFT").collect()[0]
+        assert msft.close == 8.0 and msft.volume == 60  # later row won
+
+    def test_sorted_and_hash(self, spark):
+        out = normalize_prices(raw_price_rows(spark)).collect()
+        aapl = [r for r in out if r.symbol == "AAPL"]
+        assert [str(r.as_of_date) for r in aapl] == ["2024-09-13", "2024-09-16"]
+        assert all(len(r.file_hash) == 64 for r in out)
+
+    def test_partitioned_write_layout(self, spark, tmp_path):
+        out = normalize_prices(raw_price_rows(spark))
+        dest = str(tmp_path / "prices")
+        write_partitioned_by_day(out, dest)
+        dirs = sorted(d for d in os.listdir(dest) if d.startswith("dt="))
+        assert dirs == ["dt=2024-09-13", "dt=2024-09-16"]
+        back = spark.read.parquet(dest)
+        assert back.count() == 3
+
+
+class TestMergeUpsert:
+    def test_insert_then_update(self, spark, tmp_path):
+        path = str(tmp_path / "silver")
+        base = spark.createDataFrame(
+            [("AAPL", "2024-09-13", 1.5, 1), ("AAPL", "2024-09-16", 1.6, 1)],
+            ["symbol", "trade_date", "close", "v"],
+        )
+        merge_upsert(spark, path, base, ["symbol", "trade_date"], "v")
+        upd = spark.createDataFrame(
+            [("AAPL", "2024-09-16", 2.6, 2), ("MSFT", "2024-09-16", 9.9, 2)],
+            ["symbol", "trade_date", "close", "v"],
+        )
+        merge_upsert(spark, path, upd, ["symbol", "trade_date"], "v")
+        got = {
+            (r.symbol, r.trade_date): r.close for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            ("AAPL", "2024-09-13"): 1.5,
+            ("AAPL", "2024-09-16"): 2.6,  # updated
+            ("MSFT", "2024-09-16"): 9.9,  # inserted
+        }
+
+
+class TestGoldFeatures:
+    def test_known_values(self, spark):
+        rows = [("A", dt.date(2024, 1, i + 1), float(i + 1)) for i in range(5)]
+        silver = spark.createDataFrame(rows, ["symbol", "trade_date", "close"])
+        out = price_features(silver).orderBy("trade_date").collect()
+        # ma_20 over 1..5 with partial frames = running mean
+        assert [round(r.ma_20, 6) for r in out] == [1.0, 1.5, 2.0, 2.5, 3.0]
+        assert out[0].daily_return is None
+        assert round(out[1].daily_return, 6) == 1.0  # (2-1)/1
+        assert out[0].volatility_20d is None  # single-row frame
+        assert round(out[1].volatility_20d, 6) == round(0.7071067811865476, 6)
+
+    def test_short_series_partial_frames(self, spark):
+        rows = [("B", dt.date(2024, 1, 1), 10.0)]
+        out = price_features(spark.createDataFrame(rows, ["symbol", "trade_date", "close"]))
+        r = out.collect()[0]
+        assert r.ma_20 == 10.0 and r.ma_50 == 10.0 and r.daily_return is None
+
+
+PRICES_SUITE = {
+    "expectations": [
+        {"expectation_type": "expect_column_to_exist", "kwargs": {"column": "symbol"}},
+        {"expectation_type": "expect_column_values_to_not_be_null", "kwargs": {"column": "symbol"}},
+        {"expectation_type": "expect_column_values_to_not_be_null", "kwargs": {"column": "trade_date"}},
+        {"expectation_type": "expect_column_values_to_be_between", "kwargs": {"column": "volume", "min_value": 0}},
+        {"expectation_type": "expect_column_values_to_be_between", "kwargs": {"column": "close", "min_value": 0}},
+    ]
+}
+
+
+class TestExpectations:
+    def rows(self, spark):
+        return spark.createDataFrame(
+            [
+                ("AAPL", "2024-09-13", 1.5, 100),
+                (None, "2024-09-13", 1.5, 100),     # null symbol
+                ("MSFT", None, 1.5, 100),           # null date
+                ("MSFT", "2024-09-13", -2.0, 100),  # negative close
+                ("NVDA", "2024-09-13", 1.0, -1),    # negative volume
+            ],
+            ["symbol", "trade_date", "close", "volume"],
+        )
+
+    def test_split(self, spark, tmp_path):
+        valid, bad = run_suite(self.rows(spark), PRICES_SUITE, str(tmp_path / "quarantine"))
+        assert valid.count() == 1 and bad.count() == 4
+        assert spark.read.parquet(str(tmp_path / "quarantine")).count() == 4
+
+    def test_audit_counts(self, spark):
+        res = {f"{r.rule}:{r.column}": r.violations for r in audit_suite(self.rows(spark), PRICES_SUITE)}
+        assert res["expect_column_values_to_not_be_null:symbol"] == 1
+        assert res["expect_column_values_to_not_be_null:trade_date"] == 1
+        assert res["expect_column_values_to_be_between:volume"] == 1
+        assert res["expect_column_values_to_be_between:close"] == 1
+
+    def test_missing_column_is_structural_error(self, spark):
+        df = spark.createDataFrame([(1,)], ["x"])
+        with pytest.raises(ValueError, match="missing"):
+            run_suite(df, PRICES_SUITE)
+
+
+class TestTradingCalendar:
+    def test_weekend_and_holiday(self, spark):
+        cal = build_trading_calendar(spark, "2024-09-01", "2024-09-30", holidays=["2024-09-02"])
+        by_date = {str(r.cal_date): r for r in cal.collect()}
+        assert by_date["2024-09-16"].is_trading          # Monday
+        assert not by_date["2024-09-14"].is_trading      # Saturday
+        assert not by_date["2024-09-02"].is_trading      # holiday (Labor Day)
+        # previous trading day skips the weekend
+        assert str(by_date["2024-09-16"].prev_trading_day) == "2024-09-13"
+
+    def test_last_n_and_between(self, spark):
+        cal = build_trading_calendar(spark, "2024-09-01", "2024-09-30")
+        last5 = sorted(str(r.cal_date) for r in last_n_trading_days(cal, 5, "2024-09-20").collect())
+        assert last5 == ["2024-09-16", "2024-09-17", "2024-09-18", "2024-09-19", "2024-09-20"]
+        n = trading_days_between(cal, "2024-09-09", "2024-09-13").count()
+        assert n == 5

@@ -1,0 +1,140 @@
+"""Structured Streaming tests: incremental file-stream bronze ingestion
+(checkpointed exactly-once across restarts), rescue-column JSON parse,
+schema evolution loop, and watermark window aggregates — the Auto
+Loader surface rebuilt on OSS (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from e2e_stock_data_pipeline_spark.sources import tables
+from e2e_stock_data_pipeline_spark.streaming import bronze
+from e2e_stock_data_pipeline_spark.streaming.windows import (
+    streaming_dedup,
+    tumbling_counts,
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _write_chunk(df, path: str):
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+class TestBronzeFileStream:
+    def test_incremental_exactly_once(self, spark, sf_dir, tmp_path):
+        src, dest, ckpt = (str(tmp_path / d) for d in ["src", "bronze", "ckpt"])
+        events = tables.load(spark, sf_dir, "events")
+        _write_chunk(events.filter(F.col("event_id") % 2 == 0), src)
+
+        stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+        bronze.run_bronze_stream(stream, dest, ckpt)
+        n1 = spark.read.parquet(dest).count()
+        assert n1 == events.filter(F.col("event_id") % 2 == 0).count()
+
+        # second batch of files: restart processes ONLY the new ones
+        _write_chunk(events.filter(F.col("event_id") % 2 == 1), src)
+        stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+        bronze.run_bronze_stream(stream, dest, ckpt)
+        out = spark.read.parquet(dest)
+        assert out.count() == events.count()  # no duplicates from re-reading
+        # lineage columns present
+        assert {"_processing_time", "_input_file"} <= set(out.columns)
+        assert out.filter(F.col("_input_file").isNull()).count() == 0
+
+    def test_json_rescue_column(self, spark, tmp_path):
+        src, dest, ckpt = (str(tmp_path / d) for d in ["src", "bronze", "ckpt"])
+        os.makedirs(src)
+        with open(os.path.join(src, "a.json"), "w") as f:
+            f.write(json.dumps({"symbol": "AAPL", "v": 1}) + "\n")
+            f.write('{"symbol": "MSFT", "v": broken\n')  # corrupt line
+        schema = bronze.rescue_schema(
+            T.StructType([
+                T.StructField("symbol", T.StringType()),
+                T.StructField("v", T.LongType()),
+            ])
+        )
+        stream = bronze.read_file_stream(spark, src, schema, "json")
+        bronze.run_bronze_stream(stream, dest, ckpt)
+        out = spark.read.parquet(dest)
+        rescued = out.filter(F.col(bronze.RESCUE_COL).isNotNull()).collect()
+        assert len(rescued) == 1 and "broken" in rescued[0][bronze.RESCUE_COL]
+        assert out.filter(F.col("symbol") == "AAPL").count() == 1
+
+    def test_schema_evolution_loop(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        loc = str(tmp_path / "schemas")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.json"), "w") as f:
+            f.write('{"symbol": "AAPL", "v": 1}\n')
+        s1, evolved = bronze.evolve_schema(spark, src, loc)
+        assert not evolved and set(s1.fieldNames()) == {"symbol", "v"}
+        # new column appears in newly landed files
+        with open(os.path.join(src, "b.json"), "w") as f:
+            f.write('{"symbol": "MSFT", "v": 2, "new_col": "x"}\n')
+        s2, evolved = bronze.evolve_schema(spark, src, loc)
+        assert evolved and "new_col" in s2.fieldNames()
+        # stable afterwards (registry persisted)
+        s3, evolved = bronze.evolve_schema(spark, src, loc)
+        assert not evolved and s3.fieldNames() == s2.fieldNames()
+
+
+class TestStreamingWindows:
+    def test_tumbling_stream_matches_batch(self, spark, sf_dir, tmp_path):
+        src, dest, ckpt = (str(tmp_path / d) for d in ["src", "out", "ckpt"])
+        events = tables.load(spark, sf_dir, "events")
+        _write_chunk(events, src)
+        stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+        agg = tumbling_counts(stream)
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", dest)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.bucket_start, r.event_type): (r.n, r.total_value)
+            for r in spark.read.parquet(dest).collect()
+        }
+        expect = {
+            (r.bucket_start, r.event_type): (r.n, r.total_value)
+            for r in tumbling_counts(events).collect()
+        }
+        # append mode emits only windows sealed by the watermark; every
+        # emitted window must match the batch result exactly
+        assert got and all(expect[k] == v for k, v in got.items())
+
+    def test_streaming_dedup(self, spark, sf_dir, tmp_path):
+        src, dest, ckpt = (str(tmp_path / d) for d in ["src", "out", "ckpt"])
+        events = tables.load(spark, sf_dir, "events").limit(100)
+        dup = events.unionByName(events)  # exact duplicate rows
+        _write_chunk(dup, src)
+        stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+        dd = streaming_dedup(stream, ["event_id"])
+        q = (
+            dd.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", dest)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert spark.read.parquet(dest).count() == 100
