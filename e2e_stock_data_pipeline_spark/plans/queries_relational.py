@@ -529,8 +529,8 @@ def q17_except_lapsed_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderkey,
       upper(trim(o_orderstatus)) AS status_norm,
       CAST(o_orderdate AS DATE) AS order_day,
-      year(o_orderdate) AS order_year,
-      month(o_orderdate) AS order_month,
+      CAST(year(o_orderdate) AS INT) AS order_year,
+      CAST(month(o_orderdate) AS INT) AS order_month,
       CAST(trunc(o_totalprice) AS BIGINT) AS price_long,
       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
       concat('ORD-', CAST(o_orderkey AS VARCHAR)) AS order_tag

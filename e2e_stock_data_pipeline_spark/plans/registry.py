@@ -32,6 +32,10 @@ class QuerySpec:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    # Set when the oracle SQL references a literal path and is therefore
+    # only valid at one sf (the driver's correctness sf): local tests must
+    # run the Spark side against this dir too.
+    pinned_sf_dir: str | None = None
 
 
 def query(
@@ -40,13 +44,16 @@ def query(
     doc: str = "",
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    pinned_sf_dir: str | None = None,
 ) -> Callable[[SparkQuery], SparkQuery]:
     """Decorator registering a Spark query plus its DuckDB oracle."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""), tuple(tags), bench)
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, doc or (fn.__doc__ or ""), tuple(tags), bench, pinned_sf_dir
+        )
         return fn
 
     return deco
@@ -55,6 +62,7 @@ def query(
 def load_all_query_modules() -> dict[str, QuerySpec]:
     """Import every module that registers queries; return the registry."""
     from . import queries_relational  # noqa: F401
+    from . import queries_relational2  # noqa: F401
     from . import queries_window  # noqa: F401
     from . import queries_dedup  # noqa: F401
     from . import queries_text  # noqa: F401

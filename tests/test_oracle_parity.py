@@ -36,14 +36,36 @@ def normalize(rows, colnames):
         out = []
         for i in order:
             v = row[i]
-            if isinstance(v, float):
-                v = float(v)
-                if math.isnan(v):
-                    v = "NaN"
-            out.append((v is None, str(type(v).__name__) if False else "", repr(v)))
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            out.append((v is None, repr(v)))
         return tuple(out)
 
     return sorted((key(r) for r in rows))
+
+
+# Coarse type classes: the driver compares result schemas, so int32/int64
+# and float32/float64 mismatches between Spark and DuckDB are real failures.
+_SPARK_CLASS = {
+    "int": "i32", "bigint": "i64", "double": "f64", "float": "f32",
+    "string": "str", "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+    "boolean": "bool", "binary": "bin",
+}
+_DUCK_CLASS = {
+    "INTEGER": "i32", "BIGINT": "i64", "HUGEINT": "i128", "SMALLINT": "i16",
+    "TINYINT": "i8", "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "BOOLEAN": "bool",
+    "BLOB": "bin", "NUMBER": "num",
+}
+
+
+def type_classes_spark(sdf):
+    return {f.name: _SPARK_CLASS.get(f.dataType.simpleString(), f.dataType.simpleString())
+            for f in sdf.schema.fields}
+
+
+def type_classes_duck(rel):
+    return {c: _DUCK_CLASS.get(str(t), str(t)) for c, t in zip(rel.columns, rel.types)}
 
 
 oracle_cases = sorted(n for n, s in REGISTRY.items() if s.oracle)
@@ -53,17 +75,21 @@ rows_only_cases = sorted(n for n, s in REGISTRY.items() if not s.oracle)
 @pytest.mark.parametrize("name", oracle_cases)
 def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     spec = REGISTRY[name]
-    sdf = spec.spark(spark, sf_dir)
+    sdf = spec.spark(spark, spec.pinned_sf_dir or sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
-    res = oracle_con.execute(spec.oracle)
-    oracle_cols = [d[0] for d in res.description]
-    oracle_rows = res.fetchall()
+    rel = oracle_con.sql(spec.oracle)
+    oracle_cols = list(rel.columns)
+    oracle_types = type_classes_duck(rel)
+    oracle_rows = rel.fetchall()
 
     assert sorted(spark_cols) == sorted(oracle_cols), (
         f"{name}: column names differ: spark={spark_cols} oracle={oracle_cols}"
     )
+    st = type_classes_spark(sdf)
+    diffs = {c: (st[c], oracle_types[c]) for c in st if st[c] != oracle_types.get(c)}
+    assert not diffs, f"{name}: column type classes differ: {diffs}"
     assert len(spark_rows) == len(oracle_rows), (
         f"{name}: row count spark={len(spark_rows)} oracle={len(oracle_rows)}"
     )
