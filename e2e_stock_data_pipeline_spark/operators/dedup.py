@@ -47,16 +47,41 @@ def exploded_shingles(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> Da
     return with_words.select(F.col(id_col), F.explode(sh).alias("shingle")).distinct()
 
 
+# Universal-hash family for MinHash: ONE sha256 per shingle produces a
+# 28-bit base hash; the k family members are (a_s*h + b_s) mod P derived
+# arithmetically (standard k-wise hashing). 28 bits keeps a_s*h inside
+# int64 in both engines; sha256 work drops k-fold vs hashing per seed.
+MINHASH_P = 268435399  # largest prime < 2^28
+
+
+def base_hash28(col: Column) -> Column:
+    digest = F.sha2(col, 256)
+    return F.conv(F.substring(digest, 1, 7), 16, 10).cast("bigint")
+
+
+BASE_HASH28_SQL = "CAST(('0x' || substr(sha256({expr}), 1, 7)) AS BIGINT)"
+
+
+def universal_hash(base: Column, seed_col: Column) -> Column:
+    a = seed_col * 2 + 1
+    b = seed_col * 7919 + 13
+    return (a * base + b) % MINHASH_P
+
+
+UNIVERSAL_HASH_SQL = "(({seed} * 2 + 1) * {base} + ({seed} * 7919 + 13)) % 268435399"
+
+
 def minhash_signatures(
     shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = 6
 ) -> DataFrame:
-    """(id, seed, sig): min portable hash per seed over the doc's shingles."""
+    """(id, seed, sig): min universal hash per seed over the doc's shingles."""
     spark = shingled.sparkSession
     seeds = F.broadcast(spark.range(num_hashes).withColumnRenamed("id", "seed"))
+    hashed = shingled.select(id_col, base_hash28(F.col("shingle")).alias("h"))
     return (
-        shingled.crossJoin(seeds)
+        hashed.crossJoin(seeds)
         .groupBy(id_col, "seed")
-        .agg(F.min(_seeded_hash(F.col("shingle"), F.col("seed"))).alias("sig"))
+        .agg(F.min(universal_hash(F.col("h"), F.col("seed"))).alias("sig"))
     )
 
 

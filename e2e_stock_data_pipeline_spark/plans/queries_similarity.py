@@ -100,3 +100,35 @@ def q50_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.2)
     )
+
+
+@query(
+    "q51_ann_lsh_buckets",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_Q} AS q FROM embeddings),
+    comp AS (
+      SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM e
+    ),
+    planes AS (
+      SELECT pp.p, dd.d,
+             CASE WHEN CAST(('0x' || substr(sha256('plane:13:' || CAST(pp.p AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
+                  THEN 1 ELSE -1 END AS c
+      FROM (SELECT unnest(range(8)) AS p) pp CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+    ),
+    dots AS (
+      SELECT comp.vec_id, planes.p, SUM(comp.x * planes.c) AS dot
+      FROM comp JOIN planes ON comp.d - 1 = planes.d
+      GROUP BY comp.vec_id, planes.p
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+    """,
+    doc="Random-hyperplane LSH bucket assignment — the ANN scale path: bucket "
+    "ids are per-row transforms (no shuffle); candidate joins shuffle on "
+    "bucket only. Exact integer dots over quantized vectors keep both "
+    "engines bit-identical.",
+    tags=("similarity", "lsh", "ann", "ext"),
+)
+def q51_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.hyperplane_lsh_buckets(_emb(spark, sf_dir), n_planes=8, seed=13)

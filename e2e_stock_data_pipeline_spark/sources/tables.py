@@ -45,9 +45,16 @@ def path_for(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_NS_PROBE_CACHE: dict[str, bool] = {}
+
+
 def _needs_ns_downcast(src: str) -> bool:
-    schema = pq.read_schema(src)
-    return any(pa.types.is_timestamp(t) and t.unit == "ns" for t in schema.types)
+    if src not in _NS_PROBE_CACHE:
+        schema = pq.read_schema(src)
+        _NS_PROBE_CACHE[src] = any(
+            pa.types.is_timestamp(t) and t.unit == "ns" for t in schema.types
+        )
+    return _NS_PROBE_CACHE[src]
 
 
 def _us_schema(schema: pa.Schema) -> pa.Schema:

@@ -1,0 +1,75 @@
+"""Custom stateful streaming operators via applyInPandasWithState
+[EXT, SURVEY.md §2.10 — the reference has no stateful ops; these make
+the engine streaming-complete for per-key running state that windowed
+aggs can't express].
+
+running_user_stats: per-key cumulative (count, sum, max) maintained in
+GroupState across micro-batches — the canonical shape for online
+feature accumulation (e.g., per-symbol running VWAP in the reference's
+domain). Works identically under availableNow batches and continuous
+triggers; state is bounded per key (a fixed-width tuple), so the
+operator scales with key cardinality, not event volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+STATS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+STATS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_stats(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        vals = pdf["value"].dropna()
+        n += int(vals.size)
+        total += float(vals.sum())
+        if vals.size:
+            mx = max(mx, float(vals.max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [mx if mx != float("-inf") else None],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Streaming per-user running stats; emits one updated row per key per
+    micro-batch (outputMode=update)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=STATS_OUTPUT_SCHEMA,
+            stateStructType=STATS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -150,3 +150,27 @@ class TestMultimodal:
         out = {r.media_id: r.sampled_bytes for r in frame_sample(self.media(spark), 4).collect()}
         assert [bytes(b) for b in out[1]] == [b"\x00"]
         assert len(out[3]) == 2  # bytes 1 and 5 of 8
+
+
+class TestAnnLsh:
+    def test_ann_recall_against_bruteforce(self, spark):
+        import numpy as np
+        from e2e_stock_data_pipeline_spark.operators.similarity import ann_topk_lsh
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(40, 16)).astype("float32")
+        # clusters: near-duplicates of each query vector among candidates
+        vecs = list(base) + [v + rng.normal(scale=0.01, size=16).astype("float32") for v in base[:5]]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+        )
+        from pyspark.sql import functions as F
+
+        queries = df.filter(F.col("vec_id") < 5)
+        cands = df.filter(F.col("vec_id") >= 5)
+        ann = ann_topk_lsh(queries, cands, k=1, n_planes=4)
+        got = {r.query_id: r.cand_id for r in ann.collect()}
+        # each query's planted near-duplicate (vec_id 40+i) shares its bucket
+        # with overwhelming probability at 4 planes
+        hits = sum(1 for qid, cid in got.items() if cid == 40 + qid)
+        assert hits >= 4  # >= 80% recall on planted duplicates

@@ -175,3 +175,40 @@ class TestTradingCalendar:
         assert last5 == ["2024-09-16", "2024-09-17", "2024-09-18", "2024-09-19", "2024-09-20"]
         n = trading_days_between(cal, "2024-09-09", "2024-09-13").count()
         assert n == 5
+
+
+class TestMaintenance:
+    def test_compact_bins_small_files(self, spark, tmp_path):
+        from e2e_stock_data_pipeline_spark.pipeline.maintenance import compact
+
+        path = str(tmp_path / "t")
+        spark.range(10000).repartition(64).write.parquet(path)
+        import glob
+
+        assert len(glob.glob(f"{path}/*.parquet")) == 64
+        compact(spark, path)
+        assert len(glob.glob(f"{path}/*.parquet")) == 1  # tiny data -> 1 file
+        assert spark.read.parquet(path).count() == 10000
+
+    def test_cluster_rewrite_narrows_file_ranges(self, spark, tmp_path):
+        from e2e_stock_data_pipeline_spark.pipeline.maintenance import cluster_rewrite
+        from pyspark.sql import functions as F
+        import pyarrow.parquet as pq
+        import glob
+
+        path = str(tmp_path / "t")
+        spark.range(100000).select(
+            (F.col("id") * 7919 % 1000).alias("k"), F.col("id").alias("v")
+        ).repartition(8).write.parquet(path)
+        cluster_rewrite(spark, path, ["k"])
+        files = glob.glob(f"{path}/*.parquet")
+        spans = []
+        for f in files:
+            md = pq.read_metadata(f)
+            mins = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+            maxs = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+            spans.append(maxs - mins)
+        if len(files) > 1:
+            # each file covers a narrow slice of k, not the whole [0, 1000)
+            assert sorted(spans)[len(spans) // 2] < 400
+        assert spark.read.parquet(path).count() == 100000

@@ -138,3 +138,35 @@ class TestStreamingWindows:
         )
         q.awaitTermination()
         assert spark.read.parquet(dest).count() == 100
+
+
+class TestStatefulOperator:
+    def test_running_user_stats(self, spark, sf_dir, tmp_path):
+        from e2e_stock_data_pipeline_spark.streaming.stateful import running_user_stats
+        import pyspark.sql.functions as F
+
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+        events = tables.load(spark, sf_dir, "events").limit(300)
+        _write_chunk(events, src)
+        stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+        out = running_user_stats(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("user_stats")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 6), r.max_value)
+            for r in spark.sql("SELECT * FROM user_stats").collect()
+        }
+        expect = {
+            r.user_id: (r.n, round(r.t, 6), r.m)
+            for r in events.groupBy("user_id")
+            .agg(F.count("value").alias("n"), F.sum("value").alias("t"), F.max("value").alias("m"))
+            .collect()
+        }
+        assert got == expect
