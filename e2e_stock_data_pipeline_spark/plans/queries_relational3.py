@@ -1,0 +1,114 @@
+"""Third relational batch: correlated-subquery decorrelation, time-based
+RANGE window frames, and having-then-join-back — the remaining classic
+query shapes the engine should answer (TPC-H Q17/Q18 forms; range
+frames complete the §2.6 window surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import tables
+from .registry import query
+
+DEC = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+@query(
+    "q38_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.4 * a.aq
+    """,
+    doc="Correlated scalar subquery (TPC-H Q17 shape), decorrelated into a "
+    "per-key aggregate + join — the plan Catalyst produces for the "
+    "subquery form, written explicitly so both engines match exactly.",
+    tags=("join", "subquery", "agg", "tpch"),
+)
+def q38_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = l.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("aq")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(avg_qty.withColumnRenamed("l_partkey", "ak"), F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < 0.4 * F.col("aq"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q39_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+      COUNT(*) OVER w AS n_last_hour,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-based RANGE frame: per-row trailing 1h aggregate ordered by "
+    "exact microsecond epoch (completes §2.6 — the reference uses only "
+    "ROWS frames).",
+    tags=("window", "range"),
+)
+def q39_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_last_hour"),
+    )
+
+
+@query(
+    "q52_big_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) >= 250
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice, b.total_qty
+    FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+    """,
+    doc="HAVING on an aggregate then join back to the fact (TPC-H Q18 shape).",
+    tags=("join", "having", "agg", "tpch"),
+)
+def q52_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("tq_dec"))
+        .filter(F.col("tq_dec") >= 250)
+        .select("l_orderkey", F.col("tq_dec").cast("double").alias("total_qty"))
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty"
+    )

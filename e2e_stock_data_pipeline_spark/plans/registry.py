@@ -63,6 +63,7 @@ def load_all_query_modules() -> dict[str, QuerySpec]:
     """Import every module that registers queries; return the registry."""
     from . import queries_relational  # noqa: F401
     from . import queries_relational2  # noqa: F401
+    from . import queries_relational3  # noqa: F401
     from . import queries_window  # noqa: F401
     from . import queries_dedup  # noqa: F401
     from . import queries_text  # noqa: F401
