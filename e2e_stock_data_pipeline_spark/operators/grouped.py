@@ -1,0 +1,54 @@
+"""Grouped-map pandas operators (applyInPandas) [EXT] — per-key kernels
+that genuinely need imperative math, kept OFF the hot path for
+everything Catalyst can express. Arrow-batched; state is one group in
+memory at a time, so the operator scales with max-group size, not table
+size (salt long groups upstream if a single key exceeds executor
+memory).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+TREND_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("slope", T.DoubleType()),
+        T.StructField("intercept", T.DoubleType()),
+    ]
+)
+
+
+def _ols_trend(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Least-squares slope of value over event order — the per-symbol
+    'trend' feature a training pipeline derives per entity."""
+    import numpy as np
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    y = pdf["value"].to_numpy(dtype="float64")
+    n = len(y)
+    if n < 2:
+        slope, intercept = 0.0, float(y[0]) if n else None
+    else:
+        x = np.arange(n, dtype="float64")
+        slope, intercept = np.polyfit(x, y, 1)
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n": [n],
+            "slope": [float(slope)],
+            "intercept": [None if intercept is None else float(intercept)],
+        }
+    )
+
+
+def per_key_trend(events: DataFrame) -> DataFrame:
+    """Per-user OLS trend via applyInPandas (grouped-map, Arrow-batched)."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_ols_trend, schema=TREND_SCHEMA)
+    )

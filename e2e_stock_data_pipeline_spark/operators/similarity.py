@@ -151,3 +151,77 @@ def ann_topk_lsh(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans partitions candidates into cells;
+    each query probes its n_probe nearest cells and reranks exactly.
+
+    The index build is one ML fit over the candidate table; search
+    shuffles on `_cell` only. Compared to hyperplane LSH, IVF adapts to
+    the data distribution (learned centroids) at the cost of a training
+    pass — the classic trade at 100 TB, where the fit runs on a sample.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    as_vec = array_to_vector(F.col(vec_col).cast("array<double>"))
+    cand_vec = candidates.withColumn("_v", as_vec)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="_cell").fit(cand_vec)
+    cand_cells = model.transform(cand_vec).select(
+        F.col(id_col).alias("cand_id"), F.col("_cell"), F.col(vec_col).alias("_cvec")
+    )
+
+    # Probe assignment: centroid matrix is tiny -> rank cells per query
+    # via a broadcast centroid table (no driver loop over queries).
+    spark = queries.sparkSession
+    centers = model.clusterCenters()
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+            ["_cell", "_centroid"],
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("_centroid"),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("_cell"))
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), vec_col)
+        .crossJoin(cent_df)
+        .select("query_id", vec_col, "_cell", dist2.alias("_d2"))
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", F.col(vec_col).alias("_qvec"), "_cell")
+    )
+
+    qn = with_quantized_norm(probes.withColumnRenamed("_qvec", vec_col), vec_col).select(
+        "query_id", "_cell", F.col("_q").alias("_qq"), F.col("_nn").alias("_qn")
+    )
+    cn = with_quantized_norm(cand_cells.withColumnRenamed("_cvec", vec_col), vec_col).select(
+        "cand_id", "_cell", F.col("_q").alias("_cq"), F.col("_nn").alias("_cn")
+    )
+    cos = cosine_q(F.col("_qq"), F.col("_cq"), F.col("_qn"), F.col("_cn"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        qn.join(cn, "_cell")
+        .select("query_id", "cand_id", cos.alias("cos_sim"))
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

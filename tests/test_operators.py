@@ -174,3 +174,77 @@ class TestAnnLsh:
         # with overwhelming probability at 4 planes
         hits = sum(1 for qid, cid in got.items() if cid == 40 + qid)
         assert hits >= 4  # >= 80% recall on planted duplicates
+
+
+class TestSkewOperators:
+    def test_salted_join_equals_plain_join(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame(
+            [(i, "hot" if i % 10 else "cold") for i in range(2000)], ["id", "k"]
+        )
+        small = spark.createDataFrame([("hot", 1), ("cold", 2), ("never", 3)], ["k", "tag"])
+        plain = {(r.id, r.tag) for r in big.join(small, "k").collect()}
+        salted = {(r.id, r.tag) for r in salted_join(big, small, "k", num_salts=4).collect()}
+        assert salted == plain
+
+    def test_two_phase_agg_equals_plain(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.skew import two_phase_agg
+
+        df = spark.createDataFrame(
+            [("hot" if i % 100 else f"k{i}", float(i)) for i in range(5000)], ["k", "v"]
+        )
+        plain = {
+            (r.k, r.n, r.total, r.mx)
+            for r in df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx"))
+            .collect()
+        }
+        two = {
+            (r.k, r.n, r.total, r.mx)
+            for r in two_phase_agg(
+                df, "k", {"n": "count:*", "total": "sum:v", "mx": "max:v"}, num_salts=8
+            ).collect()
+        }
+        assert two == plain
+
+
+class TestGroupedMap:
+    def test_per_key_trend_matches_numpy(self, spark, sf_dir):
+        from e2e_stock_data_pipeline_spark.operators.grouped import per_key_trend
+        from e2e_stock_data_pipeline_spark.sources import tables
+        import numpy as np
+
+        events = tables.load(spark, sf_dir, "events")
+        got = {r.user_id: (r.n, r.slope) for r in per_key_trend(events).collect()}
+        pdf = events.select("user_id", "ts", "event_id", "value").toPandas()
+        for uid, grp in pdf.groupby("user_id"):
+            y = grp.sort_values(["ts", "event_id"])["value"].to_numpy()
+            slope = np.polyfit(np.arange(len(y)), y, 1)[0]
+            n, got_slope = got[uid]
+            assert n == len(y) and abs(got_slope - slope) < 1e-9
+
+
+class TestIvf:
+    def test_ivf_recall_on_clustered_data(self, spark):
+        import numpy as np
+        from e2e_stock_data_pipeline_spark.operators.similarity import brute_force_topk, ivf_topk
+
+        rng = np.random.default_rng(11)
+        centers = rng.normal(scale=5.0, size=(8, 12))
+        vecs = [centers[i % 8] + rng.normal(scale=0.3, size=12) for i in range(200)]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+        )
+        queries = df.filter(F.col("vec_id") < 4)
+        cands = df.filter(F.col("vec_id") >= 4)
+        exact = {
+            (r.query_id, r.cand_id)
+            for r in brute_force_topk(queries, cands, k=3).collect()
+        }
+        approx = {
+            (r.query_id, r.cand_id)
+            for r in ivf_topk(queries, cands, k=3, n_cells=8, n_probe=3).collect()
+        }
+        # probing 3/8 cells on well-separated clusters recovers most of top-3
+        assert len(approx & exact) >= int(0.8 * len(exact))

@@ -121,3 +121,34 @@ class TestMetricsSink:
         df = read_run_metrics(spark, str(tmp_path / "logs"))
         row = df.collect()[0]
         assert row.rows_fetched == 150 and row.tasks_ok == 2
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, sf_dir):
+        from e2e_stock_data_pipeline_spark.sources.bucketing import read_table, write_bucketed
+
+        orders = tables.load(spark, sf_dir, "orders")
+        lineitem = tables.load(spark, sf_dir, "lineitem")
+        write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", ["o_orderkey"], num_buckets=8,
+        )
+        bo, bl = read_table(spark, "b_orders"), read_table(spark, "b_lineitem")
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bo.join(bl, "o_orderkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # bucket co-location: join runs with NO Exchange (shuffle)
+            assert "Exchange" not in plan, plan[:2000]
+            n = joined.count()
+            plain = orders.join(
+                lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+            ).count()
+            assert n == plain
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
