@@ -152,3 +152,51 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", seed: int = 7) -> DataFra
     )
     bitval = F.when(F.col("s") > 0, F.expr("CAST(pow(2, b) AS BIGINT)")).otherwise(F.lit(0))
     return per_bit.groupBy(id_col).agg(F.sum(bitval).cast("bigint").alias("simhash16"))
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster ids for an undirected pair graph: each node labeled with the
+    minimum node id reachable from it (iterative min-label propagation,
+    converging in O(graph diameter) rounds).
+
+    The dedup use: LSH candidate pairs form the edges; each cluster keeps
+    one canonical doc. Lineage is truncated per round (localCheckpoint)
+    so the plan doesn't grow exponentially; at cluster scale swap in
+    checkpoint() on durable storage. Each round is one shuffle on the
+    neighbor join + one on the aggregate.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

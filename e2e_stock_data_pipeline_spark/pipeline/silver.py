@@ -62,15 +62,16 @@ def merge_upsert(
             .execute()
         )
         return
-    try:
+    import os
+
+    if os.path.exists(target_path):
         existing = spark.read.parquet(target_path)
-    except Exception:
+    else:  # first run: nothing to merge with (avoids a noisy read probe)
         existing = None
     merged = updates if existing is None else existing.unionByName(updates)
     result = keep_last(merged, keys, [order_col])
     # Can't overwrite the path being read: stage to a sibling temp dir,
     # then swap (distributed write, no driver materialization).
-    import os
     import shutil
 
     tmp = target_path.rstrip("/") + "._merge_tmp"

@@ -1,0 +1,137 @@
+"""Second text batch [EXT]: normalization pipeline, corpus-level n-gram
+statistics, TF-IDF keyword extraction, and near-dup cluster assignment
+(connected components over the LSH candidate graph — iterative, so
+rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..sources import tables
+from .registry import query
+
+_SQL_WORDS = "regexp_split_to_array(trim(text), ' +')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+@query(
+    "q53_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g') AS text_norm,
+           CAST(length(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS INT) AS n_chars_norm
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+    doc="Text normalization pipeline: lowercase, strip non-alphanumerics, "
+    "collapse whitespace — the canonical pre-dedup cleanup pass.",
+    tags=("text", "normalize", "ext"),
+)
+def q53_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""), " +", " "
+    )
+    return d.select("doc_id", norm.alias("text_norm"), F.length(norm).alias("n_chars_norm"))
+
+
+@query(
+    "q54_top_bigrams",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len({_SQL_WORDS}), 1)),
+                    i -> {_SQL_WORDS}[i] || ' ' || {_SQL_WORDS}[i+1])) AS bigram
+      FROM documents
+    )
+    SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM sh
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+    doc="Corpus-level n-gram statistics: top-25 word bigrams by occurrence "
+    "(with document frequency) — deterministic tie-break on the bigram.",
+    tags=("text", "ngram", "topk", "ext"),
+)
+def q54_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    joined = "concat_ws(' ', w[i + 0], w[i + 1])"
+    with_words = d.select("doc_id", F.split(F.col("text"), " +").alias("w"))
+    sh = F.expr(
+        f"CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), i -> {joined}) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    # NOT distinct per doc: n counts occurrences, n_docs counts documents
+    exploded = with_words.select("doc_id", F.explode(sh).alias("bigram"))
+    return (
+        exploded.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(25)
+    )
+
+
+@query(
+    "q55_tfidf_keywords",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000) AS BIGINT) AS tfidf_micro
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf_micro, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 3
+    """,
+    doc="TF-IDF keyword extraction: top-3 terms per document, fixed-point "
+    "micro scores (ln ULP differences cannot flip a floor except on "
+    "measure-zero boundaries) and term tie-breaks.",
+    tags=("text", "tfidf", "ext"),
+)
+def q55_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    terms = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    score = F.floor(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000
+    ).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_micro").desc(), F.col("term"))
+    return (
+        tf.join(df, "term")
+        .select("doc_id", "term", score.alias("tfidf_micro"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "q56_dedup_clusters",
+    oracle=None,  # iterative label propagation -> rows-only check
+    doc="Near-dup cluster assignment: connected components over the "
+    "MinHash-LSH candidate graph via iterative min-label propagation "
+    "(each doc gets its cluster's minimum doc_id). Iterative joins are "
+    "not single-statement SQL; verified by pytest on known clusters.",
+    tags=("dedup", "clustering", "iterative", "ext"),
+)
+def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = D.exploded_shingles(docs)
+    sigs = D.minhash_signatures(sh, num_hashes=6)
+    pairs = D.lsh_candidate_pairs(sigs)
+    return D.connected_components(docs.select("doc_id"), pairs)

@@ -67,6 +67,7 @@ def load_all_query_modules() -> dict[str, QuerySpec]:
     from . import queries_window  # noqa: F401
     from . import queries_dedup  # noqa: F401
     from . import queries_text  # noqa: F401
+    from . import queries_text2  # noqa: F401
     from . import queries_similarity  # noqa: F401
     from . import queries_streaming  # noqa: F401
 

@@ -248,3 +248,16 @@ class TestIvf:
         }
         # probing 3/8 cells on well-separated clusters recovers most of top-3
         assert len(approx & exact) >= int(0.8 * len(exact))
+
+
+class TestConnectedComponents:
+    def test_known_clusters(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.dedup import connected_components
+
+        nodes = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+        # components: {0,1,2,3} (chain), {4,5}, {6}, {7}
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (4, 5)], ["doc_a", "doc_b"]
+        )
+        got = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}

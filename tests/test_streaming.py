@@ -170,3 +170,33 @@ class TestStatefulOperator:
             .collect()
         }
         assert got == expect
+
+
+class TestForeachBatchUpsert:
+    def test_stream_merge_keeps_latest(self, spark, tmp_path):
+        from e2e_stock_data_pipeline_spark.streaming.foreach_batch import stream_merge_upsert
+
+        src, dest, ckpt = (str(tmp_path / d) for d in ["src", "silver", "ckpt"])
+        schema = "symbol string, trade_date string, close double, v long"
+        spark.createDataFrame(
+            [("AAPL", "2024-09-13", 1.5, 1), ("AAPL", "2024-09-16", 1.6, 1)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_merge_upsert(stream, dest, ckpt, ["symbol", "trade_date"], "v")
+        q.awaitTermination()
+        assert spark.read.parquet(dest).count() == 2
+
+        # late correction + new symbol arrive in a second file
+        spark.createDataFrame(
+            [("AAPL", "2024-09-16", 9.9, 2), ("MSFT", "2024-09-16", 5.0, 2)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_merge_upsert(stream, dest, ckpt, ["symbol", "trade_date"], "v")
+        q.awaitTermination()
+        got = {(r.symbol, r.trade_date): r.close for r in spark.read.parquet(dest).collect()}
+        assert got == {
+            ("AAPL", "2024-09-13"): 1.5,
+            ("AAPL", "2024-09-16"): 9.9,  # updated by the late batch
+            ("MSFT", "2024-09-16"): 5.0,
+        }
