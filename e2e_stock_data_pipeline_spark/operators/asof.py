@@ -37,13 +37,27 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, newest right row with
-    right_time <= left_time within the same `on` key.
+    """As-of join: for each left row, the nearest right row at or before
+    (direction="backward") / at or after ("forward") its time, within the
+    same `on` key.
 
-    Result columns: all of ``left`` + ``right_time`` (as matched time)
-    + ``value_cols`` from right. ``how`` is "inner" or "left".
+    Forward is implemented as backward over negated epoch ordering — one
+    code path, both directions. Result columns: all of ``left`` +
+    ``asof_<right_time>`` (matched time) + ``asof_<value_col>``.
+    ``how`` is "inner" or "left".
     """
+    if direction == "forward":
+        neg = "_asof_negt"
+        l2 = left.withColumn(neg, -F.unix_micros(F.col(left_time).cast("timestamp")))
+        r2 = right.withColumn(neg, -F.unix_micros(F.col(right_time).cast("timestamp")))
+        out = asof_join(
+            l2, r2, on, neg, neg, value_cols + [right_time], how, "backward"
+        )
+        return out.drop(neg, f"asof_{neg}")
+    if direction != "backward":
+        raise ValueError(f"unsupported direction {direction!r}")
     lcols = left.columns
     tag = "_asof_is_right"
     rtime = "_asof_rtime"

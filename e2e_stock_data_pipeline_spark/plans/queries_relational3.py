@@ -112,3 +112,29 @@ def q52_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(big, o.o_orderkey == big.l_orderkey).select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty"
     )
+
+
+@query(
+    "q57_quantity_quartiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated quartiles per group. Bit-exact across engines "
+    "because l_quantity is integer-valued and quarter fractions of small "
+    "ints are exactly representable, so both interpolation formulas agree.",
+    tags=("agg", "percentile"),
+)
+def q57_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.min("l_quantity").alias("qmin"),
+        F.max("l_quantity").alias("qmax"),
+    )

@@ -261,3 +261,21 @@ class TestConnectedComponents:
         )
         got = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
         assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+class TestAsofForward:
+    def test_forward_direction(self, spark):
+        left = spark.createDataFrame(
+            [("A", ts(10), "p1"), ("A", ts(16), "p2"), ("B", ts(50), "p3")], ["k", "t", "pid"]
+        )
+        right = spark.createDataFrame(
+            [("A", ts(10), 1.0), ("A", ts(15), 2.0), ("A", ts(30), 3.0)], ["k", "rt", "val"]
+        )
+        out = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                        value_cols=["val"], how="left", direction="forward")
+        got = {r.pid: (r.asof_rt, r.asof_val) for r in out.collect()}
+        assert got == {
+            "p1": (ts(10), 1.0),   # equality still matches
+            "p2": (ts(30), 3.0),   # earliest right AT OR AFTER t=16
+            "p3": (None, None),    # no right rows for B
+        }
