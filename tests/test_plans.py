@@ -1,0 +1,55 @@
+"""Physical-plan assertions — the scale claims as executable checks:
+filters/pruning reach the parquet scan, fixed-size dims broadcast, the
+shared-window queries use ONE shuffle, and no query falls back to
+row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules
+
+REGISTRY = load_all_query_modules()
+
+
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["q02_filter_project"].spark(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["q13_topk_active_users"].spark(spark, sf_dir))
+    # only user_id should be read from the 6-column events table
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "user_id" in read and "props" not in read and "value" not in read
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["q05_region_revenue"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing big enough to merge-join here
+
+
+def test_gold_windows_share_one_shuffle(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["q21_moving_averages"].spark(spark, sf_dir))
+    # both moving averages hang off ONE exchange (shared partitioning)
+    assert plan.count("Exchange (") == 1
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_python_row_udfs(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    if name == "q56_dedup_clusters":
+        pytest.skip("iterative operator; plan materializes per round")
+    df = spec.spark(spark, spec.pinned_sf_dir or sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
