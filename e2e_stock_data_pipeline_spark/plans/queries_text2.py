@@ -135,3 +135,76 @@ def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(sh, num_hashes=6)
     pairs = D.lsh_candidate_pairs(sigs)
     return D.connected_components(docs.select("doc_id"), pairs)
+
+
+@query(
+    "q58_boilerplate_ngrams",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len({_SQL_WORDS}) - 3, 1)),
+                      i -> {_SQL_WORDS}[i] || ' ' || {_SQL_WORDS}[i+1] || ' ' || {_SQL_WORDS}[i+2]
+                           || ' ' || {_SQL_WORDS}[i+3] || ' ' || {_SQL_WORDS}[i+4])) AS shingle
+        FROM documents
+      ) t
+    )
+    SELECT shingle, COUNT(*) AS n_docs
+    FROM sh GROUP BY shingle
+    HAVING COUNT(*) >= 3
+    ORDER BY n_docs DESC, shingle
+    """,
+    doc="Boilerplate detection: 5-gram shingles recurring across >= 3 "
+    "documents (the repeated-passage signal used to strip templates "
+    "before training).",
+    tags=("text", "dedup", "boilerplate", "ext"),
+)
+def q58_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.exploded_shingles(_docs(spark, sf_dir), n=5)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), F.col("shingle"))
+    )
+
+
+@query(
+    "q59_stratified_sample",
+    oracle="""
+    WITH rated AS (
+      SELECT *,
+        CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25 ELSE 10 END AS rate,
+        CAST(('0x' || substr(sha256('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM rated WHERE bucket < rate
+    GROUP BY source
+    """,
+    doc="Deterministic hash-based stratified sampling (per-source keep "
+    "rates) — the reproducible training-mix sampler: same doc set on "
+    "every run, any cluster size, no RNG state.",
+    tags=("text", "sampling", "ext"),
+)
+def q59_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    rate = (
+        F.when(F.col("source") == "src0", 100)
+        .when(F.col("source") == "src1", 50)
+        .when(F.col("source") == "src2", 25)
+        .otherwise(10)
+    )
+    digest = F.sha2(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")), 256)
+    bucket = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % 100
+    return (
+        d.withColumn("rate", rate)
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+    )
