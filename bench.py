@@ -41,8 +41,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: small full pass to absorb JVM/codegen startup
-    force(next(iter(headline.values())).spark(spark, sf_dir).limit(1000))
+    # warmup: one full untimed pass so timings reflect steady state
+    # (JIT + codegen caches), not JVM cold start
+    for spec in headline.values():
+        force(spec.spark(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, spec in headline.items():
