@@ -208,3 +208,75 @@ def q59_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("chars_kept"),
         )
     )
+
+
+@query(
+    "q60_char_ngram_langid",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id, lang, unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+             i -> substr(text, CAST(i AS INT), 3))) AS tg
+      FROM documents
+    ),
+    -- "train": top-20 trigrams per labeled language (deterministic ties)
+    profile AS (
+      SELECT lang AS p_lang, tg FROM (
+        SELECT lang, tg, COUNT(*) AS n,
+               row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tg) AS rnk
+        FROM tri GROUP BY lang, tg
+      ) t WHERE rnk <= 20
+    ),
+    doc_tri AS (SELECT DISTINCT doc_id, lang, tg FROM tri),
+    scores AS (
+      SELECT d.doc_id, d.lang, p.p_lang, COUNT(*) AS hits
+      FROM doc_tri d JOIN profile p ON d.tg = p.tg
+      GROUP BY d.doc_id, d.lang, p.p_lang
+    ),
+    pred AS (
+      SELECT doc_id, lang, p_lang AS lang_pred FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS r
+        FROM scores
+      ) s WHERE r = 1
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n
+    FROM pred GROUP BY lang, lang_pred
+    """,
+    doc="Char-trigram language ID: per-language trigram profiles learned "
+    "from the labeled corpus, documents classified by profile overlap "
+    "(argmax with deterministic ties) — confusion-matrix output.",
+    tags=("text", "langid", "ngram", "ext"),
+)
+def q60_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tri = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN "
+                "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("tg"),
+    )
+    wp = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tg"))
+    profile = (
+        tri.groupBy("lang", "tg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") <= 20)
+        .select(F.col("lang").alias("p_lang"), "tg")
+    )
+    doc_tri = tri.select("doc_id", "lang", "tg").distinct()
+    scores = (
+        doc_tri.join(F.broadcast(profile), "tg")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("p_lang"))
+    pred = (
+        scores.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") == 1)
+        .select("lang", F.col("p_lang").alias("lang_pred"))
+    )
+    return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
