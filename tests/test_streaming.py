@@ -200,3 +200,52 @@ class TestForeachBatchUpsert:
             ("AAPL", "2024-09-16"): 9.9,  # updated by the late batch
             ("MSFT", "2024-09-16"): 5.0,
         }
+
+
+class TestLateDataPolicy:
+    def test_watermark_drops_late_events_in_append_aggregation(self, spark, tmp_path):
+        """The engine's documented late-data policy (SURVEY §7 T8): events
+        later than the watermark are dropped by streaming aggregation;
+        the batch merge backstop (foreachBatch upsert) is the catch-all."""
+        import datetime as dt
+
+        src, dest, ckpt = (str(tmp_path / d) for d in ["src", "out", "ckpt"])
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def mk(rows):
+            return spark.createDataFrame(
+                [(i, t, 0, "view", 1.0, None) for i, t in rows],
+                "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+            )
+
+        # batch 1: events up to 12:00 -> watermark advances to ~10:00 (2h lag)
+        mk([(1, base), (2, base + dt.timedelta(hours=12))]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        from e2e_stock_data_pipeline_spark.streaming.windows import tumbling_counts
+        from tests.test_streaming import EVENTS_SCHEMA
+
+        def run_once():
+            stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+            q = (
+                tumbling_counts(stream)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .option("path", dest)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        # batch 2: an event at 01:00 — far behind the 10:00 watermark
+        mk([(3, base + dt.timedelta(hours=1))]).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        out = spark.read.parquet(dest)
+        hour1 = out.filter(F.col("bucket_start") == base + dt.timedelta(hours=1)).collect()
+        # the late event's window either never appears or excludes it
+        assert all(r.n == 0 for r in hour1) if hour1 else True
+        # and the on-time windows were emitted exactly once
+        hour0 = out.filter(F.col("bucket_start") == base).collect()
+        assert len(hour0) == 1 and hour0[0].n == 1
