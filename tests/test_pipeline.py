@@ -212,3 +212,47 @@ class TestMaintenance:
             # each file covers a narrow slice of k, not the whole [0, 1000)
             assert sorted(spans)[len(spans) // 2] < 400
         assert spark.read.parquet(path).count() == 100000
+
+
+class TestVersionedTable:
+    def test_time_travel_and_history(self, spark, tmp_path):
+        from e2e_stock_data_pipeline_spark.pipeline.versioned import (
+            history,
+            read_version,
+            write_version,
+        )
+
+        root = str(tmp_path / "vt")
+        v0 = write_version(spark.createDataFrame([("A", 1.0)], ["k", "x"]), root, "create")
+        v1 = write_version(
+            spark.createDataFrame([("A", 2.0), ("B", 3.0)], ["k", "x"]), root, "merge"
+        )
+        assert (v0, v1) == (0, 1)
+        assert {r.k: r.x for r in read_version(spark, root, 0).collect()} == {"A": 1.0}
+        assert read_version(spark, root).count() == 2  # latest
+        h = history(root)
+        assert [e["operation"] for e in h] == ["create", "merge"]
+        assert [e["rows"] for e in h] == [1, 2]
+
+    def test_change_feed(self, spark, tmp_path):
+        from e2e_stock_data_pipeline_spark.pipeline.versioned import (
+            changes_between,
+            write_version,
+        )
+
+        root = str(tmp_path / "vt")
+        write_version(
+            spark.createDataFrame([("A", 1.0), ("B", 2.0), ("C", 3.0)], ["k", "x"]), root
+        )
+        write_version(
+            spark.createDataFrame([("A", 1.0), ("B", 9.0), ("D", 4.0)], ["k", "x"]), root
+        )
+        got = {
+            r.k: (r.x, r._change_type)
+            for r in changes_between(spark, root, ["k"], 0, 1).collect()
+        }
+        assert got == {
+            "B": (9.0, "update_postimage"),
+            "C": (3.0, "delete"),
+            "D": (4.0, "insert"),
+        }  # A unchanged -> absent
