@@ -138,3 +138,29 @@ def q57_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").alias("qmin"),
         F.max("l_quantity").alias("qmax"),
     )
+
+
+@query(
+    "q61_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 20.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS bin_total
+    FROM events
+    GROUP BY event_type, CAST(floor(value / 20.0) AS BIGINT)
+    """,
+    doc="Fixed-width histogram per group (floor-binning; the distribution "
+    "profile pass a data pipeline runs before choosing clip thresholds).",
+    tags=("agg", "histogram"),
+)
+def q61_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 20.0).cast("bigint")
+    return (
+        e.groupBy("event_type", b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("bin_total"),
+        )
+    )

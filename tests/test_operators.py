@@ -279,3 +279,43 @@ class TestAsofForward:
             "p2": (ts(30), 3.0),   # earliest right AT OR AFTER t=16
             "p3": (None, None),    # no right rows for B
         }
+
+
+class TestIntervalJoin:
+    def test_equals_naive_theta_join(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.interval import interval_join
+
+        points = spark.createDataFrame(
+            [(i, float(i * 7 % 1000)) for i in range(500)], ["pid", "t"]
+        )
+        intervals = spark.createDataFrame(
+            [(j, float(j * 50), float(j * 50 + (j % 5) * 37 + 1)) for j in range(40)],
+            ["iid", "s", "e"],
+        )
+        fast = {
+            (r.pid, r.iid)
+            for r in interval_join(points, intervals, "t", "s", "e", chunk=64).collect()
+        }
+        naive = {
+            (r.pid, r.iid)
+            for r in points.join(
+                intervals, (points.t >= intervals.s) & (points.t < intervals.e)
+            ).collect()
+        }
+        assert fast == naive and len(fast) > 0
+
+    def test_plan_is_equi_join_not_bnlj(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.interval import interval_join
+
+        points = spark.range(100000).select((F.col("id") % 100000).cast("double").alias("t"))
+        intervals = spark.range(1000).select(
+            (F.col("id") * 100.0).alias("s"), (F.col("id") * 100.0 + 250).alias("e")
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = interval_join(points, intervals, "t", "s", "e", chunk=100)._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastNestedLoopJoin" not in plan
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
