@@ -249,3 +249,60 @@ class TestLateDataPolicy:
         # and the on-time windows were emitted exactly once
         hour0 = out.filter(F.col("bucket_start") == base).collect()
         assert len(hour0) == 1 and hour0[0].n == 1
+
+
+class TestSchemaDriftEndToEnd:
+    def test_drift_restart_widens_bronze(self, spark, tmp_path):
+        """The full Auto-Loader-replacement loop: land files -> infer+pin
+        schema -> stream -> NEW COLUMN arrives -> evolve_schema detects ->
+        restart stream with widened schema -> bronze holds both eras
+        (old rows null for the new column)."""
+        src, dest, ckpt, loc = (str(tmp_path / d) for d in ["src", "bronze", "ckpt", "schemas"])
+        os.makedirs(src)
+        with open(os.path.join(src, "a.json"), "w") as f:
+            f.write('{"symbol": "AAPL", "v": 1}\n')
+
+        schema, evolved = bronze.evolve_schema(spark, src, loc)
+        assert not evolved
+        stream = bronze.read_file_stream(spark, src, bronze.rescue_schema(schema), "json")
+        bronze.run_bronze_stream(stream, dest, ckpt)
+
+        with open(os.path.join(src, "b.json"), "w") as f:
+            f.write('{"symbol": "MSFT", "v": 2, "rating": "AA"}\n')
+        schema, evolved = bronze.evolve_schema(spark, src, loc)
+        assert evolved and "rating" in schema.fieldNames()
+        stream = bronze.read_file_stream(spark, src, bronze.rescue_schema(schema), "json")
+        bronze.run_bronze_stream(stream, dest, ckpt)
+
+        out = spark.read.option("mergeSchema", "true").parquet(dest)
+        rows = {r.symbol: r for r in out.collect()}
+        assert len(rows) == 2
+        assert rows["MSFT"].rating == "AA"
+        assert rows["AAPL"].asDict().get("rating") is None  # old era: null
+
+
+class TestProgressListener:
+    def test_listener_captures_batches_and_flushes(self, spark, sf_dir, tmp_path):
+        from e2e_stock_data_pipeline_spark.streaming.listener import ProgressMetricsListener
+
+        listener = ProgressMetricsListener()
+        spark.streams.addListener(listener)
+        try:
+            src, dest, ckpt = (str(tmp_path / d) for d in ["src", "out", "ckpt"])
+            events = tables.load(spark, sf_dir, "events").limit(200)
+            _write_chunk(events, src)
+            stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+            bronze.run_bronze_stream(stream, dest, ckpt)
+            import time
+
+            for _ in range(20):  # listener events arrive async
+                if listener.progress and listener.terminated:
+                    break
+                time.sleep(0.5)
+            s = listener.summary()
+            assert s["rows_processed"] == 200 and s["batches"] >= 1
+            path = listener.flush(str(tmp_path / "logs"))
+            row = spark.read.json(path).collect()[0]
+            assert row.rows_processed == 200
+        finally:
+            spark.streams.removeListener(listener)
