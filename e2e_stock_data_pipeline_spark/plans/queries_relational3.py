@@ -164,3 +164,110 @@ def q61_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("bin_total"),
         )
     )
+
+
+@query(
+    "q62_rich_inactive_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Scalar subquery threshold + anti join (TPC-H Q22 shape): "
+    "above-average-balance customers with no recent orders.",
+    tags=("join", "anti", "subquery", "agg", "tpch"),
+)
+def q62_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q63_nation_revenue_share",
+    oracle="""
+    WITH nat_rev AS (
+      SELECT n.n_regionkey, n.n_name,
+             SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS bal_dec
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT n_name, CAST(bal_dec AS DOUBLE) AS nation_bal,
+           CAST(bal_dec AS DOUBLE)
+             / CAST(SUM(bal_dec) OVER (PARTITION BY n_regionkey) AS DOUBLE) AS region_share
+    FROM nat_rev
+    """,
+    doc="Window over an aggregated result: each nation's share of its "
+    "region's balance (two-level aggregate -> analytic shape).",
+    tags=("window", "agg", "join"),
+)
+def q63_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    nat = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(F.col("c_acctbal").cast(DEC)).alias("bal_dec"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    # the region total stays DECIMAL (exact, order-independent); a double
+    # window sum would depend on per-partition summation order
+    return nat.select(
+        "n_name",
+        F.col("bal_dec").cast("double").alias("nation_bal"),
+        (F.col("bal_dec").cast("double") / F.sum("bal_dec").over(w).cast("double")).alias(
+            "region_share"
+        ),
+    )
+
+
+@query(
+    "q64_acctbal_quartile_tiles",
+    oracle="""
+    SELECT tile, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS tile_total
+    FROM (
+      SELECT c_acctbal,
+             CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS tile
+      FROM customer
+    ) t
+    GROUP BY tile
+    """,
+    doc="NTILE bucketing (deterministic order) + per-tile aggregate.",
+    tags=("window", "ntile", "agg"),
+)
+def q64_acctbal_quartile_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("tile_total"),
+        )
+    )
