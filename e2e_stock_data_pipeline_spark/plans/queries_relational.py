@@ -341,7 +341,8 @@ def q09_nation_customer_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_custkey, CAST(o_orderdate AS DATE)
     HAVING COUNT(*) > 1
     """,
-    doc="Duplicate detection: groupBy count + HAVING filter (A2/P6).",
+    doc="Duplicate detection: groupBy count + HAVING filter (A2/P6; reference "
+    "docs/databricks_setup.md:315-319, bronze_fundamentals notebook cell-3).",
     tags=("agg", "having", "quality"),
 )
 def q10_group_having_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,7 +366,8 @@ def q10_group_having_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS total_rows
     FROM events
     """,
-    doc="Per-column null audit via conditional aggregation (A3).",
+    doc="Per-column null audit via conditional aggregation (A3; reference "
+    "bronze_fundamentals_auto_loader.ipynb:cell-3).",
     tags=("agg", "quality"),
 )
 def q11_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,7 +390,8 @@ def q11_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY o_custkey
     """,
-    doc="MIN/MAX/COUNT DISTINCT per group completeness check (A4).",
+    doc="MIN/MAX/COUNT DISTINCT per group completeness check (A4; reference "
+    "docs/databricks_setup.md:322-328).",
     tags=("agg", "distinct", "quality"),
 )
 def q12_completeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,7 +413,8 @@ def q12_completeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_events DESC, user_id
     LIMIT 20
     """,
-    doc="Top-k with deterministic tiebreak (O3: orderBy desc + limit).",
+    doc="Top-k with deterministic tiebreak (O3; reference top-symbols query: "
+    "bronze_fundamentals_auto_loader.ipynb:cell-3).",
     tags=("agg", "topk"),
 )
 def q13_topk_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,7 +41,8 @@ def _w():
       w5 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
       w20 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     """,
-    doc="Trailing moving averages ma_5/ma_20 (W1/W2: gold ma_20/ma_50).",
+    doc="Trailing moving averages ma_5/ma_20 (W1/W2; reference gold view "
+    "ma_20/ma_50: docs/databricks_setup.md:216-226).",
     tags=("window", "gold"),
     bench=True,
 )
@@ -74,7 +75,8 @@ def q21_moving_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     """,
-    doc="20-row rolling volatility (W3) via exact sum-of-squares — bit-identical across engines.",
+    doc="20-row rolling volatility (W3; reference docs/databricks_setup.md:229-233) "
+    "via exact sum-of-squares — bit-identical across engines.",
     tags=("window", "gold"),
 )
 def q22_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +105,8 @@ def q22_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
-    doc="Lag-based fractional change (W4: daily_return).",
+    doc="Lag-based fractional change (W4; reference daily_return: "
+    "docs/databricks_setup.md:236-237).",
     tags=("window", "gold"),
 )
 def q23_step_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +131,8 @@ def q23_step_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t
     WHERE rn = 1
     """,
-    doc="Keep-newest-row-per-key dedup via ROW_NUMBER (U2/W5: Silver MERGE rank).",
+    doc="Keep-newest-row-per-key dedup via ROW_NUMBER (U2/W5; reference Silver "
+    "MERGE rank: docs/databricks_setup.md:183-186).",
     tags=("window", "dedup", "gold"),
 )
 def q24_keep_last_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -306,3 +306,36 @@ class TestProgressListener:
             assert row.rows_processed == 200
         finally:
             spark.streams.removeListener(listener)
+
+
+class TestIncrementalRollup:
+    def test_rollup_equals_full_aggregate(self, spark, sf_dir, tmp_path):
+        from e2e_stock_data_pipeline_spark.streaming.rollup import (
+            hourly_rollup_partial,
+            stream_hourly_rollup,
+        )
+
+        src, dest, ckpt = (str(tmp_path / d) for d in ["src", "rollup", "ckpt"])
+        events = tables.load(spark, sf_dir, "events")
+
+        # two arrivals, incremental maintenance after each
+        _write_chunk(events.filter(F.col("event_id") % 2 == 0), src)
+        q = stream_hourly_rollup(
+            bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet"), dest, ckpt
+        )
+        q.awaitTermination()
+        _write_chunk(events.filter(F.col("event_id") % 2 == 1), src)
+        q = stream_hourly_rollup(
+            bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet"), dest, ckpt
+        )
+        q.awaitTermination()
+
+        got = {
+            (r.bucket_start, r.event_type): (r.n, float(r.value_sum))
+            for r in spark.read.parquet(dest).collect()
+        }
+        expect = {
+            (r.bucket_start, r.event_type): (r.n, float(r.value_sum))
+            for r in hourly_rollup_partial(events).collect()
+        }
+        assert got == expect  # incremental == full-history aggregate
