@@ -152,3 +152,20 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestDataFrameSqlEquivalence:
+    def test_spark_sql_twins_match_dataframe_api(self, spark, sf_dir):
+        """Dual surface: the spark.sql dialect twins return IDENTICAL
+        results to the canonical DataFrame implementations."""
+        from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules
+        from e2e_stock_data_pipeline_spark.plans.spark_sql import SPARK_SQL
+
+        reg = load_all_query_modules()
+        register_temp_views(spark, sf_dir)
+        for name, sql in SPARK_SQL.items():
+            df_rows = sorted(
+                tuple(repr(v) for v in r) for r in reg[name].spark(spark, sf_dir).collect()
+            )
+            sql_rows = sorted(tuple(repr(v) for v in r) for r in spark.sql(sql).collect())
+            assert df_rows == sql_rows, f"{name}: DataFrame vs spark.sql results differ"
