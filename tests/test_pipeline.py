@@ -256,3 +256,35 @@ class TestVersionedTable:
             "C": (3.0, "delete"),
             "D": (4.0, "insert"),
         }  # A unchanged -> absent
+
+
+class TestEmptyInputs:
+    """Reference parity: empty API responses produce empty-but-well-formed
+    frames (tests/test_ingest_local.py:169-194 analog)."""
+
+    def test_normalize_prices_empty(self, spark):
+        cols = ["symbol", "date", "open", "high", "low", "close", "volume",
+                "fetched_at", "request_id"]
+        schema = "symbol string, date string, open double, high double, low double, close double, volume long, fetched_at string, request_id string"
+        empty = spark.createDataFrame([], schema)
+        out = normalize_prices(empty)
+        assert out.columns == LOCKED_COLUMNS and out.count() == 0
+
+    def test_ingest_endpoint_empty_response(self, spark):
+        from e2e_stock_data_pipeline_spark.sources.ingest import (
+            ENDPOINTS,
+            IngestClient,
+            ingest_endpoint,
+        )
+
+        client = IngestClient(lambda url, p: ([], 200), sleeper=lambda s: None)
+        df = ingest_endpoint(spark, client, ENDPOINTS["income"], ["AAPL"], "d", "t")
+        assert df.count() == 0 and "payload" in df.columns
+
+    def test_gold_features_empty(self, spark):
+        from e2e_stock_data_pipeline_spark.pipeline.gold import price_features
+
+        empty = spark.createDataFrame([], "symbol string, trade_date date, close double")
+        out = price_features(empty)
+        assert out.count() == 0
+        assert {"ma_20", "ma_50", "volatility_20d", "daily_return"} <= set(out.columns)
