@@ -319,3 +319,35 @@ class TestIntervalJoin:
             assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestDistributedGlobalRanking:
+    def test_global_rank_matches_single_partition_window(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.ranking import global_rank
+        from pyspark.sql import Window
+
+        df = spark.range(10000).select(
+            (F.xxhash64("id") % 100000).alias("v"), F.col("id")
+        ).repartition(16)
+        fast = {(r.id): r.rank for r in global_rank(df, [F.col("v"), F.col("id")]).collect()}
+        w = Window.orderBy(F.col("v"), F.col("id"))
+        slow = {(r.id): r.rank for r in df.select("id", F.row_number().over(w).alias("rank")).collect()}
+        assert fast == slow
+
+    def test_global_ntile_matches_sql_ntile(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.ranking import global_ntile
+        from pyspark.sql import Window
+
+        df = spark.range(1003).select((F.xxhash64("id") % 997).alias("v"), "id").repartition(8)
+        fast = {r.id: r.tile for r in global_ntile(df, [F.col("v"), F.col("id")], 7).collect()}
+        w = Window.orderBy(F.col("v"), F.col("id"))
+        slow = {r.id: r.tile for r in df.select("id", F.ntile(7).over(w).alias("tile")).collect()}
+        assert fast == slow
+
+    def test_no_single_partition_window_in_plan(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.ranking import global_rank
+
+        df = spark.range(100000).select((F.col("id") % 9999).alias("v"), "id")
+        out = global_rank(df, [F.col("v"), F.col("id")])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
