@@ -27,6 +27,10 @@ def global_rank(df: DataFrame, order_cols: list[Column | str], rank_col: str = "
     parted = df.repartitionByRange(*cols).sortWithinPartitions(*cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # repartitionByRange SAMPLES its boundaries per job — pin the computed
+    # partitioning so the count pass and the output pass see the SAME
+    # partitions (otherwise offsets are garbage at scale).
+    parted = parted.localCheckpoint(eager=True)
     counts = {r._pid: r.cnt for r in parted.groupBy("_pid").count().withColumnRenamed("count", "cnt").collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):

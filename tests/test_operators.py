@@ -351,3 +351,15 @@ class TestDistributedGlobalRanking:
         out = global_rank(df, [F.col("v"), F.col("id")])
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
+
+    def test_tile_sizes_exact_at_scale(self, spark):
+        """Regression: range-partition boundary sampling must not shift
+        between the count pass and the output pass (tiles were garbage at
+        1M rows before the partitioning was pinned)."""
+        from e2e_stock_data_pipeline_spark.operators.ranking import global_ntile
+
+        df = spark.range(300_001).select((F.xxhash64("id") % 10_000_000).alias("v"), "id")
+        tiles = global_ntile(df, [F.col("v"), F.col("id")], 10)
+        sizes = {r.tile: r.cnt for r in tiles.groupBy("tile").count().withColumnRenamed("count", "cnt").collect()}
+        assert set(sizes) == set(range(1, 11))
+        assert sizes[1] == 30001 and all(sizes[t] == 30000 for t in range(2, 11))
