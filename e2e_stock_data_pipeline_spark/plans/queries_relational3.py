@@ -257,17 +257,21 @@ def q63_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t
     GROUP BY tile
     """,
-    doc="NTILE bucketing (deterministic order) + per-tile aggregate.",
+    doc="NTILE bucketing (deterministic order) + per-tile aggregate, computed "
+    "with the DISTRIBUTED global-rank operator (operators/ranking.py) — no "
+    "single-partition window; semantics proven equal to SQL NTILE.",
     tags=("window", "ntile", "agg"),
 )
 def q64_acctbal_quartile_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_ntile
+
     c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return (
-        c.select("c_acctbal", F.ntile(4).over(w).alias("tile"))
-        .groupBy("tile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("tile_total"),
-        )
+    tiles = global_ntile(
+        c.select("c_acctbal", "c_custkey"),
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        4,
+    )
+    return tiles.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("tile_total"),
     )
