@@ -54,3 +54,36 @@ def cluster_rewrite(spark: SparkSession, path: str, cluster_cols: list[str]) -> 
     df = spark.read.parquet(path)
     cols = [F.col(c) for c in cluster_cols]
     _staged_rewrite(df.repartitionByRange(*cols).sortWithinPartitions(*cols), path)
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    num_files: int | None = None,
+) -> None:
+    """Rewrite a parquet dir clustered on the Morton curve of two columns
+    (both mapped to their dense rank so arbitrary types/ranges work)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    # dense-rank each dimension into a compact non-negative integer domain
+    ra = F.dense_rank().over(Window.orderBy(F.col(col_a))) - 1
+    rb = F.dense_rank().over(Window.orderBy(F.col(col_b))) - 1
+    staged = df.withColumn("_za", ra.cast("bigint")).withColumn("_zb", rb.cast("bigint"))
+    expr_terms = " + ".join(
+        f"shiftleft(shiftright(_za, {i}) & 1, {2 * i}) + shiftleft(shiftright(_zb, {i}) & 1, {2 * i + 1})"
+        for i in range(bits)
+    )
+    staged = staged.withColumn("_zv", F.expr(expr_terms))
+    if num_files is None:
+        num_files = max(1, -(-_dir_bytes(path) // TARGET_FILE_BYTES))
+    _staged_rewrite(
+        staged.repartitionByRange(num_files, F.col("_zv"))
+        .sortWithinPartitions("_zv")
+        .drop("_za", "_zb", "_zv"),
+        path,
+    )

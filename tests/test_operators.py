@@ -363,3 +363,48 @@ class TestDistributedGlobalRanking:
         sizes = {r.tile: r.cnt for r in tiles.groupBy("tile").count().withColumnRenamed("count", "cnt").collect()}
         assert set(sizes) == set(range(1, 11))
         assert sizes[1] == 30001 and all(sizes[t] == 30000 for t in range(2, 11))
+
+
+class TestTextEmbedding:
+    def test_deterministic_normalized_and_semantic(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.embed import embed_text
+        from e2e_stock_data_pipeline_spark.operators.similarity import brute_force_topk
+        import numpy as np
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over the lazy dog"),
+                (1, "the quick brown fox leaps over the lazy dog"),
+                (2, "spark window aggregate shuffle partition broadcast join"),
+                (3, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        a = {r.doc_id: r.embedding for r in embed_text(docs).collect()}
+        b = {r.doc_id: r.embedding for r in embed_text(docs).collect()}
+        assert a == b                                  # deterministic
+        assert all(len(v) == 64 for v in a.values())
+        for i in (0, 1, 2):
+            assert abs(np.linalg.norm(a[i]) - 1.0) < 1e-5  # unit vectors
+        assert np.linalg.norm(a[3]) == 0.0                 # empty text -> zero vec
+        cos = lambda x, y: float(np.dot(x, y))
+        assert cos(a[0], a[1]) > cos(a[0], a[2])           # near-dup closer
+
+    def test_feeds_similarity_stack(self, spark):
+        """End-to-end text -> embed -> kNN: nearest neighbor of a doc is its
+        near-duplicate."""
+        from e2e_stock_data_pipeline_spark.operators.embed import embed_text
+        from e2e_stock_data_pipeline_spark.operators.similarity import brute_force_topk
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        docs = tables.load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+        dup = docs.filter(F.col("doc_id") == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source", "n_chars"
+        )
+        emb = embed_text(docs.unionByName(dup), id_col="doc_id").withColumnRenamed(
+            "doc_id", "vec_id"
+        )
+        out = brute_force_topk(
+            emb.filter(F.col("vec_id") == 10000), emb.filter(F.col("vec_id") < 10000), k=1
+        ).collect()
+        assert out[0].cand_id == 0 and out[0].cos_sim > 0.999

@@ -288,3 +288,38 @@ class TestEmptyInputs:
         out = price_features(empty)
         assert out.count() == 0
         assert {"ma_20", "ma_50", "volatility_20d", "daily_return"} <= set(out.columns)
+
+
+class TestZOrder:
+    def test_zorder_narrows_both_dimensions(self, spark, tmp_path):
+        """After a Morton-curve rewrite, each file covers a narrow range of
+        BOTH cluster columns (the data-skipping effect of OPTIMIZE ZORDER)."""
+        import glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from e2e_stock_data_pipeline_spark.pipeline.maintenance import zorder_rewrite
+
+        path = str(tmp_path / "t")
+        n = 1 << 16
+        spark.range(n).select(
+            (F.col("id") % 256).alias("x"),
+            (F.floor(F.col("id") / 256)).alias("y"),
+            F.col("id").alias("v"),
+        ).repartition(16).write.parquet(path)
+        zorder_rewrite(spark, path, "x", "y", bits=8, num_files=16)
+        files = sorted(glob.glob(f"{path}/*.parquet"))
+        assert len(files) > 4
+        spans_x, spans_y = [], []
+        for f in files:
+            md = pq.read_metadata(f)
+            cols = {md.schema.column(i).name: i for i in range(len(md.schema))}
+            for name, spans in [("x", spans_x), ("y", spans_y)]:
+                mins = min(md.row_group(g).column(cols[name]).statistics.min for g in range(md.num_row_groups))
+                maxs = max(md.row_group(g).column(cols[name]).statistics.max for g in range(md.num_row_groups))
+                spans.append(maxs - mins)
+        # Morton clustering: median file covers a fraction of each dimension
+        med = lambda s: sorted(s)[len(s) // 2]
+        assert med(spans_x) < 200 and med(spans_y) < 200
+        assert spark.read.parquet(path).count() == n
