@@ -280,3 +280,58 @@ def q60_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("p_lang").alias("lang_pred"))
     )
     return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q65_hashed_embedding",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(sha256(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+             CASE WHEN CAST(('0x' || substr(sha256(tok), 9, 2)) AS INT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM toks
+    ),
+    sums AS (
+      SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS s
+      FROM hashed GROUP BY doc_id, bucket
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(SUM(s * s) AS DOUBLE)) AS nrm FROM sums GROUP BY doc_id
+    )
+    SELECT s.doc_id, CAST(s.bucket AS INT) AS bucket,
+           CAST(s.s AS DOUBLE) / n.nrm AS weight
+    FROM sums s JOIN norms n ON s.doc_id = n.doc_id
+    WHERE s.s <> 0
+    """,
+    doc="Feature-hashing text embedding in PURE Catalyst (sparse rows form: "
+    "doc_id, bucket, L2-normalized weight) — same definition as the "
+    "mapInPandas encoder in operators/embed.py (consistency-tested).",
+    tags=("text", "embedding", "ext"),
+)
+def q65_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    toks = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
+    digest = F.sha2(F.col("tok"), 256)
+    bucket = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") % 64
+    sign = F.when(
+        F.conv(F.substring(digest, 9, 2), 16, 10).cast("int") % 2 == 0, 1
+    ).otherwise(-1)
+    sums = (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("s"))
+        .filter(F.col("s") != 0)
+    )
+    norms = sums.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double")).alias("nrm")
+    )
+    return sums.join(norms, "doc_id").select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("s").cast("double") / F.col("nrm")).alias("weight"),
+    )

@@ -408,3 +408,25 @@ class TestTextEmbedding:
             emb.filter(F.col("vec_id") == 10000), emb.filter(F.col("vec_id") < 10000), k=1
         ).collect()
         assert out[0].cand_id == 0 and out[0].cos_sim > 0.999
+
+    def test_catalyst_and_pandas_encoders_agree(self, spark):
+        """The pure-Catalyst q65 definition and the mapInPandas encoder
+        produce the same vectors (float32 rounding tolerance)."""
+        from e2e_stock_data_pipeline_spark.operators.embed import embed_text
+        from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        sf = "/root/testdata/sf0.001"
+        reg = load_all_query_modules()
+        sparse = {
+            (r.doc_id, r.bucket): r.weight
+            for r in reg["q65_hashed_embedding"].spark(spark, sf).collect()
+        }
+        docs = tables.load(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+        dense = {r.doc_id: r.embedding for r in embed_text(docs).collect()}
+        assert dense and sparse
+        for (doc, bucket), w in sparse.items():
+            assert abs(dense[doc][bucket] - w) < 1e-6
+        # and every nonzero dense component appears in the sparse form
+        n_nonzero = sum(1 for v in dense.values() for x in v if abs(x) > 1e-9)
+        assert n_nonzero == len(sparse)
