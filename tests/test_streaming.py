@@ -339,3 +339,30 @@ class TestIncrementalRollup:
             for r in hourly_rollup_partial(events).collect()
         }
         assert got == expect  # incremental == full-history aggregate
+
+
+class TestMicroBatching:
+    def test_max_files_per_trigger_produces_multiple_batches(self, spark, sf_dir, tmp_path):
+        from e2e_stock_data_pipeline_spark.streaming.listener import ProgressMetricsListener
+
+        src, dest, ckpt = (str(tmp_path / d) for d in ["src", "out", "ckpt"])
+        events = tables.load(spark, sf_dir, "events").limit(300)
+        for i in range(3):  # three separate files
+            _write_chunk(events.filter(F.col("event_id") % 3 == i), src)
+        listener = ProgressMetricsListener()
+        spark.streams.addListener(listener)
+        try:
+            stream = bronze.read_file_stream(
+                spark, src, EVENTS_SCHEMA, "parquet", max_files_per_trigger=1
+            )
+            bronze.run_bronze_stream(stream, dest, ckpt)
+            import time
+
+            for _ in range(20):
+                if len(listener.progress) >= 3:
+                    break
+                time.sleep(0.5)
+            assert spark.read.parquet(dest).count() == 300
+            assert len(listener.progress) >= 3  # one micro-batch per file
+        finally:
+            spark.streams.removeListener(listener)
