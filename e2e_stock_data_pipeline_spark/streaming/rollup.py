@@ -55,18 +55,51 @@ def hourly_rollup_partial(batch: DataFrame) -> DataFrame:
     )
 
 
+def _last_epoch_path(target: str) -> str:
+    return target.rstrip("/") + "._last_epoch"
+
+
+def _read_last_epoch(target: str) -> int:
+    p = _last_epoch_path(target)
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(f.read().strip())
+    return -1
+
+
+def _write_last_epoch(target: str, epoch_id: int) -> None:
+    with open(_last_epoch_path(target), "w") as f:
+        f.write(str(epoch_id))
+
+
+def apply_epoch(batch: DataFrame, target: str, epoch_id: int) -> bool:
+    """Apply one micro-batch's partials to the rollup, once per epoch.
+
+    merge-ADD is NOT naturally idempotent (unlike keep-latest merges), so
+    the epoch guard makes replays after partial failures safe: an epoch
+    already applied to the target is skipped. (Delta solves this with
+    txnAppId/txnVersion; this is the parquet-sink equivalent.) Returns
+    True when applied, False when skipped as a replay.
+    """
+    if epoch_id <= _read_last_epoch(target):
+        return False
+    _merge_add(
+        batch.sparkSession,
+        target,
+        hourly_rollup_partial(batch),
+        ["bucket_start", "event_type"],
+    )
+    _write_last_epoch(target, epoch_id)
+    return True
+
+
 def stream_hourly_rollup(stream: DataFrame, target: str, checkpoint: str):
     """availableNow stream maintaining the hourly rollup incrementally."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        _merge_add(
-            batch.sparkSession,
-            target,
-            hourly_rollup_partial(batch),
-            ["bucket_start", "event_type"],
-        )
+        apply_epoch(batch, target, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(process)

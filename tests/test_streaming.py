@@ -341,6 +341,34 @@ class TestIncrementalRollup:
         assert got == expect  # incremental == full-history aggregate
 
 
+    def test_epoch_replay_does_not_double_count(self, spark, sf_dir, tmp_path):
+        """merge-ADD + epoch guard: replaying an already-applied epoch (the
+        failure-recovery path) must not inflate the rollup; a genuinely
+        new epoch still applies."""
+        from e2e_stock_data_pipeline_spark.streaming import rollup as R
+
+        src, dest, ckpt = (str(tmp_path / d) for d in ["src", "rollup", "ckpt"])
+        events = tables.load(spark, sf_dir, "events").limit(500)
+        _write_chunk(events, src)
+        q = R.stream_hourly_rollup(
+            bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet"), dest, ckpt
+        )
+        q.awaitTermination()
+        snapshot = lambda: sorted(
+            (r.bucket_start, r.event_type, r.n) for r in spark.read.parquet(dest).collect()
+        )
+        before = snapshot()
+        batch = spark.read.parquet(src).drop("_processing_time", "_input_file")
+
+        applied = R.apply_epoch(batch, dest, epoch_id=0)  # replay of epoch 0
+        assert not applied and snapshot() == before
+
+        applied = R.apply_epoch(batch, dest, epoch_id=R._read_last_epoch(dest) + 1)
+        assert applied
+        after = {k[:2]: k[2] for k in snapshot()}
+        assert all(after[k[:2]] == 2 * k[2] for k in before)  # doubled counts
+
+
 class TestMicroBatching:
     def test_max_files_per_trigger_produces_multiple_batches(self, spark, sf_dir, tmp_path):
         from e2e_stock_data_pipeline_spark.streaming.listener import ProgressMetricsListener
