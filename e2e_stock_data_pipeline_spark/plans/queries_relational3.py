@@ -275,3 +275,34 @@ def q64_acctbal_quartile_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("tile_total"),
     )
+
+
+@query(
+    "q66_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS with a grouping-id disambiguator "
+    "(status-only, priority-only, and grand-total groupings in one pass).",
+    tags=("agg", "groupingsets"),
+)
+def q66_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [[F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total_price")
+    )
