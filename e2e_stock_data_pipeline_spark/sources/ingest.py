@@ -89,21 +89,28 @@ ENDPOINTS: dict[str, Endpoint] = {
 
 class RateLimiter:
     """Minimum-interval limiter (token-bucket degenerate case the
-    reference uses: one request per RATE_LIMIT_SECONDS)."""
+    reference uses: one request per RATE_LIMIT_SECONDS). Thread-safe —
+    the bounded fan-out below shares one limiter across workers, exactly
+    like the reference's global asyncio lock
+    (ingest_fmp_prices.py:124-140)."""
 
     def __init__(self, min_interval: float, clock=time.monotonic, sleeper=time.sleep):
+        import threading
+
         self.min_interval = min_interval
         self._clock = clock
         self._sleep = sleeper
         self._last = float("-inf")
+        self._lock = threading.Lock()
 
     def acquire(self) -> None:
-        now = self._clock()
-        wait = self._last + self.min_interval - now
-        if wait > 0:
-            self._sleep(wait)
+        with self._lock:
             now = self._clock()
-        self._last = now
+            wait = self._last + self.min_interval - now
+            if wait > 0:
+                self._sleep(wait)
+                now = self._clock()
+            self._last = now
 
 
 def with_retry(
@@ -219,17 +226,34 @@ def ingest_endpoint(
     symbols: Sequence[str],
     as_of_date: str,
     fetched_at: str,
+    max_workers: int = 1,
 ) -> DataFrame:
     """Fetch (per-symbol fan-out or market-wide) and build the records
-    DataFrame with the fixed NDJSON schema."""
-    records: list[dict] = []
+    DataFrame with the fixed NDJSON schema.
+
+    max_workers > 1 gives the reference's bounded concurrent fan-out
+    (asyncio.Semaphore(MAX_WORKERS) + gather, ingest_fmp_prices.py:
+    541-550) via a thread pool; the shared RateLimiter still serializes
+    request starts, so concurrency hides latency without breaking the
+    API budget. Records keep symbol order so output is deterministic.
+    """
     targets = [s.strip().upper() for s in symbols] if endpoint.per_symbol else [None]
-    for sym in targets:
+
+    def fetch_one(sym):
         payloads, status = client.fetch(endpoint, sym)
-        for p in payloads:
-            records.append(
-                build_record(p, endpoint.name, sym, as_of_date, fetched_at, status)
-            )
+        return [
+            build_record(p, endpoint.name, sym, as_of_date, fetched_at, status)
+            for p in payloads
+        ]
+
+    if max_workers > 1 and len(targets) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            per_symbol = list(pool.map(fetch_one, targets))
+    else:
+        per_symbol = [fetch_one(sym) for sym in targets]
+    records = [r for batch in per_symbol for r in batch]
     return spark.createDataFrame(records, RECORD_SCHEMA)  # type: ignore[arg-type]
 
 

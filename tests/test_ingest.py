@@ -163,3 +163,34 @@ class TestLoadTickers:
         p = tmp_path / "tickers.csv"
         p.write_text("symbol\naapl\nMsft\n\n")
         assert load_tickers(spark, str(p)) == ["AAPL", "MSFT"]
+
+
+class TestBoundedFanout:
+    def test_concurrent_fetch_same_records_rate_limited(self, spark):
+        """Bounded fan-out: results identical to serial; the shared
+        rate limiter serializes request starts across worker threads."""
+        import threading
+        import time as _time
+
+        starts: list[float] = []
+        lock = threading.Lock()
+
+        def transport(url, params):
+            with lock:
+                starts.append(_time.monotonic())
+            sym = url.split("/")[1]
+            return [{"date": "2023-12-31", "symbol": sym, "revenue": 5}], 200
+
+        rl = RateLimiter(0.05)
+        client = IngestClient(transport, rate_limiter=rl, sleeper=lambda s: None)
+        syms = [f"S{i}" for i in range(8)]
+        par = ingest_endpoint(spark, client, ENDPOINTS["income"], syms, "d", "t", max_workers=4)
+        got = sorted(r.symbol for r in par.collect())
+        ser = ingest_endpoint(
+            spark, IngestClient(transport, sleeper=lambda s: None), ENDPOINTS["income"],
+            syms, "d", "t",
+        )
+        assert got == sorted(r.symbol for r in ser.collect())
+        # limiter enforced ~0.05s spacing on the first 8 (parallel) calls
+        gaps = [b - a for a, b in zip(starts[:8], starts[1:8])]
+        assert all(g >= 0.045 for g in gaps)
