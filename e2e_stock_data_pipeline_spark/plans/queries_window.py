@@ -236,3 +236,41 @@ def q28_cumulative_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_total"),
     )
+
+
+@query(
+    "q67_zscore_normalize",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             COUNT(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sq
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           CASE WHEN st.n > 1 AND (sq - s * s / st.n) > 0 THEN
+             (e.value - s / st.n) / sqrt((sq - s * s / st.n) / (st.n - 1))
+           END AS z
+    FROM events e JOIN stats st ON e.user_id = st.user_id
+    """,
+    doc="Per-group z-score standardization (the grouped normalize pattern "
+    "from the retrieved pandas-UDF snippets, as pure Catalyst: exact "
+    "decimal moments -> deterministic double formula; the training-data "
+    "feature-scaling pass).",
+    tags=("window", "agg", "normalize", "ext"),
+)
+def q67_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    v = F.col("value").cast(DEC)
+    stats = e.groupBy("user_id").agg(
+        F.count("value").alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("sq"),
+    )
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = F.when(
+        (F.col("n") > 1) & ((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) > 0),
+        (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var),
+    )
+    return e.join(stats, "user_id").select("event_id", "user_id", "value", z.alias("z"))
