@@ -38,10 +38,14 @@ def asof_join(
     value_cols: list[str],
     how: str = "inner",
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the nearest right row at or before
     (direction="backward") / at or after ("forward") its time, within the
-    same `on` key.
+    same `on` key. ``tolerance`` (an INTERVAL string, e.g. "1 hour") caps
+    staleness: matches farther than that from left_time are discarded —
+    pandas merge_asof semantics (a stale treasury rate should NOT fill a
+    price from months later).
 
     Forward is implemented as backward over negated epoch ordering — one
     code path, both directions. Result columns: all of ``left`` +
@@ -49,6 +53,8 @@ def asof_join(
     ``how`` is "inner" or "left".
     """
     if direction == "forward":
+        if tolerance is not None:
+            raise ValueError("tolerance is only supported for direction='backward'")
         neg = "_asof_negt"
         l2 = left.withColumn(neg, -F.unix_micros(F.col(left_time).cast("timestamp")))
         r2 = right.withColumn(neg, -F.unix_micros(F.col(right_time).cast("timestamp")))
@@ -93,6 +99,22 @@ def asof_join(
         ],
     )
     out = filled.filter(F.col(tag) == 0)
+    if tolerance is not None:
+        out = out.withColumn(
+            "_fresh",
+            F.col("_matched_t").isNotNull()
+            & (F.col("_matched_t") >= F.col("_asof_t") - F.expr(f"INTERVAL {tolerance}")),
+        )
+        if how == "left":
+            # stale matches revert to unmatched (nulls), row is kept
+            out = out.withColumn(
+                "_matched_t", F.when(F.col("_fresh"), F.col("_matched_t"))
+            )
+            for c in value_cols:
+                out = out.withColumn(f"_m_{c}", F.when(F.col("_fresh"), F.col(f"_m_{c}")))
+        else:
+            out = out.filter(F.col("_fresh"))
+        out = out.drop("_fresh")
     if how == "inner":
         out = out.filter(F.col("_matched_t").isNotNull())
     elif how != "left":

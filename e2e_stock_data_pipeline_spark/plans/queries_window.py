@@ -274,3 +274,30 @@ def q67_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var),
     )
     return e.join(stats, "user_id").select("event_id", "user_id", "value", z.alias("z"))
+
+
+@query(
+    "q68_asof_with_tolerance",
+    oracle="""
+    WITH m AS MATERIALIZED (
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             v.ts AS asof_ts, v.value AS asof_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+    )
+    SELECT * FROM m WHERE m.asof_ts >= m.ts - INTERVAL 2 HOUR
+    """,
+    doc="As-of join with staleness tolerance (pandas merge_asof semantics): "
+    "a view older than 2h cannot fill a purchase — the stale-treasury-rate "
+    "guard the reference's Gold joins would need.",
+    tags=("join", "asof", "window"),
+)
+def q68_asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(
+        purchases, views, on="user_id", left_time="ts", right_time="ts",
+        value_cols=["value"], tolerance="2 HOURS",
+    ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")

@@ -430,3 +430,29 @@ class TestTextEmbedding:
         # and every nonzero dense component appears in the sparse form
         n_nonzero = sum(1 for v in dense.values() for x in v if abs(x) > 1e-9)
         assert n_nonzero == len(sparse)
+
+
+class TestAsofTolerance:
+    def frames(self, spark):
+        left = spark.createDataFrame(
+            [("A", ts(30), "p1"), ("A", ts(59), "p2")], ["k", "t", "pid"]
+        )
+        right = spark.createDataFrame(
+            [("A", ts(0), 1.0), ("A", ts(55), 2.0)], ["k", "rt", "val"]
+        )
+        return left, right
+
+    def test_inner_drops_stale_matches(self, spark):
+        left, right = self.frames(spark)
+        out = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                        value_cols=["val"], how="inner", tolerance="10 MINUTES")
+        got = {r.pid: r.asof_val for r in out.collect()}
+        # p1's only candidate (ts 0) is 30min stale -> dropped; p2 matches ts 55
+        assert got == {"p2": 2.0}
+
+    def test_left_nulls_stale_matches(self, spark):
+        left, right = self.frames(spark)
+        out = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                        value_cols=["val"], how="left", tolerance="10 MINUTES")
+        got = {r.pid: (r.asof_rt, r.asof_val) for r in out.collect()}
+        assert got == {"p1": (None, None), "p2": (ts(55), 2.0)}

@@ -394,3 +394,27 @@ class TestMicroBatching:
             assert len(listener.progress) >= 3  # one micro-batch per file
         finally:
             spark.streams.removeListener(listener)
+
+
+class TestMissingFileResilience:
+    def test_source_file_deleted_between_runs(self, spark, sf_dir, tmp_path):
+        """T5 ignoreMissingFiles: a source file deleted after checkpointing
+        must not fail subsequent runs."""
+        import glob as _glob
+        import os as _os
+
+        src, dest, ckpt = (str(tmp_path / d) for d in ["src", "out", "ckpt"])
+        events = tables.load(spark, sf_dir, "events")
+        _write_chunk(events.filter(F.col("event_id") % 2 == 0), src)
+        stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+        bronze.run_bronze_stream(stream, dest, ckpt)
+        n1 = spark.read.parquet(dest).count()
+
+        # delete the already-processed source file, land a new one
+        for f in _glob.glob(f"{src}/*.parquet"):
+            _os.remove(f)
+        _write_chunk(events.filter(F.col("event_id") % 2 == 1), src)
+        stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+        bronze.run_bronze_stream(stream, dest, ckpt)  # must not raise
+        assert spark.read.parquet(dest).count() == events.count()
+        assert n1 == events.filter(F.col("event_id") % 2 == 0).count()
