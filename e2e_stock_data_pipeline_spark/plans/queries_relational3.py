@@ -306,3 +306,29 @@ def q66_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total_price")
     )
+
+
+@query(
+    "q70_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_typed,
+           CAST(json_extract(props, '$.k') AS INT) % 7 AS k_mod
+    FROM events
+    WHERE props IS NOT NULL AND event_id % 3 = 0
+    """,
+    doc="Typed schema-on-read: from_json materializes the payload into a "
+    "struct and fields project out (the C6/C7 pattern with a declared "
+    "schema instead of per-field string extraction).",
+    tags=("json", "scalar"),
+)
+def q70_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull() & (F.col("event_id") % 3 == 0)
+    )
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        (parsed["k"] % 7).alias("k_mod"),
+    )

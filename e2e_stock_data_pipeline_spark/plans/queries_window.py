@@ -301,3 +301,27 @@ def q68_asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, views, on="user_id", left_time="ts", right_time="ts",
         value_cols=["value"], tolerance="2 HOURS",
     ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+
+
+@query(
+    "q69_percent_rank_cume_dist",
+    oracle="""
+    SELECT event_id, user_id,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    doc="Relative-position analytics: percent_rank and cume_dist per key "
+    "(deterministic rational formulas — (rank-1)/(n-1) and rows<=cur/n).",
+    tags=("window", "rank"),
+)
+def q69_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
