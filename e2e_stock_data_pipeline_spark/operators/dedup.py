@@ -36,15 +36,24 @@ def _seeded_hash(col: Column, seed_col: Column) -> Column:
     return F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
 
 
-def exploded_shingles(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc; docs with < n words drop out."""
+def exploded_shingles(
+    docs: DataFrame, id_col: str = "doc_id", n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs; docs with < n words drop out.
+
+    distinct=True dedups per doc (required for Jaccard set semantics —
+    one shuffle); MIN-based consumers (minhash, fingerprints) pass
+    distinct=False since min over a multiset equals min over its set,
+    saving that shuffle entirely.
+    """
     joined = "concat_ws(' ', " + ", ".join(f"w[i + {j}]" for j in range(n)) + ")"
     with_words = docs.select(F.col(id_col), words_col("text").alias("w"))
     sh = F.expr(
         f"CASE WHEN size(w) >= {n} THEN transform(sequence(0, size(w) - {n}), i -> {joined}) "
         "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    return with_words.select(F.col(id_col), F.explode(sh).alias("shingle")).distinct()
+    out = with_words.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # Universal-hash family for MinHash: ONE sha256 per shingle produces a

@@ -88,7 +88,8 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = D.exploded_shingles(_docs(spark, sf_dir))
+    # distinct=False: MIN is multiset-invariant, so the dedup shuffle is pure cost
+    sh = D.exploded_shingles(_docs(spark, sf_dir), distinct=False)
     sigs = D.minhash_signatures(sh, num_hashes=6)
     return D.lsh_candidate_pairs(sigs)
 

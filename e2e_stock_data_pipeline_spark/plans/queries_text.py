@@ -132,7 +132,7 @@ def q46_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q47_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import portable_hash64
 
-    sh = D.exploded_shingles(_docs(spark, sf_dir), n=2)
+    sh = D.exploded_shingles(_docs(spark, sf_dir), n=2, distinct=False)
     return sh.groupBy("doc_id").agg(
         F.min(portable_hash64(F.col("shingle"), seed=42)).alias("fingerprint")
     )

@@ -131,7 +131,7 @@ def q55_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = D.exploded_shingles(docs)
+    sh = D.exploded_shingles(docs, distinct=False)
     sigs = D.minhash_signatures(sh, num_hashes=6)
     pairs = D.lsh_candidate_pairs(sigs)
     return D.connected_components(docs.select("doc_id"), pairs)
