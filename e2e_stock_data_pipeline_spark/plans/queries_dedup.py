@@ -143,3 +143,56 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash16(_docs(spark, sf_dir), seed=7)
+
+
+@query(
+    "q44b_winnowing_fingerprints",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(sha256(substr(text, CAST(i AS INT), 5)), 1, 15)) AS BIGINT) AS h
+      FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) AS t(i)
+    ),
+    winmin AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wmin,
+             pos
+      FROM grams
+    )
+    SELECT doc_id, wmin AS fingerprint, COUNT(*) AS n_windows
+    FROM winmin
+    WHERE pos >= 8
+    GROUP BY doc_id, wmin
+    """,
+    doc="Winnowing fingerprints (the MOSS local dedup algorithm): min hash "
+    "of char 5-grams in each sliding window of 8 — guarantees shared "
+    "fingerprints for any sufficiently long shared substring; per-doc "
+    "window ops only (no shuffle beyond the doc key).",
+    tags=("dedup", "winnowing", "fingerprint", "ext"),
+)
+def q44b_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN length(text) >= 5 THEN "
+                "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),  # align with DuckDB's 1-based range
+        F.conv(F.substring(F.sha2(F.col("gram"), 256), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-7, 0)
+    winmin = grams.select("doc_id", "pos", F.min("h").over(w).alias("wmin"))
+    return (
+        winmin.filter(F.col("pos") >= 8)
+        .groupBy("doc_id", F.col("wmin").alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+    )
