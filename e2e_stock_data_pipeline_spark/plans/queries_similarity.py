@@ -132,3 +132,37 @@ def q50_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q51_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hyperplane_lsh_buckets(_emb(spark, sf_dir), n_planes=8, seed=13)
+
+
+@query(
+    "q72_array_functions",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           list_contains({_SQL_Q}, 0) AS has_zero_q,
+           {_SQL_Q}[1] AS first_q,
+           {_SQL_Q}[64] AS last_q,
+           list_max({_SQL_Q}) AS max_q,
+           list_min({_SQL_Q}) AS min_q,
+           CAST(len(list_filter({_SQL_Q}, x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings
+    WHERE vec_id % 20 = 0
+    """,
+    doc="Array-function battery over the embedding column: size, element "
+    "access, contains, min/max, lambda filter — the ArrayType surface the "
+    "reference never needed but array<float> workloads do.",
+    tags=("array", "scalar", "ext"),
+)
+def q72_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") % 20 == 0)
+    q = S.quantized("embedding")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_contains(q, 0).alias("has_zero_q"),
+        q[0].alias("first_q"),
+        q[63].alias("last_q"),
+        F.array_max(q).alias("max_q"),
+        F.array_min(q).alias("min_q"),
+        F.size(F.filter(q, lambda x: x > 0)).alias("n_positive"),
+    )

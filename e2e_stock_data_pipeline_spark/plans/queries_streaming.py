@@ -118,3 +118,38 @@ def q31_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q71_hourly_ohlc_candles",
+    oracle="""
+    SELECT user_id,
+           date_trunc('hour', ts) AS bucket_start,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume_value
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    doc="OHLC candle resampling — the canonical stock-pipeline aggregate "
+    "(tick stream -> per-key hourly open/high/low/close): min_by/max_by "
+    "on event time give open/close in one hash aggregate, no window sort.",
+    tags=("agg", "ohlc", "gold", "streaming"),
+    bench=True,
+)
+def q71_hourly_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_start"))
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("volume_value"),
+        )
+    )
