@@ -82,3 +82,24 @@ def streaming_dedup(
     keep-last MERGE backstop (pipeline/silver.py).
     """
     return _with_event_time(events, ts_col, watermark).dropDuplicates(keys + [ts_col])
+
+
+def hourly_ohlc(
+    events: DataFrame, ts_col: str = "ts", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming OHLC candles: per-key hourly open/high/low/close over a
+    watermarked event-time window — the live version of the q71 batch
+    aggregate (min_by/max_by on event time, no per-key sort)."""
+    return (
+        _with_event_time(events, ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour").alias("w"), "user_id")
+        .agg(
+            F.min_by("value", ts_col).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ts_col).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select("user_id", F.col("w.start").alias("bucket_start"),
+                "open", "high", "low", "close", "n_ticks")
+    )

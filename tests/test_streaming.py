@@ -418,3 +418,33 @@ class TestMissingFileResilience:
         bronze.run_bronze_stream(stream, dest, ckpt)  # must not raise
         assert spark.read.parquet(dest).count() == events.count()
         assert n1 == events.filter(F.col("event_id") % 2 == 0).count()
+
+
+class TestStreamingOhlc:
+    def test_stream_matches_batch_candles(self, spark, sf_dir, tmp_path):
+        from e2e_stock_data_pipeline_spark.streaming.windows import hourly_ohlc
+
+        src, dest, ckpt = (str(tmp_path / d) for d in ["src", "out", "ckpt"])
+        events = tables.load(spark, sf_dir, "events")
+        _write_chunk(events, src)
+        stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+        q = (
+            hourly_ohlc(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", dest)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.user_id, r.bucket_start): (r.open, r.high, r.low, r.close, r.n_ticks)
+            for r in spark.read.parquet(dest).collect()
+        }
+        expect = {
+            (r.user_id, r.bucket_start): (r.open, r.high, r.low, r.close, r.n_ticks)
+            for r in hourly_ohlc(events).collect()
+        }
+        # append emits watermark-sealed windows; all emitted must match batch
+        assert got and all(expect[k] == v for k, v in got.items())
