@@ -325,3 +325,95 @@ def q69_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "q73_bollinger_bands",
+    oracle="""
+    SELECT event_id, user_id, ts,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(value) OVER w AS ma_20,
+      CASE WHEN COUNT(value) OVER w > 1 THEN
+        (CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(value) OVER w)
+        + 2.0 * sqrt(greatest(
+            (CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             - CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(value) OVER w)
+            / (COUNT(value) OVER w - 1), 0.0))
+      END AS upper_band,
+      CASE WHEN COUNT(value) OVER w > 1 THEN
+        (CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(value) OVER w)
+        - 2.0 * sqrt(greatest(
+            (CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             - CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(value) OVER w)
+            / (COUNT(value) OVER w - 1), 0.0))
+      END AS lower_band
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Bollinger bands (ma_20 +/- 2 sigma): the classic mean-reversion "
+    "envelope, from the same exact-decimal moment machinery as q21/q22.",
+    tags=("window", "gold", "bollinger"),
+)
+def q73_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = _w().rowsBetween(-19, 0)
+    v = F.col("value").cast(DEC)
+    cnt = F.count("value").over(w)
+    s = F.sum(v).over(w).cast("double")
+    sq = F.sum(v * v).over(w).cast("double")
+    ma = s / cnt
+    sigma = F.sqrt(F.greatest((sq - s * s / cnt) / (cnt - 1), F.lit(0.0)))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        ma.alias("ma_20"),
+        F.when(cnt > 1, ma + 2.0 * sigma).alias("upper_band"),
+        F.when(cnt > 1, ma - 2.0 * sigma).alias("lower_band"),
+    )
+
+
+@query(
+    "q74_rsi_14",
+    oracle="""
+    WITH diffs AS (
+      SELECT event_id, user_id, ts,
+             CAST(value AS DECIMAL(18,4)) - lag(CAST(value AS DECIMAL(18,4)), 1) OVER w AS d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    gl AS (
+      SELECT event_id, user_id, ts,
+             CAST(SUM(CASE WHEN d > 0 THEN d ELSE CAST(0 AS DECIMAL(18,4)) END)
+                  OVER w2 AS DOUBLE) AS gains,
+             CAST(SUM(CASE WHEN d < 0 THEN -d ELSE CAST(0 AS DECIMAL(18,4)) END)
+                  OVER w2 AS DOUBLE) AS losses,
+             COUNT(d) OVER w2 AS nd
+      FROM diffs
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN nd >= 14 AND losses > 0 THEN 100.0 - 100.0 / (1.0 + gains / losses)
+                WHEN nd >= 14 AND losses = 0 AND gains > 0 THEN 100.0
+           END AS rsi_14
+    FROM gl
+    """,
+    doc="RSI-14 (simple-average variant): exact-decimal gain/loss sums over "
+    "a 14-step frame, deterministic double formula — the momentum "
+    "oscillator of the reference's domain.",
+    tags=("window", "gold", "rsi"),
+)
+def q74_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    v = F.col("value").cast(DEC)
+    d = (v - F.lag(v, 1).over(_w())).alias("d")
+    diffs = e.select("event_id", "user_id", "ts", d)
+    w2 = _w().rowsBetween(-13, 0)
+    zero = F.lit(0).cast(DEC)
+    gains = F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(zero)).over(w2).cast("double")
+    losses = F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(zero)).over(w2).cast("double")
+    nd = F.count("d").over(w2)
+    rsi = (
+        F.when((nd >= 14) & (losses > 0), 100.0 - 100.0 / (1.0 + gains / losses))
+        .when((nd >= 14) & (losses == 0) & (gains > 0), 100.0)
+    )
+    return diffs.select("event_id", "user_id", "ts", rsi.alias("rsi_14"))
