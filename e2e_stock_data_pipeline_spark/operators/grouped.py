@@ -52,3 +52,35 @@ def per_key_trend(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(_ols_trend, schema=TREND_SCHEMA)
     )
+
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def _ewma_group(pdf: pd.DataFrame, alpha: float) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"])
+    out = pdf["value"].ewm(alpha=alpha, adjust=False).mean()
+    return pd.DataFrame(
+        {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "ewma": out}
+    )
+
+
+def per_key_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Exponentially weighted moving average per key (applyInPandas).
+
+    EWMA is RECURSIVE (each output depends on the previous output), which
+    windowed SQL cannot express — this is precisely the case where the
+    engine drops to a grouped-map pandas kernel: one group in memory at a
+    time, Arrow-batched, ordered deterministically inside the kernel.
+    """
+    return (
+        events.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(lambda pdf: _ewma_group(pdf, alpha), schema=EWMA_SCHEMA)
+    )

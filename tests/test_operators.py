@@ -456,3 +456,21 @@ class TestAsofTolerance:
                         value_cols=["val"], how="left", tolerance="10 MINUTES")
         got = {r.pid: (r.asof_rt, r.asof_val) for r in out.collect()}
         assert got == {"p1": (None, None), "p2": (ts(55), 2.0)}
+
+
+class TestEwma:
+    def test_matches_manual_recursion(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.grouped import per_key_ewma
+
+        import datetime as _dt
+
+        rows = [(i, _dt.datetime(2024, 1, 1, 0, i), 7, float(v))
+                for i, v in enumerate([10, 12, 11, 15, 14])]
+        events = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+        got = {r.event_id: r.ewma for r in per_key_ewma(events, alpha=0.5).collect()}
+        # manual recursion: e_0 = v_0; e_t = 0.5*v_t + 0.5*e_{t-1}
+        exp, e = {}, None
+        for i, v in enumerate([10.0, 12.0, 11.0, 15.0, 14.0]):
+            e = v if e is None else 0.5 * v + 0.5 * e
+            exp[i] = e
+        assert all(abs(got[i] - exp[i]) < 1e-12 for i in exp)
