@@ -28,6 +28,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q01_pricing_summary"].spark(spark, SF0001)
 
 
+# Heaviest queries at sf0.01 (measured: scripts/driver_sim.py), deferred to
+# the END of the dict so a budget-limited driver run completes the maximum
+# number of queries before any truncation. Round 1's gate stopped mid-registry
+# with the whole [EXT] tail unrecorded; cheap-first ordering bounds the blast
+# radius of any recurrence to the few most expensive entries.
+_RUN_LAST = (
+    "q18_normalize_casts",
+    "q60_char_ngram_langid",
+    "q54_top_bigrams",
+    "q44b_winnowing_fingerprints",
+    "q47_doc_fingerprint",
+    "q51_ann_lsh_buckets",
+    "q42_ngram_jaccard",
+    "q42b_ngram_jaccard_capped",
+    "q41_minhash_lsh_pairs",
+    "q58_boilerplate_ngrams",
+    "q56_dedup_clusters",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry = load_all_query_modules()
 
@@ -39,7 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__name__ = spec.name
         return run
 
-    return {name: wrap(spec) for name, spec in registry.items()}
+    ordered = [n for n in registry if n not in _RUN_LAST]
+    ordered += [n for n in _RUN_LAST if n in registry]
+    return {name: wrap(registry[name]) for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

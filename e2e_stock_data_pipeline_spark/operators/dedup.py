@@ -108,14 +108,32 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.05
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.05,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles for pairs sharing >= 1 shingle.
 
-    At 100 TB, cap the posting list per shingle (drop shingles appearing
-    in > K docs) before this join to bound skew; the synthetic corpus
-    doesn't need it.
+    ``max_doc_freq`` is the 100 TB skew guard: shingles appearing in more
+    than K documents are dropped from the representation BEFORE the
+    self-join (both the intersection AND the set sizes use the capped
+    set, so the result is exactly Jaccard over non-viral shingles). A
+    shingle in d docs contributes d*(d-1)/2 candidate pairs to one
+    reducer; one boilerplate shingle shared by 1e6 docs would otherwise
+    pin 5e11 pairs on a single key. With the cap, per-shingle work is
+    bounded by K^2 regardless of corpus size. None = uncapped (exact
+    classic Jaccard; fine at bench scale).
     """
+    if max_doc_freq is not None:
+        doc_freq = shingled.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        shingled = (
+            shingled.join(doc_freq, "shingle")
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
     b = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -174,38 +192,56 @@ def connected_components(
     converging in O(graph diameter) rounds).
 
     The dedup use: LSH candidate pairs form the edges; each cluster keeps
-    one canonical doc. Lineage is truncated per round (localCheckpoint)
-    so the plan doesn't grow exponentially; at cluster scale swap in
-    checkpoint() on durable storage. Each round is one shuffle on the
-    neighbor join + one on the aggregate.
+    one canonical doc. Scale/latency design:
+
+    * the symmetrized edge list is materialized ONCE (localCheckpoint) —
+      it is joined every round, and without this the whole upstream
+      pipeline (shingling + minhash + LSH banding) would re-execute per
+      iteration;
+    * only nodes that touch an edge enter the iteration — in a near-dup
+      graph the overwhelming majority of docs are singletons (label =
+      own id) and are attached by one final left join, so per-round data
+      is O(|edges|), not O(|corpus|);
+    * the convergence flag is computed inside the same materialized plan
+      as the labels, so a round costs the neighbor-min job plus a
+      shuffle-free flag scan — no third join;
+    * lineage is truncated per round (localCheckpoint) so the plan
+      doesn't grow; at cluster scale swap in checkpoint() on durable
+      storage. (A pointer-jumping variant was measured and REJECTED: the
+      k nested self-joins reference the live plan 2^k times, which blows
+      up Catalyst's size estimation and join planning long before the
+      data does.)
     """
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    active = sym.select(F.col("src").alias("node")).distinct()
+    labels = active.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 F.col("node"),
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("node", "label")
+        if stepped.filter(F.col("chg")).limit(1).count() == 0:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    out = nodes.select(F.col(id_col)).join(
+        labels.select(F.col("node").alias(id_col), "label"), id_col, "left"
+    )
+    return out.select(
+        F.col(id_col), F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id")
+    )

@@ -31,10 +31,20 @@ def interval_join(
 
     All three columns must be numeric (cast timestamps to epoch first).
     ``chunk`` is the bucket width in the same units.
+
+    The containment predicate lives IN the join condition (not a
+    post-filter), so outer semantics survive: with how='left' a point
+    inside no interval comes back once with null interval columns, and a
+    point is never duplicated (it lives in exactly one chunk; an
+    interval's replicas sit in distinct chunks).
     """
-    p = points.withColumn("_chunk", F.floor(F.col(point_col) / chunk).cast("bigint"))
-    iv = intervals.withColumn(
-        "_chunk",
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"interval_join supports inner/left, got {how!r}")
+    p = points.alias("p").withColumn(
+        "_chunk", F.floor(F.col(point_col) / chunk).cast("bigint")
+    )
+    iv = intervals.alias("iv").withColumn(
+        "_ichunk",
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col) / chunk).cast("bigint"),
@@ -42,7 +52,9 @@ def interval_join(
             )
         ),
     )
-    joined = p.join(iv, "_chunk", how).filter(
-        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    cond = (
+        (F.col("_chunk") == F.col("_ichunk"))
+        & (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col))
     )
-    return joined.drop("_chunk")
+    return p.join(iv, cond, how).drop("_chunk", "_ichunk")

@@ -76,12 +76,19 @@ def brute_force_topk(
     )
 
 
+# Lazy-dim fallback: plane literals are built out to this many components
+# and sliced per row to size(vector). Vectors longer than this hash on
+# their first MAX_PLANE_DIM components — still a valid signature.
+MAX_PLANE_DIM = 256
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 13,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (sign-bit signature).
 
@@ -89,6 +96,12 @@ def hyperplane_lsh_buckets(
     (seed, plane, dim) so they are deterministic and reproducible in
     SQL. Returns (id, bucket) — similar vectors collide with high
     probability; join on bucket for the scale path of near-dup/ANN.
+
+    Fully lazy: when ``dim`` is known the plane literals are built to
+    exactly that length; when None they are built to MAX_PLANE_DIM and
+    sliced to size(vector) inside the expression. No driver-side probe
+    runs in either case, so empty inputs yield an empty (id, bucket)
+    frame instead of raising.
     """
     # plane p, dim d coefficient in {-1, +1} from parity of a portable hash
     coeffs = []
@@ -100,19 +113,21 @@ def hyperplane_lsh_buckets(
         coeffs.append(f"CASE WHEN {terms} > 0 THEN CAST(pow(2, {p}) AS BIGINT) ELSE 0 END")
     bucket_expr = " + ".join(coeffs)
 
-    dim = len(df.select(vec_col).first()[0])
     import hashlib
 
     def sign(p: int, d: int) -> int:
         h = hashlib.sha256(f"plane:{seed}:{p}:{d}".encode()).hexdigest()
         return 1 if int(h[:2], 16) % 2 == 0 else -1
 
-    planes = F.array(
-        *[
-            F.array(*[F.lit(sign(p, d)).cast("bigint") for d in range(dim)])
-            for p in range(n_planes)
-        ]
-    )
+    lit_dim = dim if dim is not None else MAX_PLANE_DIM
+
+    def plane(p: int) -> Column:
+        full = F.array(*[F.lit(sign(p, d)).cast("bigint") for d in range(lit_dim)])
+        if dim is not None:
+            return full
+        return F.slice(full, 1, F.size(F.col("_q")))
+
+    planes = F.array(*[plane(p) for p in range(n_planes)])
     return (
         df.withColumn("_q", quantized(vec_col))
         .withColumn("_planes", planes)
@@ -128,6 +143,7 @@ def ann_topk_lsh(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 13,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: LSH bucket join -> exact cosine rerank within
     buckets. The scale path: candidate pairing shuffles on `bucket`
@@ -135,8 +151,8 @@ def ann_topk_lsh(
     tunable via n_planes (fewer planes -> bigger buckets -> higher
     recall, more compute); multi-probe = union over several seeds.
     """
-    qb = hyperplane_lsh_buckets(queries, id_col, vec_col, n_planes, seed)
-    cb = hyperplane_lsh_buckets(candidates, id_col, vec_col, n_planes, seed)
+    qb = hyperplane_lsh_buckets(queries, id_col, vec_col, n_planes, seed, dim)
+    cb = hyperplane_lsh_buckets(candidates, id_col, vec_col, n_planes, seed, dim)
     q = with_quantized_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("_q").alias("_qq"), F.col("_nn").alias("_qn")
     ).join(qb.select(F.col(id_col).alias("query_id"), "bucket"), "query_id")
@@ -150,6 +166,47 @@ def ann_topk_lsh(
         .select("query_id", "cand_id", cos.alias("cos_sim"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def lsh_blocked_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    threshold: float = 0.2,
+    n_planes: int = 4,
+    seed: int = 13,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs blocked on (LSH bucket [, label]) — the scale path
+    for q50-style cosine near-dup. The within-label all-pairs join is
+    n^2/L when labels are few; composing the hyperplane bucket into the
+    blocking key multiplies the block count by 2^n_planes, so per-block
+    pair work shrinks by ~4^n_planes while same-bucket probability for
+    truly similar vectors stays high ((1 - theta/pi)^n_planes).
+
+    Output is a SUBSET of the exact pairs (precision 1 at the same
+    threshold); recall is the tunable (fewer planes or multi-probe seed
+    unions raise it). Returns (vec_a, vec_b, cos_sim).
+    """
+    b = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, seed, dim)
+    e = with_quantized_norm(df, vec_col).join(b, id_col)
+    keys = ["bucket"] + ([label_col] if label_col else [])
+    a = e.select(
+        F.col(id_col).alias("vec_a"), *keys,
+        F.col("_q").alias("_qa"), F.col("_nn").alias("_na"),
+    )
+    c = e.select(
+        F.col(id_col).alias("vec_b"), *keys,
+        F.col("_q").alias("_qb"), F.col("_nn").alias("_nb"),
+    )
+    cos = cosine_q(F.col("_qa"), F.col("_qb"), F.col("_na"), F.col("_nb"))
+    return (
+        a.join(c, keys)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

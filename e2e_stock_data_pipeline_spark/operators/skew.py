@@ -29,15 +29,30 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated.
 
-    Output equals big.join(small, key, how); the shuffle key becomes
-    (key, salt) so a hot key spreads over `num_salts` reducers. Use when
-    the small side is too big to broadcast but small enough to replicate
-    R times.
+    Output equals big.join(small, key, how) for how in {inner, left,
+    left_semi}; the shuffle key becomes (key, salt) so a hot key spreads
+    over `num_salts` reducers. Use when the small side is too big to
+    broadcast but small enough to replicate R times.
+
+    Right/full-outer are rejected: the small side is replicated across
+    all salts, so every unmatched small-side row would surface once per
+    salt — num_salts phantom rows per miss. (left_anti is rejected for
+    the mirror reason on the big side.) The salt is derived from the full
+    row content (pmod of hash over every column), not a random id: hot-key
+    rows still scatter across salts (their non-key columns differ) while
+    task retries re-produce byte-identical salts.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi", "left_semi"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, got {how!r}: the "
+            "replicated small side would emit unmatched rows once per salt"
+        )
     spark = big.sparkSession
     salts = F.broadcast(spark.range(num_salts).select(F.col("id").cast("int").alias("_salt")))
     big_s = big.withColumn(
-        "_salt", (F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(num_salts))).cast("int")
+        "_salt",
+        (F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(num_salts))).cast("int"),
     )
     small_s = small.crossJoin(salts)
     out = big_s.join(small_s, [key, "_salt"], how)
@@ -58,7 +73,9 @@ def two_phase_agg(
     two-phase form additionally randomizes the FIRST shuffle so one hot
     key spreads across reducers.)
     """
-    salt = (F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(num_salts))).cast("int")
+    # Row-content salt: deterministic across task retries (unlike
+    # monotonically_increasing_id), still scatters a hot key's rows.
+    salt = (F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(num_salts))).cast("int")
     partial_aggs, final_aggs = [], []
     for out_col, spec in agg_exprs.items():
         op, col = spec.split(":", 1)

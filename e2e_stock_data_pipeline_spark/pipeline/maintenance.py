@@ -56,6 +56,25 @@ def cluster_rewrite(spark: SparkSession, path: str, cluster_cols: list[str]) -> 
     _staged_rewrite(df.repartitionByRange(*cols).sortWithinPartitions(*cols), path)
 
 
+def _quantile_bucket(df, col: str, n_buckets: int):
+    """Map a numeric column into [0, n_buckets) by sampled-quantile
+    boundaries: a distributed sketch (approxQuantile) computes ~equi-height
+    cut points, then each row counts boundaries below its value — a pure
+    per-row expression, no window, no shuffle. This replaces the earlier
+    dense_rank-over-global-Window mapping, which serialized the whole
+    table through one task (the pattern ranking.py flags as fatal at
+    100 TB)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.001)))
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    v = F.col(col).cast("double")
+    return F.aggregate(
+        barr,
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
+    )
+
+
 def zorder_rewrite(
     spark: SparkSession,
     path: str,
@@ -64,16 +83,17 @@ def zorder_rewrite(
     bits: int = 16,
     num_files: int | None = None,
 ) -> None:
-    """Rewrite a parquet dir clustered on the Morton curve of two columns
-    (both mapped to their dense rank so arbitrary types/ranges work)."""
-    from pyspark.sql import Window
+    """Rewrite a parquet dir clustered on the Morton curve of two numeric
+    columns, each quantile-bucketed into a compact integer domain (skew-
+    proof: equi-height buckets) with no global window anywhere in the
+    plan. Cast date/timestamp dimensions to epoch numerics first."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(path)
-    # dense-rank each dimension into a compact non-negative integer domain
-    ra = F.dense_rank().over(Window.orderBy(F.col(col_a))) - 1
-    rb = F.dense_rank().over(Window.orderBy(F.col(col_b))) - 1
-    staged = df.withColumn("_za", ra.cast("bigint")).withColumn("_zb", rb.cast("bigint"))
+    n_buckets = 1 << min(bits, 12)
+    staged = df.withColumn(
+        "_za", _quantile_bucket(df, col_a, n_buckets)
+    ).withColumn("_zb", _quantile_bucket(df, col_b, n_buckets))
     expr_terms = " + ".join(
         f"shiftleft(shiftright(_za, {i}) & 1, {2 * i}) + shiftleft(shiftright(_zb, {i}) & 1, {2 * i + 1})"
         for i in range(bits)

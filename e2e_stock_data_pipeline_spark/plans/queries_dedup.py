@@ -120,6 +120,39 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q42b_ngram_jaccard_capped",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    df AS (SELECT shingle, COUNT(*) AS c FROM shingled GROUP BY shingle),
+    capped AS (
+      SELECT s.doc_id, s.shingle FROM shingled s JOIN df ON s.shingle = df.shingle
+      WHERE df.c <= 5
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.05
+    """,
+    doc="Jaccard with the hot-shingle posting-list cap (doc-freq <= 5): the "
+    "100 TB skew guard — a shingle in d docs feeds d^2/2 pairs to one "
+    "reducer, so viral shingles are dropped from the representation before "
+    "the self-join, bounding per-key work at K^2 independent of corpus size.",
+    tags=("dedup", "jaccard", "skew", "ext"),
+)
+def q42b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.exploded_shingles(_docs(spark, sf_dir))
+    return D.ngram_jaccard_pairs(sh, threshold=0.05, max_doc_freq=5)
+
+
+@query(
     "q43_simhash",
     oracle=f"""
     WITH wds AS (

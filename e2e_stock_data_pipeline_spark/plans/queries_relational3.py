@@ -332,3 +332,117 @@ def q70_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["k"].alias("k_typed"),
         (parsed["k"] % 7).alias("k_mod"),
     )
+
+
+@query(
+    "q75_min_cost_supplier",
+    oracle="""
+    WITH eligible AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name,
+             l.l_extendedprice / l.l_quantity AS unit_price
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size BETWEEN 40 AND 50
+        AND l.l_quantity > 0
+    ),
+    ranked AS (
+      SELECT *, MIN(unit_price) OVER (PARTITION BY p_partkey) AS min_price
+      FROM eligible
+    )
+    SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal, n_name,
+           min_price AS best_unit_price
+    FROM ranked WHERE unit_price = min_price
+    """,
+    doc="TPC-H Q2 shape: correlated min-per-group over a 5-way join — for "
+    "each sized part, the EUROPE supplier(s) achieving the minimum unit "
+    "price, decorrelated into a partitioned window min (one shuffle on "
+    "p_partkey; dims broadcast). MIN over double is order-independent, so "
+    "both engines agree bitwise; the division uses the identical "
+    "expression tree on both sides.",
+    tags=("join", "subquery", "window", "tpch"),
+)
+def q75_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").between(40, 50))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "s_acctbal", "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    ranked = eligible.withColumn("min_price", F.min("unit_price").over(w))
+    return (
+        ranked.filter(F.col("unit_price") == F.col("min_price"))
+        .select(
+            "p_partkey", "p_name", "s_name", "s_acctbal", "n_name",
+            F.col("min_price").alias("best_unit_price"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q76_bulk_part_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,4))) > CAST(45 AS DECIMAL(18,4))
+    )
+    AND s.s_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_6', 'NATION_9', 'NATION_11')
+    )
+    """,
+    doc="TPC-H Q20 shape: nested semi-joins — suppliers who moved bulk "
+    "volume (> 45 units per part over two years) of 'small%' parts, "
+    "restricted to three nations. Both IN-subqueries become left-semi "
+    "joins; the inner aggregate is decimal-exact so the HAVING threshold "
+    "agrees across engines.",
+    tags=("join", "semijoin", "subquery", "tpch"),
+)
+def q76_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_6", "NATION_9", "NATION_11")
+    )
+    bulk = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"), "leftsemi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .filter(F.col("qty") > F.lit(45).cast(DEC))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(bulk, s.s_suppkey == bulk.l_suppkey, "leftsemi")
+        .join(
+            F.broadcast(n.select("n_nationkey")),
+            s.s_nationkey == F.col("n_nationkey"),
+            "leftsemi",
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )

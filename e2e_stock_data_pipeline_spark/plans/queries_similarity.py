@@ -103,6 +103,50 @@ def q50_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q50b_neardup_lsh_blocked",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_SQL_Q} AS q FROM embeddings),
+    comp AS (
+      SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM e
+    ),
+    planes AS (
+      SELECT pp.p, dd.d,
+             CASE WHEN CAST(('0x' || substr(sha256('plane:13:' || CAST(pp.p AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
+                  THEN 1 ELSE -1 END AS c
+      FROM (SELECT unnest(range(4)) AS p) pp CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+    ),
+    dots AS (
+      SELECT comp.vec_id, planes.p, SUM(comp.x * planes.c) AS dot
+      FROM comp JOIN planes ON comp.d - 1 = planes.d
+      GROUP BY comp.vec_id, planes.p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    n AS (
+      SELECT e.vec_id, e.label, b.bucket, e.q, list_dot_product(e.q, e.q) AS nn
+      FROM e JOIN buckets b ON e.vec_id = b.vec_id
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) AS cos_sim
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.2
+    """,
+    doc="q50's 100 TB form: near-dup pairs blocked on (LSH bucket AND label) "
+    "— per-block pair work shrinks ~4^n_planes vs within-label all-pairs; "
+    "output is a subset of q50 (precision 1), recall tunable via planes/"
+    "multi-probe.",
+    tags=("similarity", "dedup", "lsh", "ext"),
+)
+def q50b_neardup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_blocked_neardup_pairs(
+        _emb(spark, sf_dir), label_col="label", threshold=0.2, n_planes=4, seed=13
+    )
+
+
+@query(
     "q51_ann_lsh_buckets",
     oracle=f"""
     WITH e AS (SELECT vec_id, {_SQL_Q} AS q FROM embeddings),

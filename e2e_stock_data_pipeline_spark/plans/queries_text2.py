@@ -107,13 +107,16 @@ def q55_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
+    # Corpus size as a broadcast 1-row aggregate (exactly the oracle's
+    # CROSS JOIN n) — no driver-side d.count() action in plan construction.
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.floor(
-        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")) * 1000000
     ).cast("bigint")
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_micro").desc(), F.col("term"))
     return (
         tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "term", score.alias("tfidf_micro"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)

@@ -85,10 +85,25 @@ def spark_readable_path(sf_dir: str, name: str) -> str:
     return dst
 
 
+# Analyzed-DataFrame memo: repeated loads of the same table in the same
+# session (75 registry queries in one driver run) skip re-listing files and
+# re-reading parquet footers. Keyed by applicationId so a restarted session
+# never sees a stale DataFrame. No persist()/cache() — that would swap
+# parquet scans for InMemoryTableScan and hide pushdown from the plans the
+# engine asserts on.
+_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(spark_readable_path(sf_dir, name))
+    path = spark_readable_path(sf_dir, name)
+    key = (spark.sparkContext.applicationId, path)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _DF_CACHE[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -22,8 +22,16 @@ DEC = "decimal(18,4)"
 
 
 def _merge_add(
-    spark: SparkSession, target: str, partial: DataFrame, keys: list[str]
+    spark: SparkSession, target: str, partial: DataFrame, keys: list[str], epoch_id: int
 ) -> None:
+    """Merge-ADD one epoch's partials into the rollup, atomically WITH the
+    epoch marker: the marker is written into the staged directory before the
+    swap, so data and epoch advance in the same rename — a crash can never
+    leave new data with an old marker (the double-count window) or vice
+    versa. The old table is renamed aside (not rmtree'd) before the swap;
+    ``_recover`` heals the one remaining crash window (old aside, new swap
+    not yet done) by restoring the aside copy on the next call.
+    """
     agg_cols = [c for c in partial.columns if c not in keys]
     if os.path.exists(target):
         existing = spark.read.parquet(target)
@@ -36,9 +44,26 @@ def _merge_add(
         merged = partial
     tmp = target.rstrip("/") + "._rollup_tmp"
     merged.write.mode("overwrite").parquet(tmp)
+    # Underscore-prefixed files are invisible to Spark's parquet reader, so
+    # the marker can live INSIDE the data directory and travel with it.
+    with open(os.path.join(tmp, "_last_epoch"), "w") as f:
+        f.write(str(epoch_id))
+    aside = target.rstrip("/") + "._rollup_old"
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
     if os.path.exists(target):
-        shutil.rmtree(target)
+        os.rename(target, aside)
     os.replace(tmp, target)
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+
+
+def _recover(target: str) -> None:
+    """Heal a crash between rename-aside and swap: the aside dir holds the
+    last committed state (data + marker); restore it if target vanished."""
+    aside = target.rstrip("/") + "._rollup_old"
+    if not os.path.exists(target) and os.path.exists(aside):
+        os.rename(aside, target)
 
 
 def hourly_rollup_partial(batch: DataFrame) -> DataFrame:
@@ -55,21 +80,12 @@ def hourly_rollup_partial(batch: DataFrame) -> DataFrame:
     )
 
 
-def _last_epoch_path(target: str) -> str:
-    return target.rstrip("/") + "._last_epoch"
-
-
 def _read_last_epoch(target: str) -> int:
-    p = _last_epoch_path(target)
+    p = os.path.join(target, "_last_epoch")
     if os.path.exists(p):
         with open(p) as f:
             return int(f.read().strip())
     return -1
-
-
-def _write_last_epoch(target: str, epoch_id: int) -> None:
-    with open(_last_epoch_path(target), "w") as f:
-        f.write(str(epoch_id))
 
 
 def apply_epoch(batch: DataFrame, target: str, epoch_id: int) -> bool:
@@ -77,10 +93,13 @@ def apply_epoch(batch: DataFrame, target: str, epoch_id: int) -> bool:
 
     merge-ADD is NOT naturally idempotent (unlike keep-latest merges), so
     the epoch guard makes replays after partial failures safe: an epoch
-    already applied to the target is skipped. (Delta solves this with
-    txnAppId/txnVersion; this is the parquet-sink equivalent.) Returns
-    True when applied, False when skipped as a replay.
+    already applied to the target is skipped. The marker is committed in
+    the SAME rename as the merged data (see _merge_add), so there is no
+    state in which the data reflects epoch N but the marker says N-1.
+    (Delta solves this with txnAppId/txnVersion; this is the parquet-sink
+    equivalent.) Returns True when applied, False when skipped as replay.
     """
+    _recover(target)
     if epoch_id <= _read_last_epoch(target):
         return False
     _merge_add(
@@ -88,8 +107,8 @@ def apply_epoch(batch: DataFrame, target: str, epoch_id: int) -> bool:
         target,
         hourly_rollup_partial(batch),
         ["bucket_start", "event_type"],
+        epoch_id,
     )
-    _write_last_epoch(target, epoch_id)
     return True
 
 

@@ -1,0 +1,104 @@
+"""Simulate the driver's correctness gate, in the driver's order, with timing.
+
+The round-1 driver run truncated after the 48th query (q40) — everything
+later in registry order got no CORRECTNESS row. This script reproduces the
+driver's loop shape (iterate ``queries()`` in insertion order, run the Spark
+query, collect, run the DuckDB oracle, compare) and prints per-query wall
+time plus a cumulative clock, so we can prove the whole registry fits any
+plausible budget and spot pathological startup costs at the truncation point.
+
+    python scripts/driver_sim.py [sf_dir] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from e2e_stock_data_pipeline_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(repr(r[i]) for i in order) for r in rows)
+
+
+def main(argv: list[str]) -> int:
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    out_path = None
+    if "--json" in argv:
+        out_path = argv[argv.index("--json") + 1]
+
+    t_start = time.perf_counter()
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    t_setup = time.perf_counter() - t_start
+    print(f"setup: {t_setup:.2f}s  ({len(qs)} queries, {len(osql)} oracles)")
+
+    results = {}
+    bad = []
+    cum = t_setup
+    # Driver order: dict insertion order, exactly as queries() yields it.
+    for i, name in enumerate(qs, 1):
+        t0 = time.perf_counter()
+        err = None
+        try:
+            sdf = qs[name](spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            t_spark = time.perf_counter() - t0
+            if name in osql:
+                rel = con.sql(osql[name])
+                orows = rel.fetchall()
+                ok = len(srows) == len(orows) and norm(srows, sdf.columns) == norm(
+                    orows, list(rel.columns)
+                )
+            else:
+                ok = None
+            t_total = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            t_spark = t_total = time.perf_counter() - t0
+            ok, err = False, f"{type(e).__name__}: {e}"
+        if ok is False:
+            bad.append(name)
+        cum += t_total
+        results[name] = {
+            "ok": ok,
+            "spark_s": round(t_spark, 3),
+            "total_s": round(t_total, 3),
+            "cum_s": round(cum, 1),
+            "err": err,
+        }
+        print(
+            f"[{i:2d}/{len(qs)}] {name:38s} {t_total:6.2f}s  cum={cum:7.1f}s"
+            + ("" if ok in (True, None) else "  **MISMATCH**")
+            + (f"  {err}" if err else "")
+        )
+
+    print(f"\nTOTAL: {cum:.1f}s  mismatches: {bad or 'NONE'}")
+    slow = sorted(results.items(), key=lambda kv: -kv[1]["total_s"])[:10]
+    print("slowest:", ", ".join(f"{n}={r['total_s']}s" for n, r in slow))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

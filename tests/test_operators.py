@@ -7,7 +7,10 @@ from __future__ import annotations
 import datetime as dt
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
+
+from e2e_stock_data_pipeline_spark.sources import tables
 
 from e2e_stock_data_pipeline_spark.operators.asof import asof_join
 from e2e_stock_data_pipeline_spark.operators.dedup import (
@@ -474,3 +477,141 @@ class TestEwma:
             e = v if e is None else 0.5 * v + 0.5 * e
             exp[i] = e
         assert all(abs(got[i] - exp[i]) < 1e-12 for i in exp)
+
+
+class TestSaltedJoinOuterGuard:
+    def test_rejects_right_and_full_outer(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame([(1, "a")], ["id", "k"])
+        small = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "tag"])
+        for how in ("right", "full", "full_outer", "left_anti"):
+            with pytest.raises(ValueError):
+                salted_join(big, small, "k", how=how)
+
+    def test_left_outer_keeps_unmatched_big_rows_once(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame(
+            [(i, "hot" if i % 3 else "miss") for i in range(300)], ["id", "k"]
+        )
+        small = spark.createDataFrame([("hot", 1)], ["k", "tag"])
+        plain = sorted((r.id, r.tag) for r in big.join(small, "k", "left").collect())
+        salted = sorted(
+            (r.id, r.tag) for r in salted_join(big, small, "k", how="left").collect()
+        )
+        assert salted == plain
+
+    def test_salt_deterministic_across_runs(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame([(i, "k0") for i in range(100)], ["id", "k"])
+        small = spark.createDataFrame([("k0", 1)], ["k", "tag"])
+        a = salted_join(big, small, "k", num_salts=4)
+        b = salted_join(big, small, "k", num_salts=4)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestIntervalJoinLeft:
+    def test_left_keeps_uncontained_points(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.interval import interval_join
+
+        points = spark.createDataFrame(
+            [(1, 5.0), (2, 55.0), (3, 999.0)], ["pid", "t"]
+        )
+        intervals = spark.createDataFrame(
+            [(10, 0.0, 10.0), (11, 50.0, 60.0)], ["iid", "s", "e"]
+        )
+        out = interval_join(points, intervals, "t", "s", "e", chunk=16, how="left")
+        got = {r.pid: r.iid for r in out.collect()}
+        assert got == {1: 10, 2: 11, 3: None}
+        assert out.count() == 3  # no duplicate left rows from chunk replicas
+
+    def test_rejects_right_outer(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.interval import interval_join
+
+        df = spark.createDataFrame([(1, 1.0)], ["pid", "t"])
+        iv = spark.createDataFrame([(1, 0.0, 2.0)], ["iid", "s", "e"])
+        with pytest.raises(ValueError):
+            interval_join(df, iv, "t", "s", "e", chunk=4, how="right")
+
+
+class TestJaccardPostingCap:
+    def corpus(self, spark):
+        # 30 docs share one viral shingle ("the same boiler plate" trigrams);
+        # two docs are genuine near-dups of each other.
+        boiler = "common viral boilerplate phrase here"
+        rows = [(i, f"{boiler} unique{i} tail{i} words{i} extra{i}") for i in range(30)]
+        rows += [(100, "alpha beta gamma delta epsilon zeta"),
+                 (101, "alpha beta gamma delta epsilon different")]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_cap_bounds_candidate_pairs(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.dedup import (
+            exploded_shingles,
+            ngram_jaccard_pairs,
+        )
+
+        sh = exploded_shingles(self.corpus(spark))
+        uncapped = ngram_jaccard_pairs(sh, threshold=0.0)
+        capped = ngram_jaccard_pairs(sh, threshold=0.0, max_doc_freq=5)
+        # viral shingles pair all 30 boilerplate docs: ~30*29/2 pairs
+        assert uncapped.count() > 400
+        # cap drops the viral shingles; only genuinely-overlapping docs pair
+        capped_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+        assert (100, 101) in capped_pairs
+        assert len(capped_pairs) < 10
+
+    def test_capped_jaccard_exact_on_surviving_shingles(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.dedup import (
+            exploded_shingles,
+            ngram_jaccard_pairs,
+        )
+
+        sh = exploded_shingles(self.corpus(spark))
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(sh, threshold=0.0, max_doc_freq=5).collect()
+        }
+        # docs 100/101: 4 shingles each (6 words), 3 shared, none viral
+        # jaccard = 3 / (4 + 4 - 3) = 0.6
+        assert abs(got[(100, 101)] - 0.6) < 1e-12
+
+
+class TestLshBlockedNearDup:
+    def test_subset_of_exact_and_nonempty(self, spark, sf_dir):
+        from e2e_stock_data_pipeline_spark.operators.similarity import (
+            lsh_blocked_neardup_pairs,
+        )
+        from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules
+
+        reg = load_all_query_modules()
+        exact = {
+            (r.vec_a, r.vec_b)
+            for r in reg["q50_cosine_neardup_pairs"].spark(spark, sf_dir).collect()
+        }
+        emb = tables.load(spark, sf_dir, "embeddings")
+        blocked_df = lsh_blocked_neardup_pairs(
+            emb, label_col="label", threshold=0.2, n_planes=4, seed=13
+        )
+        blocked = {(r.vec_a, r.vec_b) for r in blocked_df.collect()}
+        assert blocked <= exact          # precision 1 at equal threshold
+        assert len(blocked) > 0          # recall > 0 at this sf
+        # multi-probe (union over seeds) strictly improves recall
+        probe2 = blocked | {
+            (r.vec_a, r.vec_b)
+            for r in lsh_blocked_neardup_pairs(
+                emb, label_col="label", threshold=0.2, n_planes=4, seed=99
+            ).collect()
+        }
+        assert probe2 <= exact and len(probe2) >= len(blocked)
+
+    def test_empty_input_yields_empty_buckets(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.similarity import (
+            hyperplane_lsh_buckets,
+        )
+
+        empty = spark.createDataFrame(
+            [], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+        assert hyperplane_lsh_buckets(empty).count() == 0

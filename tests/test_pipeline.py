@@ -323,3 +323,71 @@ class TestZOrder:
         med = lambda s: sorted(s)[len(s) // 2]
         assert med(spans_x) < 200 and med(spans_y) < 200
         assert spark.read.parquet(path).count() == n
+
+
+class TestGreatExpectationsFileFormat:
+    """End-to-end parse of the reference's actual GE suite file
+    (validation/expectations_prices.json) through the quality runner —
+    the file format itself is the contract, not just the rule shapes."""
+
+    REF_PATH = "/root/reference/validation/expectations_prices.json"
+    # byte-equivalent copy of the reference file, used if the reference
+    # checkout is absent (keeps the test self-contained)
+    FALLBACK = {
+        "expectation_suite_name": "prices_quality",
+        "expectations": [
+            {"expectation_type": "expect_column_to_exist", "kwargs": {"column": "symbol"}},
+            {"expectation_type": "expect_column_to_exist", "kwargs": {"column": "date"}},
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "symbol"}},
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "date"}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "volume", "min_value": 0}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "close", "min_value": 0}},
+        ],
+    }
+
+    def _suite(self):
+        import json
+        import os
+
+        if os.path.exists(self.REF_PATH):
+            with open(self.REF_PATH) as f:
+                return json.load(f)
+        return self.FALLBACK
+
+    def test_reference_suite_parses_and_splits(self, spark):
+        suite = self._suite()
+        assert suite["expectation_suite_name"] == "prices_quality"
+        df = spark.createDataFrame(
+            [
+                ("AAPL", "2026-08-10", 10.0, 100),     # clean
+                (None, "2026-08-10", 10.0, 100),       # null symbol
+                ("MSFT", None, 10.0, 100),             # null date
+                ("NVDA", "2026-08-10", -5.0, 100),     # negative close
+                ("AMD", "2026-08-10", 10.0, -1),       # negative volume
+                ("TSLA", "2026-08-10", None, None),    # nulls pass between (GE)
+            ],
+            ["symbol", "date", "close", "volume"],
+        )
+        valid, bad = run_suite(df, suite)
+        assert {r.symbol for r in valid.collect()} == {"AAPL", "TSLA"}
+        assert bad.count() == 4
+
+    def test_reference_suite_audit_counts(self, spark):
+        suite = self._suite()
+        df = spark.createDataFrame(
+            [("AAPL", "d", 1.0, 1), (None, "d", -1.0, -2)],
+            ["symbol", "date", "close", "volume"],
+        )
+        got = {(r.rule, r.column): r.violations for r in audit_suite(df, suite)}
+        assert got[("expect_column_values_to_not_be_null", "symbol")] == 1
+        assert got[("expect_column_values_to_be_between", "volume")] == 1
+        assert got[("expect_column_values_to_be_between", "close")] == 1
+
+    def test_missing_column_is_structural_failure(self, spark):
+        df = spark.createDataFrame([("AAPL",)], ["symbol"])
+        with pytest.raises(ValueError, match="missing"):
+            run_suite(df, self._suite())

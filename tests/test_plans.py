@@ -55,6 +55,31 @@ def test_no_python_row_udfs(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
+def test_no_eager_actions_in_plan_modules():
+    """Plan construction must be pure (lazy): no count/first/collect/
+    toPandas anywhere in the query modules or the lazy operator layers
+    they call. (Iterative operators — connected_components — and
+    maintenance jobs run actions by design and are out of scope.)"""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "e2e_stock_data_pipeline_spark"
+    targets = sorted((pkg / "plans").glob("queries_*.py")) + [
+        pkg / "operators" / "similarity.py",
+        pkg / "operators" / "asof.py",
+        pkg / "operators" / "interval.py",
+        pkg / "operators" / "windows.py",
+        pkg / "operators" / "skew.py",
+    ]
+    pat = re.compile(r"\.(count|first|collect|toPandas|head)\(\)")
+    offenders = []
+    for f in targets:
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if pat.search(line.split("#")[0]):
+                offenders.append(f"{f.name}:{i}")
+    assert not offenders, offenders
+
+
 def test_bench_queries_all_have_oracles():
     """Every bench-flagged query must be oracle-gated (the judge reads the
     bench numbers as verified results, not just timings)."""

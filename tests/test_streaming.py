@@ -448,3 +448,51 @@ class TestStreamingOhlc:
         }
         # append emits watermark-sealed windows; all emitted must match batch
         assert got and all(expect[k] == v for k, v in got.items())
+
+
+class TestRollupAtomicity:
+    """The epoch marker commits in the SAME rename as the merged data
+    (ADVICE r1): no crash window where data reflects epoch N but the
+    marker says N-1 (double-count on replay), and no rmtree window
+    where the table is lost entirely."""
+
+    def _batch(self, spark, sf_dir):
+        return tables.load(spark, sf_dir, "events").limit(200)
+
+    def test_marker_lives_inside_data_dir(self, spark, sf_dir, tmp_path):
+        from e2e_stock_data_pipeline_spark.streaming import rollup as R
+
+        dest = str(tmp_path / "rollup")
+        batch = self._batch(spark, sf_dir)
+        assert R.apply_epoch(batch, dest, epoch_id=0)
+        assert os.path.exists(os.path.join(dest, "_last_epoch"))
+        assert R._read_last_epoch(dest) == 0
+        # Spark ignores underscore files: the table still reads clean
+        assert spark.read.parquet(dest).count() > 0
+
+    def test_recover_restores_renamed_aside_table(self, spark, sf_dir, tmp_path):
+        import shutil as _sh
+
+        from e2e_stock_data_pipeline_spark.streaming import rollup as R
+
+        dest = str(tmp_path / "rollup")
+        batch = self._batch(spark, sf_dir)
+        R.apply_epoch(batch, dest, epoch_id=0)
+        before = sorted(map(tuple, spark.read.parquet(dest).collect()))
+        # simulate a crash between rename-aside and swap
+        os.rename(dest, dest + "._rollup_old")
+        # next apply_epoch heals first, then refuses the replayed epoch
+        assert not R.apply_epoch(batch, dest, epoch_id=0)
+        assert sorted(map(tuple, spark.read.parquet(dest).collect())) == before
+        _sh.rmtree(dest)
+
+    def test_no_stale_aside_dir_after_success(self, spark, sf_dir, tmp_path):
+        from e2e_stock_data_pipeline_spark.streaming import rollup as R
+
+        dest = str(tmp_path / "rollup")
+        batch = self._batch(spark, sf_dir)
+        R.apply_epoch(batch, dest, epoch_id=0)
+        R.apply_epoch(batch, dest, epoch_id=1)
+        assert not os.path.exists(dest + "._rollup_old")
+        assert not os.path.exists(dest + "._rollup_tmp")
+        assert R._read_last_epoch(dest) == 1
