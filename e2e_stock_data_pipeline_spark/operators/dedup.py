@@ -83,14 +83,31 @@ UNIVERSAL_HASH_SQL = "(({seed} * 2 + 1) * {base} + ({seed} * 7919 + 13)) % 26843
 def minhash_signatures(
     shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = 6
 ) -> DataFrame:
-    """(id, seed, sig): min universal hash per seed over the doc's shingles."""
-    spark = shingled.sparkSession
-    seeds = F.broadcast(spark.range(num_hashes).withColumnRenamed("id", "seed"))
+    """(id, seed, sig): min universal hash per seed over the doc's shingles.
+
+    All k family members aggregate in ONE groupBy(id) as k min columns —
+    the k-fold seed cross-join a naive formulation would shuffle is pure
+    waste (k x the rows through the exchange); the wide result (one row
+    per doc) then unpivots to the (id, seed, sig) banding layout for
+    free. Same values as the explode-then-group form, 1/k the shuffle.
+    """
     hashed = shingled.select(id_col, base_hash28(F.col("shingle")).alias("h"))
-    return (
-        hashed.crossJoin(seeds)
-        .groupBy(id_col, "seed")
-        .agg(F.min(universal_hash(F.col("h"), F.col("seed"))).alias("sig"))
+    wide = hashed.groupBy(id_col).agg(
+        *[
+            F.min(universal_hash(F.col("h"), F.lit(s).cast("bigint"))).alias(f"_s{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("bigint").alias("seed"), F.col(f"_s{s}").alias("sig")
+            )
+            for s in range(num_hashes)
+        ]
+    )
+    return wide.select(id_col, F.explode(pairs).alias("_p")).select(
+        id_col, "_p.seed", "_p.sig"
     )
 
 
