@@ -446,3 +446,114 @@ def q76_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+
+
+@query(
+    "q77_sole_late_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    all_sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) me
+    JOIN supplier s ON s.s_suppkey = me.l_suppkey
+    WHERE EXISTS (
+      SELECT 1 FROM all_sup o2
+      WHERE o2.l_orderkey = me.l_orderkey AND o2.l_suppkey <> me.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) l2
+      WHERE l2.l_orderkey = me.l_orderkey AND l2.l_suppkey <> me.l_suppkey
+    )
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    doc="TPC-H Q21 shape: the only-late-supplier-on-a-multi-supplier-order "
+    "pattern — one EXISTS (someone else supplied the order) and one NOT "
+    "EXISTS (nobody else was late), both over the same fact, expressed as "
+    "left-semi + left-anti self-joins on orderkey. 'Late' adapts to this "
+    "schema as shipped > 90 days after the order date.",
+    tags=("join", "semijoin", "antijoin", "subquery", "tpch"),
+)
+def q77_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_sup = l.select("l_orderkey", "l_suppkey").distinct()
+    me = late.alias("me")
+    others = all_sup.alias("o2")
+    other_late = late.alias("l2")
+    has_other = me.join(
+        others,
+        (F.col("me.l_orderkey") == F.col("o2.l_orderkey"))
+        & (F.col("me.l_suppkey") != F.col("o2.l_suppkey")),
+        "leftsemi",
+    )
+    sole_late = has_other.alias("me").join(
+        other_late,
+        (F.col("me.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("me.l_suppkey") != F.col("l2.l_suppkey")),
+        "leftanti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q78_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape: customers richer than the positive-balance "
+    "average with no order since 1998 — scalar-aggregate subquery (broadcast "
+    "1-row cross join) + anti-join to the fact, grouped by nation. "
+    "The average divides a decimal-exact sum once, so the threshold "
+    "agrees bitwise across engines.",
+    tags=("join", "antijoin", "subquery", "agg", "tpch"),
+)
+def q78_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")),
+            c.c_custkey == o.o_custkey,
+            "leftanti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+    )

@@ -92,3 +92,24 @@ def test_registry_names_and_oracle_coverage():
     assert len(names) == len(set(names))
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
     assert rows_only == {"q37_approx_distinct", "q56_dedup_clusters"}
+
+
+def test_q75_broadcasts_dims(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["q75_min_cost_supplier"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # supplier/nation/region stay broadcast
+
+
+def test_q76_plans_semi_joins(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["q76_bulk_part_suppliers"].spark(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q77_plans_semi_and_anti(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["q77_sole_late_supplier"].spark(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q78_anti_join_with_broadcast_scalar(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["q78_idle_rich_customers"].spark(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -611,3 +611,138 @@ class TestFailureInjection:
             for r in spark.read.parquet(dest).collect()
         )
         assert after == before  # no double-count from the replayed epoch
+
+
+class TestStreamStreamJoin:
+    """Watermarked two-stream join with a bounded enrichment window —
+    inner results equal the batch join; outer rows flush only after the
+    watermark passes their match window (bounded state, no retraction)."""
+
+    DELAY = "30 minutes"
+
+    def _sources(self, spark, sf_dir, tmp_path):
+        events = tables.load(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = events.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+        _write_chunk(clicks, cdir)
+        _write_chunk(purchases, pdir)
+        return clicks, purchases, cdir, pdir
+
+    def _schema(self):
+        return T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_id", T.LongType()),
+            ]
+        )
+
+    def _run(self, spark, cdir, pdir, dest, ckpt, how):
+        from e2e_stock_data_pipeline_spark.streaming.join import stream_stream_join
+
+        cs = spark.readStream.schema(self._schema()).parquet(cdir)
+        ps = spark.readStream.schema(self._schema()).parquet(pdir)
+        joined = stream_stream_join(
+            cs, ps, key="user_id", left_ts="ts", right_ts="ts",
+            watermark="10 minutes", max_delay=self.DELAY, how=how,
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("click_id"),
+            F.col("l.ts").alias("click_ts"),
+            F.col("r.event_id").alias("purchase_id"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", dest)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def _batch_expected(self, clicks, purchases):
+        c, p = clicks.alias("c"), purchases.alias("p")
+        return {
+            (r.user_id, r.click_id, r.purchase_id)
+            for r in c.join(
+                p,
+                (F.col("c.user_id") == F.col("p.user_id"))
+                & (F.col("p.ts") >= F.col("c.ts"))
+                & (F.col("p.ts") <= F.col("c.ts") + F.expr(f"INTERVAL {self.DELAY}")),
+            )
+            .select(
+                F.col("c.user_id").alias("user_id"),
+                F.col("c.event_id").alias("click_id"),
+                F.col("p.event_id").alias("purchase_id"),
+            )
+            .collect()
+        }
+
+    def test_inner_equals_batch_join(self, spark, sf_dir, tmp_path):
+        clicks, purchases, cdir, pdir = self._sources(spark, sf_dir, tmp_path)
+        dest, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._run(spark, cdir, pdir, dest, ckpt, "inner")
+        got = {
+            (r.user_id, r.click_id, r.purchase_id)
+            for r in spark.read.parquet(dest).collect()
+        }
+        expected = self._batch_expected(clicks, purchases)
+        assert got == expected and len(expected) > 0
+
+    def test_left_outer_flushes_on_watermark_advance(self, spark, sf_dir, tmp_path):
+        clicks, purchases, cdir, pdir = self._sources(spark, sf_dir, tmp_path)
+        dest, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._run(spark, cdir, pdir, dest, ckpt, "leftOuter")
+        matched = self._batch_expected(clicks, purchases)
+        matched_click_ids = {m[1] for m in matched}
+        unmatched_expected = {
+            r.event_id for r in clicks.collect()
+        } - matched_click_ids
+
+        # availableNow ends with a no-data batch that advances the
+        # watermark past the backlog, so unmatched clicks flush with null
+        # purchase ids in the same run — EXCEPT clicks whose match window
+        # is still inside the final watermark horizon (they cannot be
+        # proven unmatched yet and stay in state: correct semantics)
+        import datetime as _dt
+
+        wm = min(
+            clicks.agg(F.max("ts")).first()[0],
+            purchases.agg(F.max("ts")).first()[0],
+        ) - _dt.timedelta(minutes=10)
+        flushable = {
+            r.event_id
+            for r in clicks.collect()
+            if r.event_id in unmatched_expected
+            and r.ts + _dt.timedelta(minutes=30) < wm
+        }
+        rows = spark.read.parquet(dest).collect()
+        null_rows = {r.click_id for r in rows if r.purchase_id is None}
+        assert flushable <= null_rows <= unmatched_expected
+        got_matched = {
+            (r.user_id, r.click_id, r.purchase_id)
+            for r in rows
+            if r.purchase_id is not None
+        }
+        assert got_matched == matched
+
+        # late rows behind the watermark are dropped, not re-joined: a
+        # second run over a late click file adds nothing
+        import datetime as _dt
+
+        late = spark.createDataFrame(
+            [(1, _dt.datetime(2024, 1, 2), 10**9)], self._schema()
+        )
+        _write_chunk(late, cdir)
+        self._run(spark, cdir, pdir, dest, ckpt, "leftOuter")
+        rows2 = spark.read.parquet(dest).collect()
+        assert {r.click_id for r in rows2 if r.click_id == 10**9} == set()
+        assert len(rows2) == len(rows)
