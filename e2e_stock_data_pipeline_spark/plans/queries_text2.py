@@ -338,3 +338,62 @@ def q65_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("int").alias("bucket"),
         (F.col("s").cast("double") / F.col("nrm")).alias("weight"),
     )
+
+
+@query(
+    "q79_doclen_histogram",
+    oracle="""
+    WITH lens AS (
+      SELECT CAST(length(text) AS BIGINT) AS n FROM documents
+    )
+    SELECT CAST(LEAST(FLOOR(n / 100), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n) AS min_len,
+           MAX(n) AS max_len
+    FROM lens
+    GROUP BY 1
+    """,
+    doc="Corpus length histogram (fixed-width buckets of 100 chars, last "
+    "bucket open-ended): the first diagnostic any training-data pipeline "
+    "runs before filtering — a single map-side-combinable aggregate.",
+    tags=("text", "histogram", "ext"),
+)
+def q79_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n = F.length("text").cast("bigint")
+    bucket = F.least(F.floor(n / 100), F.lit(9)).cast("bigint")
+    return (
+        d.select(n.alias("n"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").alias("min_len"),
+            F.max("n").alias("max_len"),
+        )
+    )
+
+
+@query(
+    "q80_scrub_numbers",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS text_scrubbed,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
+    doc="PII-style scrubbing pass: digit runs replaced by a sentinel token "
+    "plus a per-doc digit count (the redact-and-measure shape used for "
+    "phone/SSN masking; the character class is dialect-portable so both "
+    "regex engines agree).",
+    tags=("text", "scrub", "ext"),
+)
+def q80_scrub_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>").alias("text_scrubbed"),
+        (
+            F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+        ).cast("int").alias("n_digits"),
+    )
