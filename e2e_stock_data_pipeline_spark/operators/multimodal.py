@@ -77,6 +77,55 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def _be_uint(col: str, start: int, nbytes: int):
+    """Big-endian unsigned int from a 1-based byte range of a binary col
+    (hex + base conversion — stays in whole-stage codegen)."""
+    return F.conv(F.hex(F.expr(f"substring({col}, {start}, {nbytes})")), 16, 10).cast("int")
+
+
+def _le_uint(col: str, start: int, nbytes: int):
+    """Little-endian unsigned int: per-byte hex concatenated in reverse."""
+    parts = [F.hex(F.expr(f"substring({col}, {start + i}, 1)")) for i in range(nbytes - 1, -1, -1)]
+    return F.conv(F.concat(*parts), 16, 10).cast("int")
+
+
+def png_metadata(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """REAL (not stubbed) PNG header parse in pure Catalyst: validate the
+    8-byte signature and read width/height from the IHDR chunk
+    (big-endian uint32 at bytes 17-20 / 21-24). No decode library — the
+    container header is plain binary arithmetic, which is exactly the
+    metadata a 100 TB media pipeline extracts BEFORE deciding what to
+    hand to a decoder. Returns (media_id, is_png, png_width, png_height);
+    dimensions are null for non-PNG blobs."""
+    sig_ok = F.hex(F.expr(f"substring({content_col}, 1, 8)")) == "89504E470D0A1A0A"
+    ihdr_ok = F.expr(f"substring({content_col}, 13, 4)").cast("string") == "IHDR"
+    is_png = (F.length(content_col) >= 24) & sig_ok & ihdr_ok
+    return media.select(
+        "media_id",
+        is_png.alias("is_png"),
+        F.when(is_png, _be_uint(content_col, 17, 4)).alias("png_width"),
+        F.when(is_png, _be_uint(content_col, 21, 4)).alias("png_height"),
+    )
+
+
+def wav_metadata(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """REAL WAV (RIFF) header parse in pure Catalyst: validates
+    RIFF/WAVE/fmt markers and reads channels, sample rate, and bit
+    depth from the little-endian PCM fmt chunk. Same design point as
+    png_metadata: container metadata without a codec."""
+    riff = F.expr(f"substring({content_col}, 1, 4)").cast("string") == "RIFF"
+    wave = F.expr(f"substring({content_col}, 9, 4)").cast("string") == "WAVE"
+    fmt = F.expr(f"substring({content_col}, 13, 4)").cast("string") == "fmt "
+    is_wav = (F.length(content_col) >= 36) & riff & wave & fmt
+    return media.select(
+        "media_id",
+        is_wav.alias("is_wav"),
+        F.when(is_wav, _le_uint(content_col, 23, 2)).alias("n_channels"),
+        F.when(is_wav, _le_uint(content_col, 25, 4)).alias("sample_rate"),
+        F.when(is_wav, _le_uint(content_col, 35, 2)).alias("bits_per_sample"),
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 4) -> DataFrame:
     """'Frame sampling' stand-in: slice every Nth byte of the blob —
     exercises the binary-slicing plumbing (substr on BinaryType) that a

@@ -615,3 +615,67 @@ class TestLshBlockedNearDup:
             [], "vec_id BIGINT, embedding ARRAY<FLOAT>"
         )
         assert hyperplane_lsh_buckets(empty).count() == 0
+
+
+class TestMultimodalHeaderParse:
+    """PNG/WAV container headers parsed by pure Catalyst binary math —
+    the non-stubbed half of the multimodal surface. Test bytes are
+    handcrafted per the public container specs (no media libs)."""
+
+    def _png(self, w: int, h: int) -> bytes:
+        import struct
+
+        sig = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+        ihdr_body = struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+        return sig + struct.pack(">I", len(ihdr_body)) + b"IHDR" + ihdr_body
+
+    def _wav(self, channels: int, rate: int, bits: int) -> bytes:
+        import struct
+
+        fmt_body = struct.pack("<HHIIHH", 1, channels, rate,
+                               rate * channels * bits // 8,
+                               channels * bits // 8, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        )
+
+    def test_png_dimensions(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.multimodal import png_metadata
+
+        rows = [
+            (1, self._png(640, 480)),
+            (2, self._png(1920, 1080)),
+            (3, b"not a png at all, just bytes"),
+            (4, None),
+        ]
+        media = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+        got = {r.media_id: (r.is_png, r.png_width, r.png_height)
+               for r in png_metadata(media).collect()}
+        assert got[1] == (True, 640, 480)
+        assert got[2] == (True, 1920, 1080)
+        assert got[3] == (False, None, None)
+        assert got[4][0] in (False, None) and got[4][1] is None
+
+    def test_wav_format(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.multimodal import wav_metadata
+
+        rows = [
+            (1, self._wav(2, 44100, 16)),
+            (2, self._wav(1, 16000, 24)),
+            (3, b"RIFFxxxxJUNK" + b"\x00" * 40),
+        ]
+        media = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+        got = {r.media_id: (r.is_wav, r.n_channels, r.sample_rate, r.bits_per_sample)
+               for r in wav_metadata(media).collect()}
+        assert got[1] == (True, 2, 44100, 16)
+        assert got[2] == (True, 1, 16000, 24)
+        assert got[3] == (False, None, None, None)
+
+    def test_header_parse_is_codegen_not_udf(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.multimodal import png_metadata
+
+        media = spark.createDataFrame([(1, self._png(2, 2))],
+                                      "media_id LONG, content BINARY")
+        plan = png_metadata(media)._jdf.queryExecution().optimizedPlan().toString()
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
