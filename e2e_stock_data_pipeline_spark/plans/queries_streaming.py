@@ -153,3 +153,56 @@ def q71_hourly_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("volume_value"),
         )
     )
+
+
+@query(
+    "q81_click_purchase_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_to_purchase
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    """,
+    doc="Click-to-purchase attribution inside a 30-minute window — the "
+    "BATCH twin of streaming/join.py's watermarked stream-stream join "
+    "(identical join condition; the streaming test proves the two agree). "
+    "The time bound is the scale lever in both forms: it bounds join "
+    "state in the stream and caps per-key fan-out in the batch shuffle.",
+    tags=("join", "interval", "streaming", "attribution"),
+)
+def q81_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        )
+        .select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            (
+                F.unix_timestamp(F.col("p_ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("c_ts").cast("timestamp"))
+            ).alias("secs_to_purchase"),
+        )
+    )

@@ -70,6 +70,59 @@ def main(n_rows: int = 10_000_000) -> None:
         ).count(),
     )
 
+    # --- dedup path at 100x: synthetic corpus with planted near-dups ----
+    from e2e_stock_data_pipeline_spark.operators.dedup import (  # noqa: E402
+        exploded_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    n_docs = max(n_rows // 50, 1000)  # ~200k docs at the 10M default
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        # 10-word docs from a 5k-word vocab; every 100th doc repeats the
+        # previous doc's words (planted near-dup pairs for the banding join)
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    (F.xxhash64((F.col("id") - F.col("id") % 100), F.lit(j)) % 5_000),
+                )
+                for j in range(10)
+            ],
+        ).alias("text"),
+    )
+    sh = exploded_shingles(docs, distinct=False)
+    timed(
+        f"minhash-lsh candidates ({n_docs/1e3:.0f}k docs, ~{n_docs*8/1e6:.1f}M shingles)",
+        lambda: lsh_candidate_pairs(minhash_signatures(sh)).count(),
+    )
+    timed(
+        f"capped jaccard pairs (max_doc_freq=200, {n_docs/1e3:.0f}k docs)",
+        lambda: ngram_jaccard_pairs(
+            exploded_shingles(docs), threshold=0.5, max_doc_freq=200
+        ).count(),
+    )
+
+    # --- ANN path at 100x: hyperplane buckets over 1M vectors -----------
+    from e2e_stock_data_pipeline_spark.operators.similarity import (  # noqa: E402
+        hyperplane_lsh_buckets,
+    )
+
+    n_vecs = max(n_rows // 10, 10_000)
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 15), d -> CAST(xxhash64(id, d) % 1000 AS DOUBLE) / 1000.0)"
+        ).alias("embedding"),
+    )
+    timed(
+        f"lsh bucket assignment ({n_vecs/1e6:.1f}M vectors, 16-dim, 8 planes)",
+        lambda: hyperplane_lsh_buckets(vecs, dim=16).count(),
+    )
+
     spark.stop()
 
 
