@@ -557,3 +557,35 @@ def q78_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q82_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    """,
+    doc="Wide-to-long reshaping (DataFrame.unpivot / melt): four measure "
+    "columns become (measure, val) rows — the inverse of q34's pivot, "
+    "completing the reshape surface. Values pass through untouched, so "
+    "both engines agree bitwise; the oracle spells it as the equivalent "
+    "UNION ALL.",
+    tags=("reshape", "unpivot"),
+)
+def q82_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
