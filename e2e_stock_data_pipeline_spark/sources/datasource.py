@@ -1,0 +1,124 @@
+"""Spark 4 Python DataSource for the endpoint registry — the ingestion
+tier as a FIRST-CLASS Spark source (reference: stock_pipeline/scripts/
+fmp_dump_raw.py:81-113 registry; ingest_fmp_prices.py:541-550 bounded
+fan-out), so `spark.read.format("stock_endpoint")` plans symbol fetches
+as input partitions and executes them ON EXECUTORS.
+
+Two ingestion paths now exist, with an explicit trade:
+
+* `sources/ingest.py` IngestClient — driver-side, ONE shared rate
+  limiter: the strict-API-budget path (a global min-interval cannot be
+  enforced across executors without external coordination).
+* this DataSource — partition-parallel: each InputPartition carries a
+  symbol batch; retry/backoff runs per task; `min_interval` spaces
+  requests within a partition, so the worst-case global rate is
+  (#partitions / min_interval). Use it when the API budget is per-key
+  or generous (bulk backfills), the driver path when the budget is
+  strict and global.
+
+Transports resolve from a dotted "module:callable" option at read time
+(executors import it — no closure pickling), with a deterministic
+"echo" transport built in for tests, demos, and offline runs.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable, Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .ingest import ENDPOINTS, RECORD_SCHEMA, build_record, with_retry
+
+DEFAULT_BATCH = 16
+
+
+def echo_transport(url: str, params: dict) -> tuple[list, int]:
+    """Deterministic offline transport: one synthetic payload per call,
+    derived from the url — lets the source run end-to-end with no
+    network (tests, demos, dry runs)."""
+    sym = url.rstrip("/").split("/")[-1] or "MARKET"
+    return [{"date": "2026-01-02", "symbol": sym, "echo": url, **params}], 200
+
+
+def resolve_transport(spec: str) -> Callable[[str, dict], tuple[list, int]]:
+    """'module.path:callable' -> transport; 'echo' -> the offline stub."""
+    if spec == "echo":
+        return echo_transport
+    mod, _, attr = spec.partition(":")
+    if not attr:
+        raise ValueError(f"transport spec {spec!r} must be 'module:callable' or 'echo'")
+    return getattr(importlib.import_module(mod), attr)
+
+
+class SymbolBatch(InputPartition):
+    def __init__(self, symbols: Sequence[str | None]):
+        self.symbols = list(symbols)
+
+
+class EndpointReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.endpoint = ENDPOINTS[options.get("endpoint", "prices")]
+        raw = options.get("symbols", "")
+        self.symbols = [s.strip().upper() for s in raw.split(",") if s.strip()]
+        self.as_of_date = options.get("as_of_date", "1970-01-01")
+        self.fetched_at = options.get("fetched_at", self.as_of_date + "T00:00:00+00:00")
+        self.transport_spec = options.get("transport", "echo")
+        self.batch_size = int(options.get("batch_size", str(DEFAULT_BATCH)))
+        self.attempts = int(options.get("attempts", "5"))
+        self.min_interval = float(options.get("min_interval", "0"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        targets: list[str | None] = (
+            list(self.symbols) if self.endpoint.per_symbol else [None]
+        )
+        return [
+            SymbolBatch(targets[i : i + self.batch_size])
+            for i in range(0, len(targets), self.batch_size)
+        ] or [SymbolBatch([None])]
+
+    def read(self, partition: SymbolBatch) -> Iterator[tuple]:
+        import time
+
+        transport = resolve_transport(self.transport_spec)
+        fields = [f.name for f in RECORD_SCHEMA.fields]
+        last = 0.0
+        for sym in partition.symbols:
+            if self.min_interval > 0:
+                wait = last + self.min_interval - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+                last = time.monotonic()
+            url = self.endpoint.url_template.format(symbol=sym or "")
+
+            def call():
+                return transport(url, dict(self.endpoint.params))
+
+            payloads, status = with_retry(call, attempts=self.attempts)
+            for p in payloads:
+                rec = build_record(
+                    p, self.endpoint.name, sym, self.as_of_date, self.fetched_at, status
+                )
+                yield tuple(rec[f] for f in fields)
+
+
+class EndpointDataSource(DataSource):
+    """spark.read.format("stock_endpoint")
+        .option("endpoint", "income").option("symbols", "AAPL,MSFT")
+        .option("as_of_date", "2026-08-12").option("transport", "pkg.mod:fn")
+        .load()
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "stock_endpoint"
+
+    def schema(self):
+        return RECORD_SCHEMA
+
+    def reader(self, schema) -> EndpointReader:
+        return EndpointReader(dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(EndpointDataSource)
