@@ -84,3 +84,48 @@ def per_key_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(lambda pdf: _ewma_group(pdf, alpha), schema=EWMA_SCHEMA)
     )
+
+
+MACD_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("macd", T.DoubleType()),
+        T.StructField("macd_signal", T.DoubleType()),
+        T.StructField("macd_hist", T.DoubleType()),
+    ]
+)
+
+
+def _macd_group(pdf: pd.DataFrame, fast: int, slow: int, signal: int) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"])
+    ema_fast = pdf["value"].ewm(span=fast, adjust=False).mean()
+    ema_slow = pdf["value"].ewm(span=slow, adjust=False).mean()
+    macd = ema_fast - ema_slow
+    sig = macd.ewm(span=signal, adjust=False).mean()
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "macd": macd,
+            "macd_signal": sig,
+            "macd_hist": macd - sig,
+        }
+    )
+
+
+def per_key_macd(
+    events: DataFrame, fast: int = 12, slow: int = 26, signal: int = 9
+) -> DataFrame:
+    """MACD(fast, slow, signal) per key — the classic momentum gold
+    feature (EMA(fast) - EMA(slow), plus its EMA(signal) line and the
+    histogram). Triple-recursive, so it rides the same sanctioned
+    applyInPandas path as per_key_ewma: one key's series per kernel
+    call, deterministic in-kernel ordering by (ts, event_id)."""
+    return (
+        events.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            lambda pdf: _macd_group(pdf, fast, slow, signal), schema=MACD_SCHEMA
+        )
+    )

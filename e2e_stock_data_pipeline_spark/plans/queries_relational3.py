@@ -589,3 +589,34 @@ def q82_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@query(
+    "q83_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract(props, '$.k') AS INT) BETWEEN 25 AND 75 AS k_mid,
+           CAST(json_extract(props, '$.missing') AS INT) AS absent
+    FROM events
+    WHERE props IS NOT NULL AND event_id % 11 = 0
+    """,
+    doc="Semi-structured access through Spark 4's VARIANT type: parse_json "
+    "once, then typed variant_get extraction (q70 is the schema-on-read "
+    "from_json form; this is the schema-free binary-encoded form a 100 TB "
+    "semi-structured column should use — parse once, prune fields at "
+    "access time). Missing paths yield typed nulls via try_variant_get.",
+    tags=("json", "variant", "scalar"),
+)
+def q83_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull() & (F.col("event_id") % 11 == 0)
+    )
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        k.between(25, 75).alias("k_mid"),
+        F.try_variant_get(v, "$.missing", "int").alias("absent"),
+    )
