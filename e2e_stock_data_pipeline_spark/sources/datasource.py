@@ -26,11 +26,25 @@ from __future__ import annotations
 import importlib
 from collections.abc import Callable, Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .ingest import ENDPOINTS, RECORD_SCHEMA, build_record, with_retry
 
 DEFAULT_BATCH = 16
+
+
+def deterministic_request_id(endpoint: str, symbol: str | None, as_of: str) -> str:
+    """uuid5 of the fetch coordinates: task retries and offset replays
+    produce byte-identical rows (a random uuid4 would silently break the
+    replay-equality that exactly-once recovery relies on)."""
+    import uuid
+
+    return str(uuid.uuid5(uuid.NAMESPACE_URL, f"stock-endpoint:{endpoint}:{symbol}:{as_of}"))
 
 
 def echo_transport(url: str, params: dict) -> tuple[list, int]:
@@ -97,9 +111,90 @@ class EndpointReader(DataSourceReader):
             payloads, status = with_retry(call, attempts=self.attempts)
             for p in payloads:
                 rec = build_record(
-                    p, self.endpoint.name, sym, self.as_of_date, self.fetched_at, status
+                    p, self.endpoint.name, sym, self.as_of_date, self.fetched_at,
+                    status,
+                    request_id=deterministic_request_id(
+                        self.endpoint.name, sym, self.as_of_date
+                    ),
                 )
                 yield tuple(rec[f] for f in fields)
+
+
+class EndpointStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: the offset is a DATE CURSOR over snapshot days —
+    each microbatch fetches the next `max_days_per_batch` days for every
+    symbol (the nightly-cron ingestion of the reference, re-expressed as
+    a replayable streaming source). readBetweenOffsets re-fetches a
+    committed range deterministically, which is what makes checkpoint
+    recovery exactly-once END-TO-END for a deterministic transport (the
+    offline/echo case and any snapshot-parameterized API endpoint)."""
+
+    def __init__(self, options: dict):
+        import datetime as dt
+
+        self.endpoint = ENDPOINTS[options.get("endpoint", "prices")]
+        raw = options.get("symbols", "")
+        self.symbols = [s.strip().upper() for s in raw.split(",") if s.strip()]
+        self.from_date = options.get("from_date", "1970-01-01")
+        self.end_date = options.get("end_date") or str(dt.date.today())
+        self.transport_spec = options.get("transport", "echo")
+        self.attempts = int(options.get("attempts", "5"))
+        self.max_days = int(options.get("max_days_per_batch", "1"))
+
+    def initialOffset(self) -> dict:
+        return {"next_date": self.from_date}
+
+    def _fetch_range(self, start_date: str, end_exclusive: str) -> Iterator[tuple]:
+        import datetime as dt
+
+        transport = resolve_transport(self.transport_spec)
+        fields = [f.name for f in RECORD_SCHEMA.fields]
+        targets: list[str | None] = (
+            list(self.symbols) if self.endpoint.per_symbol else [None]
+        )
+        day = dt.date.fromisoformat(start_date)
+        stop = dt.date.fromisoformat(end_exclusive)
+        while day < stop:
+            as_of = str(day)
+            for sym in targets:
+                url = self.endpoint.url_template.format(symbol=sym or "")
+
+                def call():
+                    return transport(url, dict(self.endpoint.params, date=as_of))
+
+                payloads, status = with_retry(call, attempts=self.attempts)
+                for p in payloads:
+                    rec = build_record(
+                        p, self.endpoint.name, sym, as_of,
+                        as_of + "T00:00:00+00:00", status,
+                        request_id=deterministic_request_id(
+                            self.endpoint.name, sym, as_of
+                        ),
+                    )
+                    yield tuple(rec[f] for f in fields)
+            day += dt.timedelta(days=1)
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        import datetime as dt
+
+        cur = dt.date.fromisoformat(start["next_date"])
+        stop = min(
+            cur + dt.timedelta(days=self.max_days),
+            dt.date.fromisoformat(self.end_date) + dt.timedelta(days=1),
+        )
+        if stop <= cur:
+            return iter([]), dict(start)
+        end = {"next_date": str(stop)}
+        # iter(list), not a bare generator: Spark's prefetch cache both
+        # next()s and copy.copy()s the returned iterator, and only
+        # list/tuple iterators support both
+        return iter(list(self._fetch_range(str(cur), str(stop)))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(list(self._fetch_range(start["next_date"], end["next_date"])))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the cursor fully describes progress
 
 
 class EndpointDataSource(DataSource):
@@ -107,6 +202,11 @@ class EndpointDataSource(DataSource):
         .option("endpoint", "income").option("symbols", "AAPL,MSFT")
         .option("as_of_date", "2026-08-12").option("transport", "pkg.mod:fn")
         .load()
+
+    Streaming: spark.readStream.format("stock_endpoint")
+        .option("from_date", "2026-08-01").option("end_date", "2026-08-12")
+        .option("symbols", "AAPL").load() — one microbatch per date-cursor
+    advance (see EndpointStreamReader).
     """
 
     @classmethod
@@ -118,6 +218,9 @@ class EndpointDataSource(DataSource):
 
     def reader(self, schema) -> EndpointReader:
         return EndpointReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> EndpointStreamReader:
+        return EndpointStreamReader(dict(self.options))
 
 
 def register(spark) -> None:

@@ -81,3 +81,80 @@ class TestEndpointDataSource:
         # a projection/filter over the source composes like any DataFrame
         df = _load(spark, endpoint="income", symbols="A,B,C,D")
         assert df.filter(df.symbol.isin("A", "B")).count() == 2
+
+
+class TestEndpointStream:
+    """availableNow with a simple stream reader drains one prefetched
+    batch per start() — so these tests run the query repeatedly against
+    one checkpoint, exactly the scheduled-nightly-run shape the cursor
+    is designed for, and assert the cursor never refetches a day."""
+
+    def _run(self, spark, dest, ckpt, end_date, symbols="AAPL,MSFT"):
+        q = (
+            spark.readStream.format("stock_endpoint")
+            .option("endpoint", "income")
+            .option("symbols", symbols)
+            .option("from_date", "2026-08-01")
+            .option("end_date", end_date)
+            .load()
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", dest)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def _drain(self, spark, dest, ckpt, end_date, symbols="AAPL,MSFT", max_runs=8):
+        seen = -1
+        for _ in range(max_runs):
+            self._run(spark, dest, ckpt, end_date, symbols)
+            n = spark.read.parquet(dest).count()
+            if n == seen:
+                break
+            seen = n
+        return seen
+
+    def test_date_cursor_exactly_once_across_runs(self, spark, tmp_path):
+        dest, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        n = self._drain(spark, dest, ckpt, "2026-08-03")
+        out = spark.read.parquet(dest)
+        # 3 days x 2 symbols x 1 payload each, no dupes across the runs
+        assert n == 6
+        got = {(r.as_of_date, r.symbol) for r in out.collect()}
+        assert got == {
+            (d, s)
+            for d in ("2026-08-01", "2026-08-02", "2026-08-03")
+            for s in ("AAPL", "MSFT")
+        }
+
+    def test_extended_end_date_resumes_from_cursor(self, spark, tmp_path):
+        dest, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        assert self._drain(spark, dest, ckpt, "2026-08-02", symbols="AAPL") == 2
+        # extend the horizon: cursor resumes at 08-03, fetches 3 more days
+        assert self._drain(spark, dest, ckpt, "2026-08-05", symbols="AAPL") == 5
+        out = spark.read.parquet(dest)
+        assert out.select("as_of_date").distinct().count() == 5
+
+    def test_offsets_are_replayable(self):
+        from e2e_stock_data_pipeline_spark.sources.datasource import (
+            EndpointStreamReader,
+        )
+
+        r = EndpointStreamReader(
+            {"endpoint": "income", "symbols": "AAPL",
+             "from_date": "2026-08-01", "end_date": "2026-08-04",
+             "max_days_per_batch": "2"}
+        )
+        start = r.initialOffset()
+        rows1, end1 = r.read(start)
+        replay = list(r.readBetweenOffsets(start, end1))
+        assert list(rows1) == replay  # deterministic transport -> exact replay
+        assert end1 == {"next_date": "2026-08-03"}
+        rows2, end2 = r.read(end1)
+        assert end2 == {"next_date": "2026-08-05"}
+        assert len(list(rows2)) == 2
+        # exhausted cursor: empty batch, offset unchanged
+        rows3, end3 = r.read(end2)
+        assert list(rows3) == [] and end3 == end2
