@@ -48,12 +48,24 @@ _RUN_LAST = (
 )
 
 
+# configure once per SparkSession, not once per query (the driver runs
+# 80+ queries through one session; re-setting conf each call is waste)
+_CONFIGURED: set[str] = set()
+
+
+def _ensure_configured(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    if app not in _CONFIGURED:
+        configure_existing(spark)
+        _CONFIGURED.add(app)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry = load_all_query_modules()
 
     def wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            configure_existing(spark)
+            _ensure_configured(spark)
             return spec.spark(spark, sf_dir)
 
         run.__name__ = spec.name

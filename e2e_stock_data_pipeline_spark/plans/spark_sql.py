@@ -76,4 +76,39 @@ SPARK_SQL = {
         SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice, b.total_qty
         FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
     """,
+    "q76_bulk_part_suppliers": """
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l
+          WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+          AND l.l_shipdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,4))) > CAST(45 AS DECIMAL(18,4))
+        )
+        AND s.s_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_6', 'NATION_9', 'NATION_11')
+        )
+    """,
+    "q78_idle_rich_customers": """
+        WITH avg_bal AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS a
+          FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c.c_nationkey,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.a
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP_NTZ'1998-01-01 00:00:00'
+          )
+        GROUP BY c.c_nationkey
+    """,
 }
