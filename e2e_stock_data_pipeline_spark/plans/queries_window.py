@@ -417,3 +417,77 @@ def q74_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((nd >= 14) & (losses == 0) & (gains > 0), 100.0)
     )
     return diffs.select("event_id", "user_id", "ts", rsi.alias("rsi_14"))
+
+
+@query(
+    "q84_atr_14",
+    oracle="""
+    WITH candles AS (
+      SELECT user_id,
+             date_trunc('hour', ts) AS bucket_start,
+             MAX(CAST(value AS DECIMAL(18,4))) AS high,
+             MIN(CAST(value AS DECIMAL(18,4))) AS low,
+             arg_max(CAST(value AS DECIMAL(18,4)), ts) AS close
+      FROM events
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    tr AS (
+      SELECT user_id, bucket_start,
+             CAST(GREATEST(
+               CAST(high - low AS DECIMAL(18,4)),
+               CAST(ABS(high - lag(close, 1) OVER w) AS DECIMAL(18,4)),
+               CAST(ABS(low - lag(close, 1) OVER w) AS DECIMAL(18,4))
+             ) AS DECIMAL(18,4)) AS true_range
+      FROM candles
+      WINDOW w AS (PARTITION BY user_id ORDER BY bucket_start)
+    )
+    SELECT user_id, bucket_start,
+           CAST(true_range AS DOUBLE) AS true_range,
+           CASE WHEN COUNT(true_range) OVER w2 >= 14
+                THEN CAST(SUM(true_range) OVER w2 AS DOUBLE)
+                     / COUNT(true_range) OVER w2
+           END AS atr_14
+    FROM tr
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY bucket_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+    doc="ATR-14 over hourly candles: true range per bucket (max of "
+    "high-low and the gaps to the previous close) averaged over a "
+    "14-bucket frame — the volatility gold feature complementing "
+    "Bollinger (q73) and RSI (q74). All candle math is DECIMAL from the "
+    "first cast, so true ranges and their sums are exact in both "
+    "engines; one shuffle on user_id serves candles, lag, and the "
+    "rolling mean.",
+    tags=("window", "gold", "atr", "ohlc"),
+)
+def q84_atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    v = F.col("value").cast(DEC)
+    candles = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+    ).agg(
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, F.col("ts")).alias("close"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("bucket_start")
+    prev_close = F.lag("close", 1).over(wc)
+    tr = candles.select(
+        "user_id",
+        "bucket_start",
+        F.greatest(
+            (F.col("high") - F.col("low")).cast(DEC),
+            F.abs(F.col("high") - prev_close).cast(DEC),
+            F.abs(F.col("low") - prev_close).cast(DEC),
+        ).cast(DEC).alias("true_range"),
+    )
+    w2 = wc.rowsBetween(-13, 0)
+    n = F.count("true_range").over(w2)
+    atr = F.when(
+        n >= 14, F.sum("true_range").over(w2).cast("double") / n
+    )
+    return tr.select(
+        "user_id",
+        "bucket_start",
+        F.col("true_range").cast("double").alias("true_range"),
+        atr.alias("atr_14"),
+    )
