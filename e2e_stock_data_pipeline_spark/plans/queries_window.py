@@ -491,3 +491,69 @@ def q84_atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_range").cast("double").alias("true_range"),
         atr.alias("atr_14"),
     )
+
+
+@query(
+    "q85_stochastic_oscillator",
+    oracle="""
+    WITH candles AS (
+      SELECT user_id,
+             date_trunc('hour', ts) AS bucket_start,
+             MAX(CAST(value AS DECIMAL(18,4))) AS high,
+             MIN(CAST(value AS DECIMAL(18,4))) AS low,
+             arg_max(CAST(value AS DECIMAL(18,4)), ts) AS close
+      FROM events
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    k AS (
+      SELECT user_id, bucket_start,
+             CASE WHEN COUNT(*) OVER w2 >= 14
+                   AND MAX(high) OVER w2 > MIN(low) OVER w2
+                  THEN CAST(close - MIN(low) OVER w2 AS DOUBLE)
+                       / CAST(MAX(high) OVER w2 - MIN(low) OVER w2 AS DOUBLE) * 100.0
+             END AS pct_k
+      FROM candles
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY bucket_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, bucket_start, pct_k,
+           CASE WHEN lag(pct_k, 2) OVER w IS NOT NULL
+                 AND lag(pct_k, 1) OVER w IS NOT NULL
+                 AND pct_k IS NOT NULL
+                THEN (pct_k + lag(pct_k, 1) OVER w + lag(pct_k, 2) OVER w) / 3.0
+           END AS pct_d
+    FROM k
+    WINDOW w AS (PARTITION BY user_id ORDER BY bucket_start)
+    """,
+    doc="Stochastic oscillator over hourly candles: %K locates the close "
+    "inside the 14-bucket high-low range (decimal-exact numerator and "
+    "denominator, ONE double division), %D is the 3-sample smoothing "
+    "written as an explicit lag chain — a fixed left-to-right addition "
+    "tree, not a windowed float sum, so both engines accumulate "
+    "identically. Same single user_id shuffle serves candles, the "
+    "range frame, and the lag chain.",
+    tags=("window", "gold", "stochastic", "ohlc"),
+)
+def q85_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    v = F.col("value").cast(DEC)
+    candles = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+    ).agg(
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, F.col("ts")).alias("close"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("bucket_start")
+    w2 = wc.rowsBetween(-13, 0)
+    hi, lo = F.max("high").over(w2), F.min("low").over(w2)
+    pct_k = F.when(
+        (F.count(F.lit(1)).over(w2) >= 14) & (hi > lo),
+        (F.col("close") - lo).cast("double") / (hi - lo).cast("double") * 100.0,
+    )
+    k = candles.select("user_id", "bucket_start", pct_k.alias("pct_k"))
+    k1, k2 = F.lag("pct_k", 1).over(wc), F.lag("pct_k", 2).over(wc)
+    pct_d = F.when(
+        k2.isNotNull() & k1.isNotNull() & F.col("pct_k").isNotNull(),
+        (F.col("pct_k") + k1 + k2) / 3.0,
+    )
+    return k.select("user_id", "bucket_start", "pct_k", pct_d.alias("pct_d"))
