@@ -720,3 +720,87 @@ class TestMacd:
         for r in sorted(out, key=lambda r: r.event_id):
             first_per_key.setdefault(r.user_id, r)
         assert all(abs(r.macd) < 1e-12 for r in first_per_key.values())
+
+
+class TestRandomizedEquivalences:
+    """Property-style checks in bulk: one seeded random dataset, many
+    cases per Spark job, operator result compared against the naive
+    definition (the hypothesis-per-example pattern would pay a Spark
+    job per case; this gets the same coverage in one)."""
+
+    def test_interval_join_random_cases_all_chunk_widths(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.interval import interval_join
+
+        rng = np.random.default_rng(11)
+        points = spark.createDataFrame(
+            [(i, float(rng.integers(0, 2000))) for i in range(400)], ["pid", "t"]
+        )
+        ivs = []
+        for j in range(60):
+            s = float(rng.integers(0, 1900))
+            ivs.append((j, s, s + float(rng.integers(1, 300))))
+        intervals = spark.createDataFrame(ivs, ["iid", "s", "e"])
+        naive = {
+            (r.pid, r.iid)
+            for r in points.join(
+                intervals, (points.t >= intervals.s) & (points.t < intervals.e)
+            ).collect()
+        }
+        for chunk in (7, 64, 500, 5000):
+            fast = {
+                (r.pid, r.iid)
+                for r in interval_join(
+                    points, intervals, "t", "s", "e", chunk=chunk
+                ).collect()
+            }
+            assert fast == naive, f"chunk={chunk}"
+
+    def test_salted_join_random_keys_and_salts(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.skew import salted_join
+
+        rng = np.random.default_rng(5)
+        big = spark.createDataFrame(
+            [(i, f"k{rng.integers(0, 12)}") for i in range(1500)], ["id", "k"]
+        )
+        small = spark.createDataFrame(
+            [(f"k{j}", j) for j in range(0, 16, 2)], ["k", "tag"]
+        )
+        for how in ("inner", "left"):
+            plain = sorted(
+                (r.id, r.tag) for r in big.join(small, "k", how).collect()
+            )
+            for num_salts in (1, 3, 16):
+                salted = sorted(
+                    (r.id, r.tag)
+                    for r in salted_join(big, small, "k", num_salts, how).collect()
+                )
+                assert salted == plain, f"{how}/{num_salts}"
+
+    def test_capped_jaccard_equals_jaccard_on_filtered_shingles(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.dedup import (
+            exploded_shingles,
+            ngram_jaccard_pairs,
+        )
+
+        rng = np.random.default_rng(3)
+        vocab = [f"w{v}" for v in range(30)]
+        docs = spark.createDataFrame(
+            [(i, " ".join(rng.choice(vocab, size=8))) for i in range(60)],
+            ["doc_id", "text"],
+        )
+        sh = exploded_shingles(docs)
+        k = 4
+        capped = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(sh, threshold=0.0, max_doc_freq=k).collect()
+        }
+        # naive: drop shingles with doc-freq > k FIRST, then plain jaccard
+        df_counts = sh.groupBy("shingle").count()
+        kept = sh.join(
+            df_counts.filter(F.col("count") <= k).select("shingle"), "shingle"
+        )
+        naive = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(kept, threshold=0.0).collect()
+        }
+        assert capped == naive
