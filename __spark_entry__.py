@@ -43,6 +43,7 @@ _RUN_LAST = (
     "q42_ngram_jaccard",
     "q42b_ngram_jaccard_capped",
     "q41_minhash_lsh_pairs",
+    "q86_neardup_pipeline",
     "q58_boilerplate_ngrams",
     "q56_dedup_clusters",
 )

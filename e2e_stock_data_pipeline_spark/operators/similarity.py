@@ -15,6 +15,8 @@ fuzz. All array math is Catalyst `transform`/`zip_with`/`aggregate`
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -167,6 +169,32 @@ def ann_topk_lsh(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def multiprobe_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    threshold: float = 0.2,
+    n_planes: int = 4,
+    seeds: Sequence[int] = (13, 99, 7),
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe form of lsh_blocked_neardup_pairs: union the blocked
+    pairs over several independent hyperplane families and dedup. Each
+    extra seed multiplies the chance that a truly-similar pair collides
+    in at least one family (recall 1-(1-p)^s for per-family collision
+    p), while precision stays 1 — every emitted pair still passes the
+    exact cosine threshold. The scale shape is unchanged: s bucketed
+    self-joins, never an all-pairs product."""
+    out = None
+    for s in seeds:
+        part = lsh_blocked_neardup_pairs(
+            df, id_col, vec_col, label_col, threshold, n_planes, s, dim
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.dropDuplicates(["vec_a", "vec_b"])
 
 
 def lsh_blocked_neardup_pairs(

@@ -229,3 +229,77 @@ def q44b_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", F.col("wmin").alias("fingerprint"))
         .agg(F.count(F.lit(1)).alias("n_windows"))
     )
+
+
+@query(
+    "q86_neardup_pipeline",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len({_SQL_WORDS}) - 1, 1)),
+                      i -> {_SQL_WORDS}[i] || ' ' || {_SQL_WORDS}[i+1] || ' ' || {_SQL_WORDS}[i+2])) AS shingle
+        FROM documents
+      ) q
+    ),
+    seeds AS (SELECT unnest(range(6)) AS seed),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(((seed * 2 + 1) * h + (seed * 7919 + 13)) % 268435399) AS sig
+      FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes x ON i.doc_a = x.doc_id
+    JOIN sizes y ON i.doc_b = y.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) >= 0.5
+    """,
+    doc="THE production near-dup decision as one plan: MinHash-LSH proposes "
+    "candidates (recall stage), exact Jaccard verifies ONLY those "
+    "candidates at 0.5 (precision stage). Unlike q42's all-co-shingle "
+    "verification, the verify join here fans out from the candidate "
+    "list, so its cost scales with |candidates| — the property that "
+    "makes the two-stage pipeline viable at 100 TB.",
+    tags=("dedup", "minhash", "lsh", "jaccard", "pipeline", "ext"),
+)
+def q86_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cands = D.lsh_candidate_pairs(
+        D.minhash_signatures(D.exploded_shingles(docs, distinct=False), num_hashes=6)
+    )
+    shd = D.exploded_shingles(docs, distinct=True)
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shd.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shd.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sy = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sx, "doc_a")
+        .join(sy, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -804,3 +804,34 @@ class TestRandomizedEquivalences:
             for r in ngram_jaccard_pairs(kept, threshold=0.0).collect()
         }
         assert capped == naive
+
+
+class TestMultiprobeNearDup:
+    def test_recall_monotone_in_seeds_precision_stays_one(self, spark, sf_dir):
+        from e2e_stock_data_pipeline_spark.operators.similarity import (
+            lsh_blocked_neardup_pairs,
+            multiprobe_neardup_pairs,
+        )
+        from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules
+
+        reg = load_all_query_modules()
+        exact = {
+            (r.vec_a, r.vec_b)
+            for r in reg["q50_cosine_neardup_pairs"].spark(spark, sf_dir).collect()
+        }
+        emb = tables.load(spark, sf_dir, "embeddings")
+        single = {
+            (r.vec_a, r.vec_b)
+            for r in lsh_blocked_neardup_pairs(
+                emb, label_col="label", threshold=0.2, n_planes=4, seed=13
+            ).collect()
+        }
+        multi = {
+            (r.vec_a, r.vec_b)
+            for r in multiprobe_neardup_pairs(
+                emb, label_col="label", threshold=0.2, n_planes=4,
+                seeds=(13, 99, 7),
+            ).collect()
+        }
+        assert single <= multi <= exact   # recall grows, precision stays 1
+        assert len(multi) > len(single)   # extra probes find extra true pairs
