@@ -105,6 +105,10 @@ def hyperplane_lsh_buckets(
     runs in either case, so empty inputs yield an empty (id, bucket)
     frame instead of raising.
     """
+    if n_planes == 0:
+        # degenerate single-bucket signature: blocking reduces to whatever
+        # other keys the caller composes (e.g. label-only in q87)
+        return df.select(F.col(id_col), F.lit(0).cast("bigint").alias("bucket"))
     # plane p, dim d coefficient in {-1, +1} from parity of a portable hash
     coeffs = []
     for p in range(n_planes):

@@ -210,3 +210,81 @@ def q72_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(q).alias("min_q"),
         F.size(F.filter(q, lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@query(
+    "q87_multisignal_neardup",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      FROM words
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    text_pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) AS jaccard
+      FROM inter i JOIN sizes x ON i.doc_a = x.doc_id JOIN sizes y ON i.doc_b = y.doc_id
+      WHERE CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) >= 0.5
+    ),
+    e AS (SELECT vec_id, label, {_SQL_Q} AS q FROM embeddings),
+    n AS (SELECT vec_id, label, q, list_dot_product(q, q) AS nn FROM e),
+    emb_pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) AS cos_sim
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.2
+    )
+    SELECT COALESCE(t.doc_a, v.doc_a) AS doc_a,
+           COALESCE(t.doc_b, v.doc_b) AS doc_b,
+           t.jaccard, v.cos_sim,
+           CAST((t.doc_a IS NOT NULL) AS INT) + CAST((v.doc_a IS NOT NULL) AS INT) AS n_signals
+    FROM text_pairs t
+    FULL OUTER JOIN emb_pairs v ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b
+    """,
+    doc="Multi-signal near-dup verdict: text Jaccard pairs (>= 0.5) FULL "
+    "OUTER JOINed with label-blocked embedding-cosine pairs (>= 0.2) on "
+    "the shared doc/vec id space — the realistic LLM-pipeline dedup "
+    "decision that scores a pair by how many independent signals fire. "
+    "Each signal's pair set shuffles on its own blocking key; the final "
+    "join touches only emitted pairs.",
+    tags=("dedup", "similarity", "multisignal", "ext"),
+)
+def q87_multisignal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = tables.load(spark, sf_dir, "documents")
+    text_pairs = D.ngram_jaccard_pairs(
+        D.exploded_shingles(docs), threshold=0.5
+    ).select("doc_a", "doc_b", "jaccard")
+    emb_pairs = S.lsh_blocked_neardup_pairs(
+        _emb(spark, sf_dir), label_col="label", threshold=0.2,
+        n_planes=0, seed=13,  # n_planes=0 -> one bucket: label-only blocking
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "cos_sim"
+    )
+    t, v = text_pairs.alias("t"), emb_pairs.alias("v")
+    joined = t.join(
+        v,
+        (F.col("t.doc_a") == F.col("v.doc_a")) & (F.col("t.doc_b") == F.col("v.doc_b")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("t.doc_a"), F.col("v.doc_a")).alias("doc_a"),
+        F.coalesce(F.col("t.doc_b"), F.col("v.doc_b")).alias("doc_b"),
+        F.col("t.jaccard").alias("jaccard"),
+        F.col("v.cos_sim").alias("cos_sim"),
+        (
+            F.col("t.doc_a").isNotNull().cast("int")
+            + F.col("v.doc_a").isNotNull().cast("int")
+        ).alias("n_signals"),
+    )
