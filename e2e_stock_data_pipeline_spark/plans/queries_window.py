@@ -557,3 +557,77 @@ def q85_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pct_k") + k1 + k2) / 3.0,
     )
     return k.select("user_id", "bucket_start", "pct_k", pct_d.alias("pct_d"))
+
+
+@query(
+    "q88_market_correlation",
+    oracle="""
+    WITH user_h AS (
+      SELECT user_id, date_trunc('hour', ts) AS b,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    market_h AS (
+      SELECT date_trunc('hour', ts) AS b,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    joined AS (
+      SELECT u.user_id, u.x, m.y FROM user_h u JOIN market_h m ON u.b = m.b
+    ),
+    moments AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM joined GROUP BY user_id
+    )
+    SELECT user_id, n AS n_buckets,
+           CASE WHEN n > 1
+                 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS market_corr
+    FROM moments
+    """,
+    doc="Per-user Pearson correlation of hourly activity against the "
+    "whole-market hourly series — the beta/correlation gold feature. "
+    "Bucket sums quantize to int64 cents, so every moment (sx, sxx, "
+    "sxy, ...) and both covariance terms are EXACT integers in both "
+    "engines; floats appear only in the final division and sqrts over "
+    "identical operands. At the 100 TB point the same shape runs with "
+    "DECIMAL(38,0) moments (int64 products can overflow there).",
+    tags=("window", "gold", "correlation", "agg"),
+)
+def q88_market_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    cents = (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("bigint")
+    user_h = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("b")
+    ).agg(cents.alias("x"))
+    market_h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("b")).agg(
+        cents.alias("y")
+    )
+    joined = user_h.join(market_h, "b").select("user_id", "x", "y")
+    m = joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = F.when(
+        (n > 1) & ((n * sxx - sx * sx) > 0) & ((n * syy - sy * sy) > 0),
+        (n * sxy - sx * sy).cast("double")
+        / (
+            F.sqrt((n * sxx - sx * sx).cast("double"))
+            * F.sqrt((n * syy - sy * sy).cast("double"))
+        ),
+    )
+    return m.select("user_id", n.alias("n_buckets"), corr.alias("market_corr"))
