@@ -397,3 +397,118 @@ def q80_scrub_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
         ).cast("int").alias("n_digits"),
     )
+
+
+@query(
+    "q89_gopher_rules",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_clean,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+      FROM documents
+    )
+    SELECT doc_id,
+           n_words BETWEEN 5 AND 1000 AS rule_word_count,
+           CAST(n_nonspace AS DOUBLE) / n_words BETWEEN 2.0 AND 12.0 AS rule_mean_word_len,
+           CAST(n_chars - n_clean AS DOUBLE) / n_chars <= 0.1 AS rule_symbol_ratio,
+           (n_words BETWEEN 5 AND 1000)
+           AND (CAST(n_nonspace AS DOUBLE) / n_words BETWEEN 2.0 AND 12.0)
+           AND (CAST(n_chars - n_clean AS DOUBLE) / n_chars <= 0.1) AS keep
+    FROM stats
+    """,
+    doc="Gopher-style quality rule battery: word-count band, mean word "
+    "length band, symbol-to-char ratio cap, and the conjunctive keep "
+    "verdict — the standard pre-training document filter expressed as "
+    "one projection over integer character statistics (every ratio is "
+    "an int/int division, so both engines agree bitwise).",
+    tags=("text", "quality", "filter", "ext"),
+)
+def q89_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_words = F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint")
+    n_clean = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("bigint")
+    stats = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_clean.alias("n_clean"),
+        n_chars.alias("n_chars"),
+        n_nonspace.alias("n_nonspace"),
+    )
+    mean_wl = F.col("n_nonspace").cast("double") / F.col("n_words")
+    sym_ratio = (F.col("n_chars") - F.col("n_clean")).cast("double") / F.col("n_chars")
+    r_wc = F.col("n_words").between(5, 1000)
+    r_mwl = mean_wl.between(2.0, 12.0)
+    r_sym = sym_ratio <= 0.1
+    return stats.select(
+        "doc_id",
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        (r_wc & r_mwl & r_sym).alias("keep"),
+    )
+
+
+@query(
+    "q90_repetition_stats",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws), 1)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bg
+      FROM words WHERE len(ws) >= 2
+    ),
+    counts AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+             CAST(SUM(c) AS BIGINT) AS total_bigrams,
+             CAST(COUNT(*) AS BIGINT) AS distinct_bigrams
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, top_bigram_n, total_bigrams,
+           CAST(top_bigram_n AS DOUBLE) / total_bigrams AS top_bigram_frac,
+           1.0 - CAST(distinct_bigrams AS DOUBLE) / total_bigrams AS dup_bigram_frac,
+           CAST(top_bigram_n AS DOUBLE) / total_bigrams > 0.18 AS flag_repetitive
+    FROM agg
+    """,
+    doc="Repetition detection (the Gopher repetition filters): top-bigram "
+    "fraction and duplicate-bigram fraction per document with a "
+    "repetitiveness flag — catches looping/boilerplate generations. "
+    "Integer counts, two int/int divisions; one shuffle on (doc, bigram) "
+    "then (doc).",
+    tags=("text", "quality", "repetition", "ext"),
+)
+def q90_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), " +")
+    bigram = F.expr(
+        "CASE WHEN size(split(trim(text), ' +')) >= 2 THEN "
+        "transform(sequence(0, size(split(trim(text), ' +')) - 2), "
+        "i -> split(trim(text), ' +')[i] || ' ' || split(trim(text), ' +')[i+1]) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    bigrams = d.select("doc_id", F.explode(bigram).alias("bg"))
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("doc_id").agg(
+        F.max("c").cast("bigint").alias("top_bigram_n"),
+        F.sum("c").cast("bigint").alias("total_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_bigrams"),
+    )
+    top_frac = F.col("top_bigram_n").cast("double") / F.col("total_bigrams")
+    dup_frac = F.lit(1.0) - F.col("distinct_bigrams").cast("double") / F.col("total_bigrams")
+    return agg.select(
+        "doc_id", "top_bigram_n", "total_bigrams",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        (top_frac > 0.18).alias("flag_repetitive"),
+    )
