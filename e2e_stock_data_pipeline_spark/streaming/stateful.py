@@ -73,3 +73,67 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas twin (the successor API to
+# applyInPandasWithState: typed state handles, timers, schema evolution).
+# Same semantics as running_user_stats; requires the RocksDB state store.
+# ---------------------------------------------------------------------------
+
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStatsProcessor(StatefulProcessor):
+        """Module-level (picklable) processor: typed ValueState holding
+        the same (n, total, mx) tuple the GroupState form keeps."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", STATS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prior = self._state.get() if self._state.exists() else None
+            n, total, mx = prior if prior is not None else (0, 0.0, float("-inf"))
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                n += int(vals.size)
+                total += float(vals.sum())
+                if vals.size:
+                    mx = max(mx, float(vals.max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx if mx != float("-inf") else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover - pre-4.0 Spark
+    RunningStatsProcessor = None  # type: ignore[assignment]
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """running_user_stats on the transformWithStateInPandas API — the
+    engine's forward path for custom streaming state (typed ValueState
+    in a StatefulProcessor instead of a raw tuple in GroupState)."""
+    if RunningStatsProcessor is None:  # pragma: no cover
+        raise RuntimeError("transformWithStateInPandas requires Spark >= 4.0")
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningStatsProcessor(),
+            outputStructType=STATS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

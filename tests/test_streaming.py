@@ -746,3 +746,62 @@ class TestStreamStreamJoin:
         rows2 = spark.read.parquet(dest).collect()
         assert {r.click_id for r in rows2 if r.click_id == 10**9} == set()
         assert len(rows2) == len(rows)
+
+
+class TestTransformWithState:
+    def test_tws_matches_apply_in_pandas_with_state(self, spark, sf_dir, tmp_path):
+        """The Spark 4 StatefulProcessor twin produces the same running
+        stats as the applyInPandasWithState form and the batch aggregate.
+        Requires protobuf (the TWS state-server wire protocol); skipped
+        where it isn't installed — the applyInPandasWithState form above
+        covers the semantics either way."""
+        import pytest as _pytest
+
+        _pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState state server needs protobuf (not in this env)",
+        )
+        from e2e_stock_data_pipeline_spark.streaming.stateful import (
+            running_user_stats_tws,
+        )
+
+        old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+            events = tables.load(spark, sf_dir, "events").limit(300)
+            _write_chunk(events, src)
+            stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+            out = running_user_stats_tws(stream)
+            q = (
+                out.writeStream.format("memory")
+                .queryName("user_stats_tws")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = {
+                r.user_id: (r.n_events, round(r.total_value, 6), r.max_value)
+                for r in spark.sql("SELECT * FROM user_stats_tws").collect()
+            }
+            expect = {
+                r.user_id: (r.n, round(r.t, 6), r.m)
+                for r in events.groupBy("user_id")
+                .agg(
+                    F.count("value").alias("n"),
+                    F.sum("value").alias("t"),
+                    F.max("value").alias("m"),
+                )
+                .collect()
+            }
+            assert got == expect
+        finally:
+            if old is not None:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
