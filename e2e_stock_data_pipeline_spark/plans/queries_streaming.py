@@ -206,3 +206,83 @@ def q81_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("secs_to_purchase"),
         )
     )
+
+
+@query(
+    "q91_session_funnel",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                    > 1800
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    ),
+    flags AS (
+      SELECT user_id, sess_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(has_view) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN has_view = 1 AND has_click = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN has_view = 1 AND has_click = 1 AND has_purchase = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM flags
+    """,
+    doc="Sessionized conversion funnel: 30-minute-gap sessions built with "
+    "the gaps-and-islands pattern (lag + running sum of session starts — "
+    "the batch dual of F.session_window), then view -> click -> purchase "
+    "stage counts per session. Integer flags and counts end to end; one "
+    "user_id shuffle serves the lag, the running sum, and the session "
+    "aggregate.",
+    tags=("streaming", "session", "funnel", "window"),
+)
+def q91_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(wo)
+    gap_s = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        prev_ts.cast("timestamp")
+    )
+    new_sess = F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0)
+    ordered = e.select("user_id", "ts", "event_id", "event_type", new_sess.alias("new_sess"))
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = ordered.select(
+        "user_id", "event_type", F.sum("new_sess").over(wrun).alias("sess_id")
+    )
+    flags = sess.groupBy("user_id", "sess_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("has_view"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_click"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("has_view").cast("bigint").alias("n_view"),
+        F.sum(
+            F.when((F.col("has_view") == 1) & (F.col("has_click") == 1), 1).otherwise(0)
+        ).cast("bigint").alias("n_view_click"),
+        F.sum(
+            F.when(
+                (F.col("has_view") == 1)
+                & (F.col("has_click") == 1)
+                & (F.col("has_purchase") == 1),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_full_funnel"),
+    )

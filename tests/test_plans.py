@@ -113,3 +113,27 @@ def test_q78_anti_join_with_broadcast_scalar(spark, sf_dir):
     plan = formatted_plan(REGISTRY["q78_idle_rich_customers"].spark(spark, sf_dir))
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partition_pruning_on_dt_layout(spark, sf_dir, tmp_path):
+    """The dt=-partitioned layout must prune at the scan: a filter on the
+    partition column appears as PartitionFilters and non-matching
+    partitions are never read — THE data-skipping mechanism the 100 TB
+    layout depends on."""
+    from pyspark.sql import functions as F
+
+    from e2e_stock_data_pipeline_spark.sources import tables
+
+    events = tables.load(spark, str(sf_dir), "events").limit(2000)
+    path = str(tmp_path / "part")
+    (
+        events.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .write.partitionBy("dt")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path)
+    one_day = sorted(r.dt for r in df.select("dt").distinct().collect())[0]
+    plan = formatted_plan(df.filter(df.dt == one_day))
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "dt" in seg and "isnotnull" in seg or one_day in seg
