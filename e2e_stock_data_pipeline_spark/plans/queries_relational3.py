@@ -620,3 +620,52 @@ def q83_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.between(25, 75).alias("k_mid"),
         F.try_variant_get(v, "$.missing", "int").alias("absent"),
     )
+
+
+@query(
+    "q92_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_day,
+             CAST(FLOOR(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7.0) AS INT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(date_trunc('week', cohort_day) AS DATE) AS cohort_week,
+           week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention: each user's cohort is their first active "
+    "day; the matrix counts distinct users active at each week offset per "
+    "cohort week — the canonical product-analytics rollup. Integer day "
+    "arithmetic end to end (the one division is over small exact ints, "
+    "floored); the firsts aggregate and the activity join share the "
+    "user_id shuffle.",
+    tags=("agg", "cohort", "retention", "window"),
+)
+def q92_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7.0
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_trunc("week", F.col("cohort_day")).cast("date").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_active_users"))
