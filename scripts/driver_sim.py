@@ -37,9 +37,12 @@ def main(argv: list[str]) -> int:
         out_path = argv[argv.index("--json") + 1]
 
     t_start = time.perf_counter()
+    import os
+
+    par = os.environ.get("DRIVER_SIM_PARALLELISM", "16")
     spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
+        SparkSession.builder.master(f"local[{par}]")
+        .config("spark.sql.shuffle.partitions", par)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
