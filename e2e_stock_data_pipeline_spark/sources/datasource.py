@@ -55,10 +55,39 @@ def echo_transport(url: str, params: dict) -> tuple[list, int]:
     return [{"date": "2026-01-02", "symbol": sym, "echo": url, **params}], 200
 
 
+def demo_price_transport(url: str, params: dict) -> tuple[list, int]:
+    """Deterministic offline PRICE transport: five plausible daily bars
+    per symbol, values derived from a hash of (symbol, day) — lets the
+    full normalize -> bronze -> silver -> gold pipeline run with no
+    network (demo.py, offline smoke tests)."""
+    import hashlib
+
+    sym = url.rstrip("/").split("/")[-1] or "MARKET"
+    bars = []
+    for day in range(6, 11):  # 2026-01-06 .. 2026-01-10 (weekdays)
+        h = int(hashlib.sha256(f"{sym}:{day}".encode()).hexdigest()[:8], 16)
+        base = 50.0 + (h % 5000) / 100.0
+        spread = (h >> 8) % 300 / 100.0
+        bars.append(
+            {
+                "date": f"2026-01-{day:02d}",
+                "open": round(base, 2),
+                "high": round(base + spread, 2),
+                "low": round(max(base - spread, 1.0), 2),
+                "close": round(base + spread / 2, 2),
+                "volume": 1000 + h % 100000,
+            }
+        )
+    return bars, 200
+
+
 def resolve_transport(spec: str) -> Callable[[str, dict], tuple[list, int]]:
-    """'module.path:callable' -> transport; 'echo' -> the offline stub."""
+    """'module.path:callable' -> transport; 'echo'/'demo_prices' -> the
+    built-in offline stubs."""
     if spec == "echo":
         return echo_transport
+    if spec == "demo_prices":
+        return demo_price_transport
     mod, _, attr = spec.partition(":")
     if not attr:
         raise ValueError(f"transport spec {spec!r} must be 'module:callable' or 'echo'")

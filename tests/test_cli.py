@@ -148,3 +148,20 @@ class TestRunEndToEnd:
                 fake_transport,
                 today=dt.date(2026, 8, 13),
             )
+
+
+class TestDemo:
+    def test_demo_end_to_end(self, tmp_path, capsys):
+        """demo.py walks ingest -> bronze -> silver -> gold -> dedup ->
+        metrics offline; every stage must report non-zero output."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import demo
+
+        assert demo.main(str(tmp_path / "work")) == 0
+        out = capsys.readouterr().out
+        for stage in ["1 ingest", "2 normalize", "3 bronze", "4 silver",
+                      "5 gold", "6 dedup", "7 metrics"]:
+            assert stage in out
+        assert "15 rows after two identical merges" in out
