@@ -512,3 +512,30 @@ def q90_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac.alias("dup_bigram_frac"),
         (top_frac > 0.18).alias("flag_repetitive"),
     )
+
+
+@query(
+    "q93_heavy_hitter_users",
+    oracle="""
+    WITH total AS (SELECT COUNT(*) AS n_total FROM events)
+    SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e, total
+    GROUP BY e.user_id, total.n_total
+    HAVING COUNT(*) > 0.004 * total.n_total
+    """,
+    doc="Heavy hitters over events.user_id (frequency > 0.4% of the "
+    "stream) via the two-pass Misra-Gries sketch: bounded-memory "
+    "per-partition summaries propose candidates, one exact pass over "
+    "the broadcast candidate set verifies — output is EXACT (the oracle "
+    "is the plain groupBy+HAVING), but the state is O(partitions/theta) "
+    "instead of O(cardinality), which is what survives a 100 TB column "
+    "with billions of distinct keys.",
+    tags=("sketch", "heavyhitters", "agg", "ext"),
+)
+def q93_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavyhitters import heavy_hitters
+
+    e = tables.load(spark, sf_dir, "events")
+    return heavy_hitters(e, "user_id", theta=0.004).select(
+        "user_id", F.col("n").cast("bigint").alias("n")
+    )

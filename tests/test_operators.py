@@ -835,3 +835,44 @@ class TestMultiprobeNearDup:
         }
         assert single <= multi <= exact   # recall grows, precision stays 1
         assert len(multi) > len(single)   # extra probes find extra true pairs
+
+
+class TestHeavyHitters:
+    def test_guarantee_on_skewed_stream(self, spark):
+        """All true heavy hitters are found with exact counts, even when
+        the column cardinality dwarfs the sketch size and data is spread
+        over many partitions."""
+        from e2e_stock_data_pipeline_spark.operators.heavyhitters import heavy_hitters
+
+        # 3 hot keys (8%, 5%, 2%) drowned in 30k near-unique keys
+        rows = (
+            [("hot_a",)] * 4000 + [("hot_b",)] * 2500 + [("hot_c",)] * 1000
+            + [(f"u{i}",) for i in range(30000)]
+        )
+        df = spark.createDataFrame(rows, ["k"]).repartition(16)
+        got = {r.k: r.n for r in heavy_hitters(df, "k", theta=0.02).collect()}
+        assert got == {"hot_a": 4000, "hot_b": 2500, "hot_c": 1000}
+
+    def test_matches_plain_groupby(self, spark, sf_dir):
+        from e2e_stock_data_pipeline_spark.operators.heavyhitters import heavy_hitters
+
+        e = tables.load(spark, sf_dir, "events")
+        total = e.count()
+        theta = 0.004
+        exact = {
+            (r.user_id, r.n)
+            for r in e.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > theta * total)
+            .collect()
+        }
+        sk = {(r.user_id, r.n) for r in heavy_hitters(e, "user_id", theta).collect()}
+        assert sk == exact and len(exact) > 0
+
+    def test_rejects_bad_theta(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.heavyhitters import heavy_hitters
+
+        df = spark.createDataFrame([("a",)], ["k"])
+        for theta in (0.0, 1.0, -1.0):
+            with pytest.raises(ValueError):
+                heavy_hitters(df, "k", theta)
