@@ -47,13 +47,25 @@ def compact(spark: SparkSession, path: str, target_file_bytes: int = TARGET_FILE
     return n
 
 
-def cluster_rewrite(spark: SparkSession, path: str, cluster_cols: list[str]) -> None:
+def cluster_rewrite(
+    spark: SparkSession,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+) -> None:
     """Range-partition + sort: each output file covers a narrow range of
     the cluster key, so min/max footer stats prune scans (the effect the
-    reference gets from OPTIMIZE ZORDER BY (as_of_date, symbol))."""
+    reference gets from OPTIMIZE ZORDER BY (as_of_date, symbol)).
+    num_files pins the output file count — without it AQE may coalesce a
+    small table to one file, which erases the per-file span narrowing
+    the rewrite exists to produce (size-based default as in compact)."""
     df = spark.read.parquet(path)
     cols = [F.col(c) for c in cluster_cols]
-    _staged_rewrite(df.repartitionByRange(*cols).sortWithinPartitions(*cols), path)
+    if num_files is None:
+        num_files = max(1, -(-_dir_bytes(path) // TARGET_FILE_BYTES))
+    _staged_rewrite(
+        df.repartitionByRange(num_files, *cols).sortWithinPartitions(*cols), path
+    )
 
 
 def _quantile_bucket(df, col: str, n_buckets: int):
@@ -107,3 +119,62 @@ def zorder_rewrite(
         .drop("_za", "_zb", "_zv"),
         path,
     )
+
+
+def table_stats(path: str, columns: list[str] | None = None) -> dict:
+    """File-layout introspection for a parquet dir: file count/bytes and
+    per-column footer min/max spans per file — the observability half of
+    the maintenance story (compact/cluster_rewrite change exactly these
+    numbers, and data-skipping quality is READ from them: narrow per-file
+    spans = effective pruning). Pure pyarrow metadata reads; no Spark job.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    out: dict = {
+        "n_files": len(files),
+        "total_bytes": sum(os.path.getsize(f) for f in files),
+        "total_rows": 0,
+        "columns": {},
+    }
+    for f in files:
+        md = pq.read_metadata(f)
+        out["total_rows"] += md.num_rows
+        names = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        targets = columns if columns is not None else list(names)
+        for c in targets:
+            if c not in names:
+                continue
+            stats = [
+                md.row_group(g).column(names[c]).statistics
+                for g in range(md.num_row_groups)
+            ]
+            stats = [s for s in stats if s is not None and s.has_min_max]
+            if not stats:
+                continue
+            mn, mx = min(s.min for s in stats), max(s.max for s in stats)
+            out["columns"].setdefault(c, []).append({"file": os.path.basename(f), "min": mn, "max": mx})
+    return out
+
+
+def skipping_effectiveness(stats: dict, col: str) -> float:
+    """Fraction of files a random point-lookup on `col` can SKIP, assuming
+    uniform queries over the observed value range: 1 - avg(file span /
+    global span). 0 = every file covers the whole range (no pruning);
+    -> 1 = disjoint narrow spans (perfect pruning). The metric
+    cluster_rewrite/zorder_rewrite exist to push up."""
+    spans = stats["columns"].get(col, [])
+    if not spans:
+        return 0.0
+    try:
+        lo = min(s["min"] for s in spans)
+        hi = max(s["max"] for s in spans)
+        width = hi - lo
+    except TypeError:  # non-numeric column: span arithmetic undefined
+        return 0.0
+    if not width:
+        return 0.0
+    covered = sum((s["max"] - s["min"]) / width for s in spans) / len(spans)
+    return 1.0 - covered

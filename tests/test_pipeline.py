@@ -391,3 +391,29 @@ class TestGreatExpectationsFileFormat:
         df = spark.createDataFrame([("AAPL",)], ["symbol"])
         with pytest.raises(ValueError, match="missing"):
             run_suite(df, self._suite())
+
+
+class TestTableStats:
+    def test_stats_and_skipping_improve_after_cluster_rewrite(self, spark, tmp_path):
+        from e2e_stock_data_pipeline_spark.pipeline.maintenance import (
+            cluster_rewrite,
+            skipping_effectiveness,
+            table_stats,
+        )
+
+        path = str(tmp_path / "t")
+        spark.range(200000).select(
+            (F.xxhash64("id") % 10000).alias("k"), F.col("id").alias("v")
+        ).repartition(8).write.parquet(path)
+
+        before = table_stats(path, ["k"])
+        eff_before = skipping_effectiveness(before, "k")
+        assert before["n_files"] == 8 and before["total_rows"] == 200000
+
+        cluster_rewrite(spark, path, ["k"], num_files=8)
+        after = table_stats(path, ["k"])
+        eff_after = skipping_effectiveness(after, "k")
+        assert after["total_rows"] == 200000
+        # random-hash layout: every file spans ~the whole range (eff ~ 0);
+        # clustered layout: near-disjoint spans (eff -> 1)
+        assert eff_before < 0.2 < 0.7 < eff_after
