@@ -669,3 +669,33 @@ def q92_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.col("cohort_day")).cast("date").alias("cohort_week"),
         "week_offset",
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_active_users"))
+
+
+@query(
+    "q94_ansi_safe_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / l_quantity AS unit_price,
+           l_extendedprice / NULLIF(l_quantity - 17.0, 0.0) AS per_rest,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+    doc="ANSI-mode error-safe arithmetic: Spark 4 runs with ANSI on, so "
+    "plain division by zero and bad casts THROW — try_divide/try_cast "
+    "give the null-on-error semantics ETL needs (div-by-zero rows and "
+    "unparseable casts become typed nulls instead of job failures). The "
+    "oracle spells the same semantics with NULLIF and TRY_CAST.",
+    tags=("scalar", "ansi", "cast"),
+)
+def q94_ansi_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias("unit_price"),
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.lit(17.0)
+        ).alias("per_rest"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias("flag_as_int"),
+    )
