@@ -699,3 +699,49 @@ def q94_ansi_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("per_rest"),
         F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias("flag_as_int"),
     )
+
+
+@query(
+    "q95_market_hours",
+    oracle="""
+    WITH local AS (
+      SELECT event_id, event_type,
+             timezone('America/New_York', timezone('UTC', ts)) AS ny
+      FROM events
+    )
+    SELECT CAST(EXTRACT(hour FROM ny) AS INT) AS ny_hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+    FROM local
+    WHERE EXTRACT(isodow FROM ny) <= 5
+      AND (EXTRACT(hour FROM ny) * 60 + EXTRACT(minute FROM ny)) >= 570
+      AND (EXTRACT(hour FROM ny) * 60 + EXTRACT(minute FROM ny)) < 960
+    GROUP BY 1
+    """,
+    doc="NYSE regular-hours filter: timestamps (stored naive-UTC) convert "
+    "to America/New_York wall time — DST-correct via the timezone "
+    "database, not a fixed offset — then filter to weekday 09:30-16:00 "
+    "and roll up per local hour. The timezone conversion both engines "
+    "agree on is the C2 policy (UTC storage, zone at the edge) applied "
+    "to the reference's actual trading-calendar domain.",
+    tags=("scalar", "timezone", "calendar", "agg"),
+)
+def q95_market_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp(F.col("ts").cast("timestamp"), "America/New_York")
+    mins = F.hour(ny) * 60 + F.minute(ny)
+    return (
+        e.select("event_id", "event_type", ny.alias("ny"), mins.alias("mins"))
+        .filter(
+            (F.dayofweek("ny").isin(2, 3, 4, 5, 6))
+            & (F.col("mins") >= 570)
+            & (F.col("mins") < 960)
+        )
+        .groupBy(F.hour("ny").cast("int").alias("ny_hour"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+    )
