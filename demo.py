@@ -40,7 +40,12 @@ SF = "/root/testdata/sf0.001"
 
 
 def main(workdir: str | None = None) -> int:
+    from pyspark.sql import SparkSession
+
     root = workdir or tempfile.mkdtemp(prefix="engine-demo-")
+    # getOrCreate may hand us a session we don't own (e.g. the test
+    # suite's) — only stop what we created ourselves
+    ambient = SparkSession.getActiveSession()
     spark = get_spark(app_name="engine-demo", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -106,7 +111,8 @@ def main(workdir: str | None = None) -> int:
     )
     print(f"[7 metrics  ] {json.loads(open(path).read())['stage_counts']} -> {path}")
     print(f"demo artifacts under {root}")
-    spark.stop()
+    if ambient is None:
+        spark.stop()
     return 0
 
 
