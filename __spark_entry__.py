@@ -42,7 +42,9 @@ _RUN_LAST = (
     "q51_ann_lsh_buckets",
     "q42_ngram_jaccard",
     "q42b_ngram_jaccard_capped",
+    "q90_repetition_stats",
     "q41_minhash_lsh_pairs",
+    "q93_heavy_hitter_users",
     "q86_neardup_pipeline",
     "q58_boilerplate_ngrams",
     "q56_dedup_clusters",
