@@ -79,8 +79,12 @@ def q49_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.2
     """,
-    doc="Embedding-cosine near-dup pairs, label-blocked (the blocking key is the "
-    "scale lever: shuffle on label, never the full n^2).",
+    doc="Embedding-cosine near-dup pairs, label-blocked. Within-label "
+    "all-pairs is n^2/L — fine when labels are many; when they are few, "
+    "use q50b (LSH bucket AND label) or multiprobe_neardup_pairs, which "
+    "shrink per-block work ~4^n_planes at tunable recall. This exact "
+    "form stays as the correctness baseline the blocked variants are "
+    "tested against.",
     tags=("similarity", "dedup", "ext"),
 )
 def q50_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
