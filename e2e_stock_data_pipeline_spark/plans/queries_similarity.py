@@ -146,7 +146,9 @@ def q50_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q50b_neardup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_blocked_neardup_pairs(
-        _emb(spark, sf_dir), label_col="label", threshold=0.2, n_planes=4, seed=13
+        _emb(spark, sf_dir), label_col="label", threshold=0.2, n_planes=4, seed=13,
+        dim=64,  # matches the oracle's hardcoded range(64); lazy-slice
+        # fallback costs ~2x in codegen width when dim is known
     )
 
 
@@ -179,7 +181,7 @@ def q50b_neardup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "lsh", "ann", "ext"),
 )
 def q51_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.hyperplane_lsh_buckets(_emb(spark, sf_dir), n_planes=8, seed=13)
+    return S.hyperplane_lsh_buckets(_emb(spark, sf_dir), n_planes=8, seed=13, dim=64)
 
 
 @query(
