@@ -539,3 +539,38 @@ def q93_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(e, "user_id", theta=0.004).select(
         "user_id", F.col("n").cast("bigint").alias("n")
     )
+
+
+@query(
+    "q96_doc_chunking",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    )
+    SELECT doc_id,
+           CAST(s AS INT) AS chunk_id,
+           array_to_string(ws[(s * 30 + 1):(s * 30 + 40)], ' ') AS chunk_text,
+           CAST(least(40, len(ws) - s * 30) AS INT) AS n_words
+    FROM words, unnest(range(0, CAST(ceil(greatest(len(ws) - 10, 1) / 30.0) AS BIGINT))) AS t(s)
+    """,
+    doc="Sliding-window document chunking (40-word windows, stride 30, "
+    "10-word overlap) — the preprocessing step every embedding/RAG "
+    "pipeline runs before encoding. Pure per-row array arithmetic: "
+    "chunk starts from a sequence, slices stay inside the row, no "
+    "shuffle at all; chunk ids are deterministic so downstream "
+    "embedding joins are stable across reruns.",
+    tags=("text", "chunking", "rag", "ext"),
+)
+def q96_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ws = "split(trim(text), ' +')"
+    n_chunks = f"CAST(ceil(greatest(size({ws}) - 10, 1) / 30.0) AS BIGINT)"
+    chunks = F.expr(
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"s -> struct(CAST(s AS INT) AS chunk_id, "
+        f"array_join(slice({ws}, s * 30 + 1, 40), ' ') AS chunk_text, "
+        f"CAST(least(40, size({ws}) - s * 30) AS INT) AS n_words))"
+    )
+    return d.select("doc_id", F.explode(chunks).alias("_c")).select(
+        "doc_id", "_c.chunk_id", "_c.chunk_text", "_c.n_words"
+    )
