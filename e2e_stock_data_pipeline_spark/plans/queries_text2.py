@@ -574,3 +574,79 @@ def q96_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(chunks).alias("_c")).select(
         "doc_id", "_c.chunk_id", "_c.chunk_text", "_c.n_words"
     )
+
+
+@query(
+    "q97_chunk_embeddings",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents WHERE doc_id % 10 = 0
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(s AS INT) AS chunk_id,
+             ws[(s * 30 + 1):(s * 30 + 40)] AS toks
+      FROM words, unnest(range(0, CAST(ceil(greatest(len(ws) - 10, 1) / 30.0) AS BIGINT))) AS t(s)
+    ),
+    toks AS (
+      SELECT doc_id, chunk_id, unnest(toks) AS tok FROM chunks
+    ),
+    hashed AS (
+      SELECT doc_id, chunk_id,
+             CAST(('0x' || substr(sha256(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+             CASE WHEN CAST(('0x' || substr(sha256(tok), 9, 2)) AS INT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM toks
+    ),
+    sums AS (
+      SELECT doc_id, chunk_id, bucket, CAST(SUM(sign) AS BIGINT) AS s
+      FROM hashed GROUP BY doc_id, chunk_id, bucket
+      HAVING SUM(sign) <> 0
+    ),
+    norms AS (
+      SELECT doc_id, chunk_id, sqrt(CAST(SUM(s * s) AS DOUBLE)) AS nrm
+      FROM sums GROUP BY doc_id, chunk_id
+    )
+    SELECT s.doc_id, s.chunk_id, CAST(s.bucket AS INT) AS bucket,
+           CAST(s.s AS DOUBLE) / n.nrm AS weight
+    FROM sums s
+    JOIN norms n ON s.doc_id = n.doc_id AND s.chunk_id = n.chunk_id
+    """,
+    doc="Chunk-level embeddings: q96's sliding windows composed with "
+    "q65's feature-hashing encoder — per-chunk L2-normalized sparse "
+    "vectors keyed (doc_id, chunk_id, bucket), exactly what a RAG index "
+    "ingests. The chunking is per-row, the encode shuffles once on "
+    "(doc, chunk, bucket); both stay Catalyst-only.",
+    tags=("text", "embedding", "chunking", "rag", "ext"),
+)
+def q97_chunk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    ws = "split(trim(text), ' +')"
+    n_chunks = f"CAST(ceil(greatest(size({ws}) - 10, 1) / 30.0) AS BIGINT)"
+    chunks = F.expr(
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"s -> struct(CAST(s AS INT) AS chunk_id, slice({ws}, s * 30 + 1, 40) AS toks))"
+    )
+    toks = (
+        d.select("doc_id", F.explode(chunks).alias("_c"))
+        .select("doc_id", "_c.chunk_id", F.explode("_c.toks").alias("tok"))
+    )
+    digest = F.sha2(F.col("tok"), 256)
+    bucket = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") % 64
+    sign = F.when(
+        F.conv(F.substring(digest, 9, 2), 16, 10).cast("int") % 2 == 0, 1
+    ).otherwise(-1)
+    sums = (
+        toks.select("doc_id", "chunk_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "chunk_id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("s"))
+        .filter(F.col("s") != 0)
+    )
+    norms = sums.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double")).alias("nrm")
+    )
+    return sums.join(norms, ["doc_id", "chunk_id"]).select(
+        "doc_id",
+        "chunk_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("s").cast("double") / F.col("nrm")).alias("weight"),
+    )
