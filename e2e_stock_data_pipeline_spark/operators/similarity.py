@@ -80,7 +80,10 @@ def brute_force_topk(
 
 # Lazy-dim fallback: plane literals are built out to this many components
 # and sliced per row to size(vector). Vectors longer than this hash on
-# their first MAX_PLANE_DIM components — still a valid signature.
+# their first MAX_PLANE_DIM components — still a valid signature. Both
+# sides of the zip are truncated to min(size, MAX_PLANE_DIM): zip_with
+# null-pads the shorter array, so an untruncated long vector would turn
+# every plane dot product NULL (sign bit 0 -> all rows in bucket 0).
 MAX_PLANE_DIM = 256
 
 
@@ -134,8 +137,11 @@ def hyperplane_lsh_buckets(
         return F.slice(full, 1, F.size(F.col("_q")))
 
     planes = F.array(*[plane(p) for p in range(n_planes)])
+    q = quantized(vec_col)
+    if dim is None:
+        q = F.slice(q, 1, F.least(F.size(q), F.lit(MAX_PLANE_DIM)))
     return (
-        df.withColumn("_q", quantized(vec_col))
+        df.withColumn("_q", q)
         .withColumn("_planes", planes)
         .select(F.col(id_col), F.expr(bucket_expr).alias("bucket"))
     )

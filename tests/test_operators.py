@@ -131,6 +131,31 @@ class TestSimilarity:
         assert b1[1] == b1[2]                 # near-identical vectors collide
         assert b1[1] != b1[3]                 # opposite vectors split
 
+    def test_lsh_buckets_long_vectors_no_collapse(self, spark):
+        # ADVICE r2 (medium): vectors longer than MAX_PLANE_DIM collapsed into
+        # bucket 0 — zip_with null-padded the 256-coeff plane against the full
+        # vector, turning every plane dot product NULL. The lazy-dim signature
+        # must hash the first MAX_PLANE_DIM components, exactly like an
+        # explicit-prefix input.
+        import numpy as np
+
+        from e2e_stock_data_pipeline_spark.operators.similarity import MAX_PLANE_DIM
+
+        rng = np.random.default_rng(11)
+        n = 12
+        vecs = rng.normal(size=(n, MAX_PLANE_DIM + 128))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)], ["vec_id", "embedding"]
+        )
+        long_b = {r.vec_id: r.bucket for r in hyperplane_lsh_buckets(df, n_planes=8).collect()}
+        assert len(set(long_b.values())) > 1  # not all collapsed into one bucket
+        pref = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i][:MAX_PLANE_DIM]]) for i in range(n)],
+            ["vec_id", "embedding"],
+        )
+        pref_b = {r.vec_id: r.bucket for r in hyperplane_lsh_buckets(pref, n_planes=8).collect()}
+        assert long_b == pref_b
+
 
 class TestMultimodal:
     def media(self, spark):
