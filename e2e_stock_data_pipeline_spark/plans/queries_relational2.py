@@ -154,14 +154,27 @@ def q36_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q37_approx_distinct",
-    oracle=None,  # approximate by design -> rows-only check; exact twin is q12
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
     doc="approx_count_distinct per group — the at-scale variant of A4's "
-    "COUNT(DISTINCT); no oracle because HLL sketches are engine-specific.",
+    "COUNT(DISTINCT). HLL sketches are engine-specific, so the raw approx "
+    "value can't be oracle-compared; instead the row carries the exact "
+    "count (oracle-checked) plus a boolean asserting the approx landed "
+    "within the default 5% rsd of it — deterministic on fixed data, so "
+    "the driver hash is stable and the sketch path is still exercised.",
     tags=("agg", "approx"),
 )
 def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        exact.alias("exact_users"),
         F.count(F.lit(1)).alias("n"),
+        (F.abs(approx - exact) <= exact * F.lit(0.05)).alias("approx_within_5pct"),
     )

@@ -91,7 +91,30 @@ def test_registry_names_and_oracle_coverage():
     names = sorted(REGISTRY)
     assert len(names) == len(set(names))
     rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
-    assert rows_only == {"q37_approx_distinct", "q56_dedup_clusters"}
+    assert rows_only == set()  # every registered query is oracle-gated
+
+
+def test_q37_approx_value_sanity(spark, sf_dir):
+    """The oracle checks exact_users + the within-5%-of-exact boolean; this
+    bounds the raw approx_count_distinct value itself so a broken sketch
+    (e.g. always 0) can't hide behind a trivially-true flag."""
+    from pyspark.sql import functions as F
+
+    from e2e_stock_data_pipeline_spark.sources import tables
+
+    e = tables.load(spark, str(sf_dir), "events")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id").alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.exact > 0
+        assert abs(r.approx - r.exact) <= 0.05 * r.exact, (r.event_type, r.approx, r.exact)
 
 
 def test_q75_broadcasts_dims(spark, sf_dir):
