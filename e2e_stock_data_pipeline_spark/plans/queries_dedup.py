@@ -111,8 +111,12 @@ def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON i.doc_b = sb.doc_id
     WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.05
     """,
-    doc="Exact 3-gram Jaccard similarity for pairs sharing shingles (threshold 0.05).",
-    tags=("dedup", "jaccard", "ext"),
+    doc="Exact 3-gram Jaccard similarity for pairs sharing shingles "
+    "(threshold 0.05). Uncapped self-join: a shingle appearing in d docs "
+    "feeds d^2/2 pairs to one reducer, so this is the correctness "
+    "baseline only — q42b (posting-list cap) is the production path.",
+    tags=("dedup", "jaccard", "ext", "baseline"),
+    scale_twin="q42b_ngram_jaccard_capped",
 )
 def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.exploded_shingles(_docs(spark, sf_dir))

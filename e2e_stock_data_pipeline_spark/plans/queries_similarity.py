@@ -85,7 +85,8 @@ def q49_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shrink per-block work ~4^n_planes at tunable recall. This exact "
     "form stays as the correctness baseline the blocked variants are "
     "tested against.",
-    tags=("similarity", "dedup", "ext"),
+    tags=("similarity", "dedup", "ext", "baseline"),
+    scale_twin="q50b_neardup_lsh_blocked",
 )
 def q50_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = S.with_quantized_norm(_emb(spark, sf_dir))

@@ -36,6 +36,10 @@ class QuerySpec:
     # only valid at one sf (the driver's correctness sf): local tests must
     # run the Spark side against this dir too.
     pinned_sf_dir: str | None = None
+    # Required for queries tagged "baseline" (deliberately quadratic
+    # correctness anchors): the registered scale-safe query that replaces
+    # them on the production path. Enforced by tests/test_plans.py.
+    scale_twin: str | None = None
 
 
 def query(
@@ -45,6 +49,7 @@ def query(
     tags: tuple[str, ...] = (),
     bench: bool = False,
     pinned_sf_dir: str | None = None,
+    scale_twin: str | None = None,
 ) -> Callable[[SparkQuery], SparkQuery]:
     """Decorator registering a Spark query plus its DuckDB oracle."""
 
@@ -52,7 +57,14 @@ def query(
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QuerySpec(
-            name, fn, oracle, doc or (fn.__doc__ or ""), tuple(tags), bench, pinned_sf_dir
+            name,
+            fn,
+            oracle,
+            doc or (fn.__doc__ or ""),
+            tuple(tags),
+            bench,
+            pinned_sf_dir,
+            scale_twin,
         )
         return fn
 

@@ -94,6 +94,24 @@ def test_registry_names_and_oracle_coverage():
     assert rows_only == set()  # every registered query is oracle-gated
 
 
+def test_quadratic_baselines_name_scale_safe_twins():
+    """Deliberately quadratic correctness anchors (all-pairs / uncapped
+    self-joins) must be tagged "baseline" and name a registered scale-safe
+    twin, so nobody can mistake them for the production path. The twin must
+    not itself be a baseline."""
+    baselines = {n: s for n, s in REGISTRY.items() if "baseline" in s.tags}
+    assert set(baselines) == {"q50_cosine_neardup_pairs", "q42_ngram_jaccard"}
+    for name, spec in baselines.items():
+        assert spec.scale_twin, f"{name}: baseline without a scale_twin"
+        twin = REGISTRY.get(spec.scale_twin)
+        assert twin is not None, f"{name}: scale_twin {spec.scale_twin!r} not registered"
+        assert "baseline" not in twin.tags, f"{name}: twin {twin.name} is itself a baseline"
+    # the inverse: a scale_twin pointer only makes sense on a baseline
+    for n, s in REGISTRY.items():
+        if s.scale_twin:
+            assert "baseline" in s.tags, f"{n}: scale_twin set but not tagged baseline"
+
+
 def test_q37_approx_value_sanity(spark, sf_dir):
     """The oracle checks exact_users + the within-5%-of-exact boolean; this
     bounds the raw approx_count_distinct value itself so a broken sketch
