@@ -83,11 +83,15 @@ def resolve_date_range(
     """The reference's three-way date policy, driven by the calendar dim:
     --backfill-days N -> [today-N, today-1]; explicit --from/--to; else
     today if a trading day, otherwise the previous trading day."""
-    if args.backfill_days:
+    if args.backfill_days is not None:  # 0 is a valid (empty) backfill
         return (
             str(today - dt.timedelta(days=args.backfill_days)),
             str(today - dt.timedelta(days=1)),
         )
+    if bool(args.from_date) != bool(args.to_date):
+        # a lone flag silently falling through to the single-day default
+        # would ingest a different range than the user asked for
+        raise SystemExit("--from-date and --to-date must be given together")
     if args.from_date and args.to_date:
         return args.from_date, args.to_date
     cal = build_trading_calendar(

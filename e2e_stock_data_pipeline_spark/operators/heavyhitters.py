@@ -32,9 +32,10 @@ from pyspark.sql import functions as F
 
 def _mg_summary(values: pd.Series, k: int) -> dict:
     counters: dict = {}
-    for v in values:
-        if v is None:
-            continue
+    # dropna, not a None check: pandas renders numeric nulls as NaN, and
+    # NaN != NaN defeats dict-key equality (each occurrence would become a
+    # distinct counter key, corrupting decrements and emitting NaN rows)
+    for v in values.dropna():
         if v in counters:
             counters[v] += 1
         elif len(counters) < k:

@@ -30,6 +30,11 @@ def _staged_rewrite(df, path: str) -> None:
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)
+    # the sources.tables memo keys on path; its cached file index would be
+    # stale (FileNotFound or old rows) after this in-place swap
+    from ..sources.tables import invalidate_cache
+
+    invalidate_cache(path)
 
 
 def _dir_bytes(path: str) -> int:

@@ -94,6 +94,21 @@ def spark_readable_path(sf_dir: str, name: str) -> str:
 _DF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def invalidate_cache(path: str | None = None) -> None:
+    """Drop memoized DataFrames whose file index may be stale.
+
+    Must be called after any in-place rewrite of a parquet dir that may
+    have been loaded in this session (maintenance does this itself);
+    with no argument the whole memo is cleared.
+    """
+    if path is None:
+        _DF_CACHE.clear()
+        return
+    norm = os.path.normpath(path)
+    for key in [k for k in _DF_CACHE if os.path.normpath(k[1]) == norm]:
+        del _DF_CACHE[key]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")

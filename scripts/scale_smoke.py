@@ -79,19 +79,19 @@ def main(n_rows: int = 10_000_000) -> None:
     )
 
     n_docs = max(n_rows // 50, 1000)  # ~200k docs at the 10M default
+    # every 100th doc repeats the PREVIOUS doc's words — sparse planted
+    # near-dup pairs (1%), not identical 100-doc blocks (ADVICE r2: the
+    # old id - id%100 seed made the corpus ~99% exact duplicates and the
+    # measured candidate workload far heavier than the comment claimed)
+    seed_id = F.col("id") - F.when(
+        (F.col("id") % 100 == 0) & (F.col("id") > 0), F.lit(1)
+    ).otherwise(F.lit(0))
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
-        # 10-word docs from a 5k-word vocab; every 100th doc repeats the
-        # previous doc's words (planted near-dup pairs for the banding join)
+        # 10-word docs from a 5k-word vocab
         F.concat_ws(
             " ",
-            *[
-                F.concat(
-                    F.lit("w"),
-                    (F.xxhash64((F.col("id") - F.col("id") % 100), F.lit(j)) % 5_000),
-                )
-                for j in range(10)
-            ],
+            *[F.concat(F.lit("w"), (F.xxhash64(seed_id, F.lit(j)) % 5_000)) for j in range(10)],
         ).alias("text"),
     )
     sh = exploded_shingles(docs, distinct=False)
@@ -105,6 +105,68 @@ def main(n_rows: int = 10_000_000) -> None:
             exploded_shingles(docs), threshold=0.5, max_doc_freq=200
         ).count(),
     )
+
+    # --- skew path: zipf-ish key, one key owns 30% of all rows ----------
+    from e2e_stock_data_pipeline_spark.operators.skew import salted_join, two_phase_agg
+
+    n_dim = 100_000
+    skew = spark.range(n_rows).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_dim)))
+        .alias("k"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+    )
+    dim = spark.range(n_dim).select(
+        F.col("id").alias("k"), F.concat(F.lit("g"), F.col("id") % 7).alias("grp")
+    )
+
+    # isolate the explicit salting effect: AQE's skew-join splitting is the
+    # first-line fix and would mask it; broadcast would dodge the shuffle
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    n_salts = 32
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def hot_share(df, cols):
+        """Share of rows landing on the hottest hash-shuffle partition."""
+        return (
+            df.groupBy(F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(parts)).alias("p"))
+            .count()
+            .agg((F.max("count") / F.sum("count")).alias("s"))
+            .first()
+            .s
+        )
+
+    row_salt = F.pmod(F.hash("k", "value"), F.lit(n_salts)).cast("int")
+    print(
+        f"hot reducer share, {parts} partitions: "
+        f"plain={hot_share(skew, ['k']):.3f}  "
+        f"salted={hot_share(skew.withColumn('_salt', row_salt), ['k', '_salt']):.3f}"
+    )
+    timed(
+        f"plain shuffle join (hot key 30% of {n_rows/1e6:.0f}M)",
+        lambda: skew.join(dim, "k").count(),
+    )
+    timed(
+        f"salted join ({n_salts} salts)",
+        lambda: salted_join(skew, dim, "k", num_salts=n_salts).count(),
+    )
+    # NOTE: for ALGEBRAIC aggs (sum/count/min/max) Spark's map-side partial
+    # aggregation already collapses a hot key to one row per map task, so
+    # plain and two-phase should time alike — measured to document exactly
+    # when the explicit scatter is needed (holistic aggs, huge partial state)
+    timed(
+        "plain groupBy sum (hot key 30%)",
+        lambda: skew.groupBy("k").agg(F.sum("value").alias("total")).count(),
+    )
+    timed(
+        f"two_phase_agg sum ({n_salts} salts)",
+        lambda: two_phase_agg(skew, "k", {"total": "sum:value"}, num_salts=n_salts).count(),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
 
     # --- ANN path at 100x: hyperplane buckets over 1M vectors -----------
     from e2e_stock_data_pipeline_spark.operators.similarity import (  # noqa: E402

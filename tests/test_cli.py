@@ -80,6 +80,21 @@ class TestResolveDateRange:
         got = cli.resolve_date_range(spark, self._args(), dt.date(2026, 7, 3))
         assert got == ("2026-07-02", "2026-07-02")
 
+    def test_lone_date_flag_errors(self, spark):
+        # a lone --from-date/--to-date must not silently fall back to the
+        # single-trading-day default (ADVICE r2)
+        for kw in ({"from_date": "2026-08-01"}, {"to_date": "2026-08-05"}):
+            with pytest.raises(SystemExit, match="must be given together"):
+                cli.resolve_date_range(spark, self._args(**kw), dt.date(2026, 8, 13))
+
+    def test_backfill_days_zero_is_not_unset(self, spark):
+        # --backfill-days=0 means "empty range ending yesterday", not the
+        # trading-day default (falsy check regression, ADVICE r2)
+        got = cli.resolve_date_range(
+            spark, self._args(backfill_days=0), dt.date(2026, 8, 13)
+        )
+        assert got == ("2026-08-13", "2026-08-12")
+
 
 class TestRunEndToEnd:
     def test_prices_and_income_run(self, spark, tickers, tmp_path):
