@@ -190,6 +190,20 @@ class TestMaintenance:
         assert len(glob.glob(f"{path}/*.parquet")) == 1  # tiny data -> 1 file
         assert spark.read.parquet(path).count() == 10000
 
+    def test_staged_rewrite_invalidates_table_memo(self, spark, tmp_path):
+        # ADVICE r2: the sources.tables DataFrame memo keys on path; an
+        # in-place maintenance rewrite must evict it or later loads see a
+        # stale (deleted) file index.
+        from e2e_stock_data_pipeline_spark.pipeline.maintenance import compact
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        path = str(tmp_path / "t")
+        spark.range(1000).repartition(8).write.parquet(path)
+        key = (spark.sparkContext.applicationId, path)
+        tables._DF_CACHE[key] = spark.read.parquet(path)
+        compact(spark, path)
+        assert key not in tables._DF_CACHE  # evicted by the rewrite
+
     def test_cluster_rewrite_narrows_file_ranges(self, spark, tmp_path):
         from e2e_stock_data_pipeline_spark.pipeline.maintenance import cluster_rewrite
         from pyspark.sql import functions as F
