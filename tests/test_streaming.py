@@ -250,6 +250,89 @@ class TestLateDataPolicy:
         hour0 = out.filter(F.col("bucket_start") == base).collect()
         assert len(hour0) == 1 and hour0[0].n == 1
 
+    def test_agg_watermark_drop_is_counted_not_silent(self, spark, tmp_path):
+        """Policy: a drop must be OBSERVABLE — Spark accounts every
+        behind-watermark row in numRowsDroppedByWatermark, and the engine's
+        tests pin that contract (ARCHITECTURE.md late-data table)."""
+        import datetime as dt
+
+        src, dest, ckpt = (str(tmp_path / d) for d in ["src", "out", "ckpt"])
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def mk(rows):
+            return spark.createDataFrame(
+                [(i, t, 0, "view", 1.0, None) for i, t in rows],
+                "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+            )
+
+        from e2e_stock_data_pipeline_spark.streaming.windows import tumbling_counts
+
+        def run_once():
+            stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+            q = (
+                tumbling_counts(stream)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .option("path", dest)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sum(
+                op.get("numRowsDroppedByWatermark", 0)
+                for p in q.recentProgress
+                for op in p.get("stateOperators", [])
+            )
+
+        mk([(1, base), (2, base + dt.timedelta(hours=12))]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        assert run_once() == 0  # nothing late yet
+        mk([(3, base + dt.timedelta(hours=1))]).coalesce(1).write.mode("append").parquet(src)
+        assert run_once() >= 1  # the late row is dropped AND counted
+
+    def test_route_late_events_quarantines_not_drops(self, spark, tmp_path):
+        """The explicit quarantine form: rows a watermarked agg would drop
+        land in the late sink with lateness metadata; on-time rows pass."""
+        import datetime as dt
+
+        from e2e_stock_data_pipeline_spark.streaming.late import route_late_events
+
+        src, main, late_p, ckpt = (
+            str(tmp_path / d) for d in ["src", "main", "late", "ckpt"]
+        )
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def mk(rows):
+            return spark.createDataFrame(
+                [(i, t, 0, "view", 1.0, None) for i, t in rows],
+                "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+            )
+
+        def run_once():
+            stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+            q = route_late_events(stream, "ts", "2 hours", main, late_p, ckpt)
+            q.awaitTermination()
+
+        # batch 1: max event time 12:00 -> horizon becomes 10:00
+        mk([(1, base), (2, base + dt.timedelta(hours=12))]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
+        # batch 2: 01:00 is behind the 10:00 horizon; 13:00 is on time
+        mk(
+            [(3, base + dt.timedelta(hours=1)), (4, base + dt.timedelta(hours=13))]
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+        main_ids = {r.event_id for r in spark.read.parquet(main).collect()}
+        late_rows = spark.read.parquet(late_p).collect()
+        assert main_ids == {1, 2, 4}
+        assert {r.event_id for r in late_rows} == {3}
+        # 01:00 is 9 h behind the 10:00 horizon
+        assert late_rows[0].late_by_seconds == 9 * 3600.0
+
 
 class TestSchemaDriftEndToEnd:
     def test_drift_restart_widens_bronze(self, spark, tmp_path):
