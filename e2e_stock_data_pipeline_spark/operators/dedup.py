@@ -203,6 +203,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Cluster ids for an undirected pair graph: each node labeled with the
     minimum node id reachable from it (iterative min-label propagation,
@@ -236,6 +237,7 @@ def connected_components(
     )
     active = sym.select(F.col("src").alias("node")).distinct()
     labels = active.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -255,7 +257,16 @@ def connected_components(
         )
         labels = stepped.select("node", "label")
         if stepped.filter(F.col("chg")).limit(1).count() == 0:
+            converged = True
             break
+    if not converged and strict:
+        # partial labels are WRONG labels (a long-diameter component would
+        # split into several clusters) — surface it instead of returning them
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (graph diameter exceeds the budget); raise max_iter or "
+            "pass strict=False to accept partial labels"
+        )
     out = nodes.select(F.col(id_col)).join(
         labels.select(F.col("node").alias(id_col), "label"), id_col, "left"
     )

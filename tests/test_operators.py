@@ -290,6 +290,73 @@ class TestConnectedComponents:
         got = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
         assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
 
+    @staticmethod
+    def _union_find(n, pairs):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label: min node id in the component
+        labels = {}
+        for x in range(n):
+            r = find(x)
+            labels.setdefault(r, x)  # first x hitting r is the min (ascending scan)
+        return {x: labels[find(x)] for x in range(n)}
+
+    def test_random_graphs_match_union_find(self, spark):
+        """Property: on arbitrary random graphs the distributed min-label
+        fixpoint equals a sequential union-find reference."""
+        import random
+
+        from e2e_stock_data_pipeline_spark.operators.dedup import connected_components
+
+        for seed in range(5):
+            rng = random.Random(seed)
+            n = rng.randint(5, 40)
+            m = rng.randint(0, 2 * n)
+            pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+            pairs = [(a, b) for a, b in pairs if a != b]
+            expect = self._union_find(n, pairs)
+            nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+            edges = spark.createDataFrame(pairs or [(0, 0)], ["doc_a", "doc_b"])
+            if not pairs:
+                edges = edges.limit(0)
+            got = {
+                r.doc_id: r.cluster_id
+                for r in connected_components(nodes, edges, max_iter=n + 1).collect()
+            }
+            assert got == expect, f"seed={seed} n={n} m={len(pairs)}"
+
+    def test_chain_graph_nonconvergence_surfaces(self, spark):
+        """Min-label propagation moves the label one hop per round, so a
+        chain of 30 nodes needs ~29 rounds: max_iter=20 must RAISE (partial
+        labels are wrong labels), and a big-enough budget must solve it."""
+        import pytest
+
+        from e2e_stock_data_pipeline_spark.operators.dedup import connected_components
+
+        n = 30
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(nodes, edges, max_iter=20)
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(nodes, edges, max_iter=n).collect()
+        }
+        assert got == {i: 0 for i in range(n)}
+        # strict=False: explicit opt-in to partial labels still returns
+        partial = connected_components(nodes, edges, max_iter=5, strict=False)
+        assert partial.count() == n
+
 
 class TestAsofForward:
     def test_forward_direction(self, spark):
