@@ -124,9 +124,12 @@ def q55_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q56_dedup_clusters",
-    oracle=f"""
+# Recursive-CTE connected components over the MinHash-LSH candidate graph:
+# the DuckDB fixpoint twin of operators/dedup.connected_components. Shared
+# by q56 (per-doc labels) and q105 (cluster-size histogram, queries_ext3).
+# edges is MATERIALIZED so the recursive step joins a table instead of
+# re-inlining the whole minhash pipeline per iteration (25x faster closure).
+SQL_CLUSTER_LABELS = f"""
     WITH RECURSIVE {_SQL_SHINGLES},
     hashed AS (
       SELECT doc_id, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS h
@@ -138,8 +141,6 @@ def q55_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(((seed * 2 + 1) * h + (seed * 7919 + 13)) % 268435399) AS sig
       FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed
     ),
-    -- MATERIALIZED so the recursive step joins a table, not a re-inlined
-    -- rerun of the whole minhash pipeline (25x faster closure)
     edges AS MATERIALIZED (
       SELECT a.doc_id AS src, b.doc_id AS dst
       FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id <> b.doc_id
@@ -150,10 +151,17 @@ def q55_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
     ),
-    labels AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
-    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-    FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
-    """,
+    labels AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    )
+"""
+
+
+@query(
+    "q56_dedup_clusters",
+    oracle=f"{SQL_CLUSTER_LABELS} SELECT doc_id, cluster_id FROM assigned",
     doc="Near-dup cluster assignment: connected components over the "
     "MinHash-LSH candidate graph via iterative min-label propagation "
     "(each doc gets its cluster's minimum doc_id). The oracle computes "
