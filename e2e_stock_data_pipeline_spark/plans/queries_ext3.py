@@ -495,3 +495,141 @@ def q106_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term_fp").cast("bigint").alias("bm25_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q107: context packing — assign docs to fixed-token training packs via a
+# windowed running sum (the "sequence packing" step before tokenized
+# shards are written). Sharded so the window never becomes one global
+# partition: each shard packs independently, exactly how a 1000-executor
+# job would run one packer per shard.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q107_context_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // 512 AS pack_id
+    FROM c
+    """,
+    doc="Sequence packing for LLM training shards: per-shard running token "
+    "sum assigns each doc a 512-token pack id (first-fit in doc order). "
+    "The shard key keeps the window partitioned — no global sort; one "
+    "shuffle on shard.",
+    tags=("text", "packing", "window", "ext"),
+)
+def q107_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(_words()).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint")).withColumn(
+        "pack_id", F.expr("(cum_tokens - n_tokens) DIV 512")
+    )
+
+
+# --------------------------------------------------------------------------
+# q108: correlated-subquery decorrelation — customers above their
+# nation's average balance (classic Catalyst rewrite: the correlated
+# scalar subquery becomes an aggregate + equi-join).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q108_above_nation_avg",
+    oracle="""
+    WITH na AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS nation_avg
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal, na.nation_avg
+    FROM customer c JOIN na ON c.c_nationkey = na.c_nationkey
+    WHERE c.c_acctbal > na.nation_avg
+    """,
+    doc="Customers with balance above their nation's mean — the "
+    "decorrelated form of a correlated scalar subquery (one agg + one "
+    "equi-join, agg side broadcast). Mean = exact decimal sum cast to "
+    "double over count, the engine's cross-engine AVG recipe.",
+    tags=("join", "agg", "subquery"),
+)
+def q108_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    na = c.groupBy(F.col("c_nationkey").alias("_nk")).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "nation_avg"
+        )
+    )
+    return (
+        c.join(F.broadcast(na), c.c_nationkey == F.col("_nk"))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "nation_avg")
+    )
+
+
+# --------------------------------------------------------------------------
+# q109: exact distributed median per group — no percentile_approx, no
+# engine-specific interpolation: row_number + count pick the middle
+# element(s) deterministically in both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q109_exact_group_median",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MAX(cnt) AS BIGINT) AS n_rows,
+           SUM(l_quantity) / CAST(COUNT(*) AS DOUBLE) AS median_qty
+    FROM r
+    WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+    GROUP BY l_returnflag
+    """,
+    doc="Exact median per group without percentile_approx: rank rows with "
+    "a fully-deterministic tiebreak, keep the middle one (odd) or two "
+    "(even), average them. The 1-2 row sum per group is FP-deterministic; "
+    "identical construction in both engines, so values hash-match — the "
+    "pattern to reach exact quantiles at any scale (one shuffle + window).",
+    tags=("window", "agg", "median"),
+)
+def q109_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    wc = Window.partitionBy("l_returnflag")
+    r = l.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    mid = r.filter(
+        (F.col("rn") == F.expr("(cnt + 1) DIV 2")) | (F.col("rn") == F.expr("(cnt + 2) DIV 2"))
+    )
+    return mid.groupBy("l_returnflag").agg(
+        F.max("cnt").cast("bigint").alias("n_rows"),
+        (F.sum("l_quantity") / F.count(F.lit(1)).cast("double")).alias("median_qty"),
+    )
