@@ -6,9 +6,10 @@ this engine, offline (echo transport, no network), in one run:
 ingest (Spark DataSource, executor-side fetch) -> bronze file stream
 (checkpointed, lineage columns) -> silver merge-upsert (keep-newest)
 -> gold window features (one shuffle) -> dedup + text quality over the
-documents table -> run-metrics JSON. Prints a one-line summary per
-stage; everything it calls is the same code the 95 registered queries
-and the test suite exercise.
+documents table -> curation (quality gate -> training packs) ->
+run-metrics JSON. Prints a one-line summary per stage; everything it
+calls is the same code the 112 registered queries and the test suite
+exercise.
 """
 
 from __future__ import annotations
@@ -103,6 +104,18 @@ def main(workdir: str | None = None) -> int:
     )
     print(f"[6 dedup    ] {cands.count()} MinHash-LSH candidate pairs over "
           f"{docs.count()} docs at sf0.001")
+
+    # 6b. curation: quality gate -> sequence packing (the training-shard
+    # plan a data pipeline hands to the tokenizer)
+    from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules
+
+    reg = load_all_query_modules()
+    keep = reg["q89_gopher_rules"].spark(spark, SF).filter(F.col("keep")).select("doc_id")
+    packs = reg["q107_context_packing"].spark(spark, SF)
+    plan = keep.join(packs, "doc_id")
+    n_packs = plan.select("shard", "pack_id").distinct().count()
+    print(f"[6b curate  ] {plan.count()} docs pass the Gopher gate -> "
+          f"{n_packs} 512-token training packs")
 
     # 7. run metrics JSON
     path = write_run_metrics(

@@ -168,6 +168,57 @@ def main(n_rows: int = 10_000_000) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
 
+    # --- curation tier at 100x: bigram-LM NLL + packing over 200k docs --
+    bg = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(element_at(split(text, ' '), i), ' ', "
+                "element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    pair_c = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_pair"))
+    head_c = (
+        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_head"))
+    )
+    nll = F.floor(
+        -F.log(F.col("c_pair").cast("double") / F.col("c_head").cast("double")) * 1000000
+    ).cast("bigint")
+    timed(
+        f"bigram-LM NLL scoring ({n_docs/1e3:.0f}k docs)",
+        lambda: bg.join(pair_c, "bigram")
+        .join(head_c, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"))
+        .select("doc_id", nll.alias("nll_fp"))
+        .groupBy("doc_id")
+        .agg(F.sum("nll_fp").alias("t"))
+        .count(),
+    )
+
+    from pyspark.sql import Window  # noqa: E402
+
+    wpack = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 256).alias("shard"),
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(wpack))
+        .withColumn("pack_id", F.expr("(cum - n_tokens) DIV 512"))
+    )
+    timed(
+        f"context packing ({n_docs/1e3:.0f}k docs, 256 shards)",
+        lambda: packed.count(),
+    )
+
     # --- ANN path at 100x: hyperplane buckets over 1M vectors -----------
     from e2e_stock_data_pipeline_spark.operators.similarity import (  # noqa: E402
         hyperplane_lsh_buckets,
