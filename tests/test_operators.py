@@ -278,6 +278,49 @@ class TestIvf:
         assert len(approx & exact) >= int(0.8 * len(exact))
 
 
+class TestProductQuantization:
+    def test_pq_recall_on_planted_duplicates(self, spark):
+        import numpy as np
+
+        from e2e_stock_data_pipeline_spark.operators.pq import (
+            pq_encode,
+            pq_fit_codebooks,
+            pq_topk,
+        )
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(40, 16))
+        # candidates = 40 random + near-copies of the 5 query vectors
+        vecs = list(base) + [v + rng.normal(scale=0.01, size=16) for v in base[:5]]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+        )
+        queries = df.filter(F.col("vec_id") < 5)
+        cands = df.filter(F.col("vec_id") >= 5)
+        books = pq_fit_codebooks(cands, m=4, k=8, dim=16)
+        assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+        enc = pq_encode(cands, books)
+        rows = enc.collect()
+        assert all(len(r.codes) == 4 for r in rows)
+        top = pq_topk(queries, enc, books, k_top=1).collect()
+        got = {r.query_id: r.cand_id for r in top}
+        # each query's planted near-copy (vec_id 40+i) reconstructs closest
+        hits = sum(1 for qid, cid in got.items() if cid == 40 + qid)
+        assert hits >= 4  # >= 80% top-1 recall on planted duplicates
+
+    def test_pq_encode_deterministic(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.pq import pq_encode, pq_fit_codebooks
+
+        df = spark.createDataFrame(
+            [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(20)],
+            ["vec_id", "embedding"],
+        )
+        books = pq_fit_codebooks(df, m=2, k=4, dim=8)
+        a = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+        b = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+        assert a == b
+
+
 class TestConnectedComponents:
     def test_known_clusters(self, spark):
         from e2e_stock_data_pipeline_spark.operators.dedup import connected_components
