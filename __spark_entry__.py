@@ -42,13 +42,29 @@ _DEFAULT_COST = 0.5  # queries added after the last cost sweep run early
 
 
 def _driver_rows_seen() -> set[str]:
-    """Query names holding a row in any prior round's CORRECTNESS file."""
+    """Query names holding a GREEN row in any prior round's CORRECTNESS file.
+
+    Error / non-matching rows (e.g. a stale ``err: no_oracle`` recorded before
+    the query gained an oracle) do NOT count as seen, so those queries re-run
+    first and can re-earn a green row in a later round.
+    """
     seen: set[str] = set()
     for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
         try:
-            seen.update(json.loads(path.read_text()))
+            rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                seen.add(name)  # unknown shape: assume checked
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and row.get("err") is None
+            ):
+                seen.add(name)
     return seen
 
 
