@@ -3,17 +3,24 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
-     "queries": {"q01_pricing_summary": <sec>, ...}, "sf": 0.1}
+     "queries": {"q01_pricing_summary": <sec>, ...}, "sf": 0.1,
+     "runs": 3, "totals": [<sec>, ...], "spread": {"min": ..., "max": ...}}
 
 Each query is forced end-to-end with a noop sink (full column
-materialization, no driver collect). One untimed warmup query first so
-JVM/codegen startup doesn't pollute the numbers.
+materialization, no driver collect). One untimed warmup pass first so
+JVM/codegen startup doesn't pollute the numbers, then
+$SPARK_GRAFT_BENCH_RUNS (default 3) timed passes; the reported per-query
+number and total are the MEDIAN across passes, with per-pass totals and
+min/max spread in the same JSON line so a single-round artifact carries
+its own variance evidence (a 30% swing between rounds can be judged
+against the in-run spread instead of guessed at).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -28,6 +35,7 @@ def force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
     except ValueError:
@@ -46,12 +54,19 @@ def main() -> None:
     for spec in headline.values():
         force(spec.spark(spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for name, spec in headline.items():
-        t0 = time.perf_counter()
-        force(spec.spark(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    totals: list[float] = []
+    for _ in range(runs):
+        pass_total = 0.0
+        for name, spec in headline.items():
+            t0 = time.perf_counter()
+            force(spec.spark(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            pass_total += dt
+        totals.append(round(pass_total, 3))
 
+    timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -61,6 +76,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
+                "totals": totals,
+                "spread": {"min": min(totals), "max": max(totals)},
             }
         )
     )
