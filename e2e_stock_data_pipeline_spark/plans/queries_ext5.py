@@ -1,0 +1,322 @@
+"""Round-6 [EXT] additions: dataset-assembly and distribution-analysis
+stages of a large-scale training pipeline, plus two engine-surface
+shapes (exact interpolated percentiles, order-dependent sequential
+folds) the registry did not yet cover —
+
+* deterministic train/val/test split by portable hash (q113): the
+  reproducible, join-free split every training pipeline needs; the
+  same document lands in the same split on every engine and every run;
+* per-document token-distribution entropy (q114): low-entropy docs are
+  keyboard-mash / template spam, the classic cheap quality signal;
+* exact interpolated per-group percentiles (q115): percentile_cont
+  semantics, the correctness anchor for approx_percentile at scale;
+* per-source KL divergence vs the corpus distribution (q116): source
+  drift scoring for data mixing — which sources look least like the
+  corpus you want to train on;
+* one-row corpus card (q117): the dataset-datasheet numbers (docs,
+  tokens, langs, dedup rate) produced in a single pass;
+* per-key exponential moving average via a sequential fold (q118): the
+  recursive y_t = a*x_t + (1-a)*y_{t-1} no SQL window frame can
+  express, done as a Catalyst higher-order `aggregate` over the
+  sorted series (DuckDB `list_reduce` is the bit-identical oracle).
+
+Cross-engine exactness rules (see plans/registry.py): integer outputs
+wherever possible; ln-based scores go through the q98 fixed-point
+convention (each double term floored to micro-nats BEFORE the integer
+sum, with the expression tree written identically on both sides);
+the EMA fold runs the identical sequence of IEEE double ops in both
+engines, so even the raw doubles hash-match.
+
+Reference parity: the reference's Spark tier has no dataset-assembly
+stage (its gold layer is MAs/volatility: docs/databricks_setup.md);
+these follow the public recipes (GPT-3 §2.2 / The Pile §1 hash-based
+splits, Gopher quality signals, data-mixing KL scoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..sources import tables
+from .registry import query
+
+_WORDS = "split(trim(text), ' +')"
+_SQL_WORDS = "regexp_split_to_array(trim(text), ' +')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# q113: deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q113_hash_split",
+    oracle=f"""
+    SELECT CASE WHEN {portable_hash64_sql("doc_id", seed=42)} % 100 < 90 THEN 'train'
+                WHEN {portable_hash64_sql("doc_id", seed=42)} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_SQL_WORDS})) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY split
+    """,
+    doc="90/5/5 train/val/test split assigned by a seeded portable hash "
+    "of the stable doc_id — no RNG, no global sort, no state: any "
+    "engine, any partitioning, any day reproduces the same split. Pure "
+    "map-side expression + one aggregation on a 3-value key.",
+    tags=("ext", "curation", "split"),
+)
+def q113_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = portable_hash64("doc_id", seed=42) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            split.alias("split"),
+            F.expr(f"size({_WORDS})").alias("_nw"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nw").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q114: per-document token entropy
+# --------------------------------------------------------------------------
+
+# One fixed-point micro-nat term per distinct (doc, word): the entropy
+# contribution (c/N) * ln(N/c), floored BEFORE the integer sum so both
+# engines hash-match (q98 convention). The expression text is shared
+# verbatim between the Spark plan and the oracle.
+_ENT_TERM = (
+    "CAST(floor((CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)) "
+    "* ln(CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "q114_token_entropy",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents
+    ),
+    c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+    n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct
+          FROM c GROUP BY doc_id)
+    SELECT c.doc_id, n.n_tokens, n.n_distinct,
+           CAST(SUM({_ENT_TERM}) AS BIGINT) AS entropy_fp
+    FROM c JOIN n ON c.doc_id = n.doc_id
+    GROUP BY c.doc_id, n.n_tokens, n.n_distinct
+    """,
+    doc="Shannon entropy of each document's word distribution in "
+    "fixed-point micro-nats — near-zero entropy flags repeated-token "
+    "spam (Gopher-style repetition signals' information-theoretic "
+    "cousin). Two keyed aggregations (doc,word)->(doc); the per-doc "
+    "total rides along in the group key instead of a second join "
+    "shuffle.",
+    tags=("ext", "text", "quality"),
+)
+def q114_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_WORDS)).alias("word")
+    )
+    c = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    return (
+        c.join(n, "doc_id")
+        .select("doc_id", "n_tokens", "n_distinct", F.expr(_ENT_TERM).alias("t"))
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.sum("t").cast("bigint").alias("entropy_fp"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q115: exact interpolated per-group percentiles
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q115_percentile_interp",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact percentile_cont(0.25/0.5/0.75) per return flag. The "
+    "interpolation position (n-1)*p and the blend lo+(hi-lo)*frac are "
+    "dyadic-exact for these p, so Spark `percentile` and DuckDB "
+    "`quantile_cont` agree bit-for-bit. Exact percentile holds each "
+    "group's values in the aggregator: the correctness anchor — at the "
+    "100 TB point use approx_percentile or the two-pass exact median "
+    "pattern (q109).",
+    tags=("ext", "agg", "baseline"),
+    scale_twin="q109_exact_group_median",
+)
+def q115_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_extendedprice, 0.25D)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.75D)").alias("p75"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q116: per-source KL divergence vs the corpus distribution
+# --------------------------------------------------------------------------
+
+# KL(P_source || P_corpus) = sum_w (c_sw/N_s) * ln((c_sw*N)/(N_s*c_w)),
+# one fixed-point micro-nat term per (source, word), q98 convention.
+_KL_TERM = (
+    "CAST(floor((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)) "
+    "* ln((CAST(c_sw AS DOUBLE) * CAST(n AS DOUBLE)) "
+    "/ (CAST(n_s AS DOUBLE) * CAST(c_w AS DOUBLE))) * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "q116_source_kl_divergence",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, unnest({_SQL_WORDS}) AS word FROM documents
+    ),
+    sw AS (SELECT source, word, COUNT(*) AS c_sw FROM w GROUP BY source, word),
+    s AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+    cw AS (SELECT word, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY word),
+    tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw)
+    SELECT sw.source, s.n_s AS n_tokens,
+           CAST(SUM({_KL_TERM}) AS BIGINT) AS kl_fp
+    FROM sw JOIN s ON sw.source = s.source
+            JOIN cw ON sw.word = cw.word
+            CROSS JOIN tot
+    GROUP BY sw.source, s.n_s
+    """,
+    doc="Data-mixing drift score: KL(source || corpus) over word "
+    "distributions, fixed-point micro-nats. One (source,word) "
+    "aggregation feeds everything; the per-source and corpus totals "
+    "are derived re-aggregations of it (no second pass over the text); "
+    "the word-marginal join is the only wide shuffle, keyed on word. "
+    "Source and grand totals broadcast.",
+    tags=("ext", "text", "mixing"),
+)
+def q116_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _docs(spark, sf_dir).select(
+        "source", F.explode(F.expr(_WORDS)).alias("word")
+    )
+    sw = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    s = sw.groupBy("source").agg(F.sum("c_sw").cast("bigint").alias("n_s"))
+    cw = sw.groupBy("word").agg(F.sum("c_sw").cast("bigint").alias("c_w"))
+    tot = cw.agg(F.sum("c_w").cast("bigint").alias("n"))
+    return (
+        sw.join(F.broadcast(s), "source")
+        .join(cw, "word")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "n_s", F.expr(_KL_TERM).alias("t"))
+        .groupBy("source", "n_s")
+        .agg(F.sum("t").cast("bigint").alias("kl_fp"))
+        .select("source", F.col("n_s").alias("n_tokens"), "kl_fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# q117: one-row corpus card
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q117_corpus_card",
+    oracle=f"""
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(len({_SQL_WORDS})) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT sha256(text)) AS n_unique_texts
+    FROM documents
+    """,
+    doc="Dataset-datasheet numbers in one scan: volume, vocabulary of "
+    "provenance (langs/sources), and the exact-dup rate via distinct "
+    "content hash — n_docs minus n_unique_texts is the dedup "
+    "opportunity. Single aggregation, three distinct sub-aggregates "
+    "(Spark expands to one partial-agg pass per distinct; all keyed, "
+    "no driver work).",
+    tags=("ext", "curation", "audit"),
+)
+def q117_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(f"size({_WORDS})")).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.sha2("text", 256)).alias("n_unique_texts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q118: per-key EMA via sequential fold
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q118_ema_smoothing",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_obs,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> 0.25::DOUBLE * x + 0.75::DOUBLE * acc)
+             AS ema
+    FROM events GROUP BY user_id
+    """,
+    doc="Exponential moving average y_t = 0.25*x_t + 0.75*y_(t-1) per "
+    "series — the recursive smoother window frames cannot express "
+    "(reference gold layer stops at simple MAs: "
+    "docs/databricks_setup.md:216-226). Catalyst higher-order "
+    "`aggregate` folds the (ts,event_id)-sorted series left-to-right; "
+    "DuckDB's list_reduce runs the identical IEEE op sequence, so the "
+    "raw doubles hash-match with no fixed-point fuzz. Memory is "
+    "O(series length) per key — bounded for per-symbol bar series; "
+    "for unbounded keys the applyInPandas route applies.",
+    tags=("ext", "window", "fold"),
+)
+def q118_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    vals = F.expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, value))), r -> r.value)"
+    )
+    ema = F.expr(
+        "CASE WHEN size(_vals) = 1 THEN element_at(_vals, 1) "
+        "ELSE aggregate(slice(_vals, 2, size(_vals) - 1), "
+        "element_at(_vals, 1), (acc, x) -> 0.25D * x + 0.75D * acc) END"
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_obs"), vals.alias("_vals"))
+        .select("user_id", "n_obs", ema.alias("ema"))
+    )

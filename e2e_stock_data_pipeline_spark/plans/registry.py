@@ -84,5 +84,6 @@ def load_all_query_modules() -> dict[str, QuerySpec]:
     from . import queries_streaming  # noqa: F401
     from . import queries_ext3  # noqa: F401
     from . import queries_ext4  # noqa: F401
+    from . import queries_ext5  # noqa: F401
 
     return REGISTRY

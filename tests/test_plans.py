@@ -95,12 +95,17 @@ def test_registry_names_and_oracle_coverage():
 
 
 def test_quadratic_baselines_name_scale_safe_twins():
-    """Deliberately quadratic correctness anchors (all-pairs / uncapped
-    self-joins) must be tagged "baseline" and name a registered scale-safe
-    twin, so nobody can mistake them for the production path. The twin must
-    not itself be a baseline."""
+    """Deliberately scale-unsafe correctness anchors (all-pairs /
+    uncapped self-joins / whole-group-in-memory aggregates) must be
+    tagged "baseline" and name a registered scale-safe twin, so nobody
+    can mistake them for the production path. The twin must not itself
+    be a baseline."""
     baselines = {n: s for n, s in REGISTRY.items() if "baseline" in s.tags}
-    assert set(baselines) == {"q50_cosine_neardup_pairs", "q42_ngram_jaccard"}
+    assert set(baselines) == {
+        "q50_cosine_neardup_pairs",
+        "q42_ngram_jaccard",
+        "q115_percentile_interp",
+    }
     for name, spec in baselines.items():
         assert spec.scale_twin, f"{name}: baseline without a scale_twin"
         twin = REGISTRY.get(spec.scale_twin)
