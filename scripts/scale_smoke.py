@@ -236,6 +236,60 @@ def main(n_rows: int = 10_000_000) -> None:
         lambda: hyperplane_lsh_buckets(vecs, dim=16).count(),
     )
 
+    # --- round-6 distribution tier at 100x: entropy + KL over the word
+    # explode path (the (doc,word)/(source,word) shuffles are the cost) --
+    words = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 20).cast("string").alias("source"),
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    )
+    ent_c = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    ent_n = ent_c.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
+    term = (
+        F.floor(
+            (F.col("c").cast("double") / F.col("n_tokens"))
+            * F.log(F.col("n_tokens").cast("double") / F.col("c"))
+            * 1000000
+        ).cast("bigint")
+    )
+    timed(
+        f"token entropy ({n_docs/1e3:.0f}k docs)",
+        lambda: ent_c.join(ent_n, "doc_id")
+        .select("doc_id", term.alias("t"))
+        .groupBy("doc_id")
+        .agg(F.sum("t").alias("entropy_fp"))
+        .count(),
+    )
+    sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    cw = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    tot = cw.agg(F.sum("c_w").alias("n"))
+    timed(
+        f"source KL divergence ({n_docs/1e3:.0f}k docs, 20 sources)",
+        lambda: sw.join(F.broadcast(s_tot), "source")
+        .join(cw, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .count(),
+    )
+
+    # --- round-6 EMA fold at 100x: 10k keys x ~1k obs/key ---------------
+    ema_vals = F.expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, value))), r -> r.value)"
+    )
+    ema = F.expr(
+        "aggregate(slice(_vals, 2, size(_vals) - 1), element_at(_vals, 1), "
+        "(acc, x) -> 0.25D * x + 0.75D * acc)"
+    )
+    timed(
+        f"EMA fold ({n_rows/1e6:.0f}M obs, 10k keys)",
+        lambda: ev.groupBy("user_id")
+        .agg(ema_vals.alias("_vals"))
+        .select("user_id", ema.alias("ema"))
+        .count(),
+    )
+
     spark.stop()
 
 
