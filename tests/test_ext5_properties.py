@@ -1,0 +1,127 @@
+"""Semantic properties of the round-6 queries (q113–q118) that the
+oracle's value-hash equality cannot express: partitioning invariance of
+the hash split, information-theoretic bounds on entropy/KL, and the
+convexity/order-sensitivity of the EMA fold.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules
+
+REG = load_all_query_modules()
+
+
+def _run(name, spark, sf_dir):
+    return REG[name].spark(spark, sf_dir)
+
+
+class TestHashSplit:
+    def test_split_fractions_and_totals(self, spark, sf_dir):
+        rows = {r["split"]: r for r in _run("q113_hash_split", spark, sf_dir).collect()}
+        assert set(rows) == {"train", "val", "test"}
+        n = sum(r["n_docs"] for r in rows.values())
+        # seeded-hash split: expect ~90/5/5 with binomial slack on 500 docs
+        assert 0.82 <= rows["train"]["n_docs"] / n <= 0.96
+        assert rows["val"]["n_docs"] / n <= 0.12
+        assert rows["test"]["n_docs"] / n <= 0.12
+
+    def test_split_is_partitioning_invariant(self, spark, sf_dir):
+        """The same doc lands in the same split regardless of how the
+        input is partitioned — the property RNG-based splits lose."""
+        base = _run("q113_hash_split", spark, sf_dir)
+        from e2e_stock_data_pipeline_spark.functions.hashing import portable_hash64
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        docs = tables.load(spark, sf_dir, "documents").repartition(17, "lang")
+        bucket = portable_hash64("doc_id", seed=42) % 100
+        split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+        again = docs.groupBy(split.alias("split")).agg(F.count(F.lit(1)).alias("n_docs"))
+        assert sorted((r["split"], r["n_docs"]) for r in again.collect()) == sorted(
+            (r["split"], r["n_docs"]) for r in base.select("split", "n_docs").collect()
+        )
+
+
+class TestEntropyBounds:
+    def test_entropy_within_information_bounds(self, spark, sf_dir):
+        """0 <= H <= ln(n_distinct), in micro-nats, modulo the per-term
+        floor (at most 1 micro-nat lost per distinct word)."""
+        for r in _run("q114_token_entropy", spark, sf_dir).collect():
+            upper = math.log(max(r["n_distinct"], 1)) * 1_000_000
+            assert -r["n_distinct"] <= r["entropy_fp"] <= upper + r["n_distinct"]
+
+    def test_single_word_doc_has_zero_entropy(self, spark):
+        from e2e_stock_data_pipeline_spark.plans.queries_ext5 import _ENT_TERM
+
+        df = spark.createDataFrame([(7, 7)], "c long, n_tokens long")
+        assert df.select(F.expr(_ENT_TERM).alias("t")).first()["t"] == 0
+
+
+class TestKLBounds:
+    def test_kl_nonnegative_and_zero_for_corpus_itself(self, spark, sf_dir):
+        """Gibbs' inequality: KL(P_s || P_corpus) >= 0 (modulo the floor,
+        which can shave at most 1 micro-nat per distinct term)."""
+        rows = _run("q116_source_kl_divergence", spark, sf_dir).collect()
+        assert len(rows) >= 2
+        for r in rows:
+            # slack: one micro-nat per possible term; n_tokens bounds terms
+            assert r["kl_fp"] >= -r["n_tokens"]
+        assert any(r["kl_fp"] > 0 for r in rows)
+
+
+class TestEmaFold:
+    def test_ema_is_convex_combination(self, spark, sf_dir):
+        """min(series) <= EMA <= max(series) for every key."""
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        bounds = (
+            tables.load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        )
+        joined = _run("q118_ema_smoothing", spark, sf_dir).join(bounds, "user_id")
+        bad = joined.filter((F.col("ema") < F.col("lo")) | (F.col("ema") > F.col("hi")))
+        assert bad.count() == 0
+
+    def test_ema_depends_on_order(self, spark):
+        """Reversing the series changes the EMA — the property that rules
+        out implementing this with an order-free aggregate."""
+        fwd = [(1, i, float(i)) for i in range(10)]
+        rev = [(1, i, float(9 - i)) for i in range(10)]
+        out = {}
+        for tag, data in [("fwd", fwd), ("rev", rev)]:
+            df = spark.createDataFrame(data, "user_id long, event_id long, value double")
+            df = df.withColumn("ts", F.timestamp_micros(F.col("event_id") * 1_000_000))
+            vals = F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, value))), r -> r.value)"
+            )
+            ema = F.expr(
+                "aggregate(slice(_vals, 2, size(_vals) - 1), element_at(_vals, 1), "
+                "(acc, x) -> 0.25D * x + 0.75D * acc)"
+            )
+            out[tag] = (
+                df.groupBy("user_id").agg(vals.alias("_vals")).select(ema.alias("e")).first()["e"]
+            )
+        assert out["fwd"] != out["rev"]
+        # late observations dominate: rising series ends high, falling low
+        assert out["fwd"] > out["rev"]
+
+
+class TestPercentileAnchors:
+    def test_percentiles_are_ordered_and_bounded(self, spark, sf_dir):
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        li = tables.load(spark, sf_dir, "lineitem")
+        lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+        for r in _run("q115_percentile_interp", spark, sf_dir).collect():
+            assert lo <= r["p25"] <= r["p50"] <= r["p75"] <= hi
+
+    def test_corpus_card_consistency(self, spark, sf_dir):
+        r = _run("q117_corpus_card", spark, sf_dir).first()
+        assert r["n_unique_texts"] <= r["n_docs"]
+        assert r["n_tokens"] <= r["total_chars"]
+        assert r["n_langs"] >= 1 and r["n_sources"] >= 1
