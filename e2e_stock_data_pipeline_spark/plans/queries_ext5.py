@@ -101,13 +101,17 @@ def q113_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q114: per-document token entropy
 # --------------------------------------------------------------------------
 
-# One fixed-point micro-nat term per distinct (doc, word): the entropy
-# contribution (c/N) * ln(N/c), floored BEFORE the integer sum so both
-# engines hash-match (q98 convention). The expression text is shared
-# verbatim between the Spark plan and the oracle.
-_ENT_TERM = (
-    "CAST(floor((CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)) "
-    "* ln(CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"
+# Join-free decomposition: H = ln(N) - (sum_w c*ln(c)) / N. One
+# fixed-point micro-nat term per distinct (doc, word), floored BEFORE
+# the integer sum so both engines hash-match (q98 convention); the
+# final combine is one identical double expression on exact bigints.
+# The expression text is shared verbatim between plan and oracle.
+_ENT_WORD_TERM = (
+    "CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"
+)
+_ENT_FINAL = (
+    "CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 "
+    "- CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT)"
 )
 
 
@@ -119,19 +123,18 @@ _ENT_TERM = (
     ),
     c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
     n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-                 COUNT(*) AS n_distinct
+                 COUNT(*) AS n_distinct,
+                 CAST(SUM({_ENT_WORD_TERM}) AS BIGINT) AS s
           FROM c GROUP BY doc_id)
-    SELECT c.doc_id, n.n_tokens, n.n_distinct,
-           CAST(SUM({_ENT_TERM}) AS BIGINT) AS entropy_fp
-    FROM c JOIN n ON c.doc_id = n.doc_id
-    GROUP BY c.doc_id, n.n_tokens, n.n_distinct
+    SELECT doc_id, n_tokens, n_distinct, {_ENT_FINAL} AS entropy_fp
+    FROM n
     """,
     doc="Shannon entropy of each document's word distribution in "
     "fixed-point micro-nats — near-zero entropy flags repeated-token "
     "spam (Gopher-style repetition signals' information-theoretic "
-    "cousin). Two keyed aggregations (doc,word)->(doc); the per-doc "
-    "total rides along in the group key instead of a second join "
-    "shuffle.",
+    "cousin). H = ln(N) - (sum c*ln c)/N, so the plan is one scan and "
+    "exactly two keyed aggregations (doc,word)->(doc): no self-join, "
+    "no second pass over the text.",
     tags=("ext", "text", "quality"),
 )
 def q114_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,12 +145,10 @@ def q114_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = c.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.expr(_ENT_WORD_TERM)).cast("bigint").alias("s"),
     )
-    return (
-        c.join(n, "doc_id")
-        .select("doc_id", "n_tokens", "n_distinct", F.expr(_ENT_TERM).alias("t"))
-        .groupBy("doc_id", "n_tokens", "n_distinct")
-        .agg(F.sum("t").cast("bigint").alias("entropy_fp"))
+    return n.select(
+        "doc_id", "n_tokens", "n_distinct", F.expr(_ENT_FINAL).alias("entropy_fp")
     )
 
 
@@ -190,12 +191,18 @@ def q115_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q116: per-source KL divergence vs the corpus distribution
 # --------------------------------------------------------------------------
 
-# KL(P_source || P_corpus) = sum_w (c_sw/N_s) * ln((c_sw*N)/(N_s*c_w)),
-# one fixed-point micro-nat term per (source, word), q98 convention.
-_KL_TERM = (
-    "CAST(floor((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)) "
-    "* ln((CAST(c_sw AS DOUBLE) * CAST(n AS DOUBLE)) "
-    "/ (CAST(n_s AS DOUBLE) * CAST(c_w AS DOUBLE))) * 1000000) AS BIGINT)"
+# Linear decomposition: KL(P_s || P_corpus)
+#   = (sum_w c_sw*ln(c_sw) - sum_w c_sw*ln(c_w)) / N_s + ln(N / N_s)
+# so the corpus word-marginal c_w arrives via a word-partitioned window
+# over the (source,word) counts — no self-join, no second pass over the
+# text, and the whole query is one linear pipeline of keyed exchanges.
+# Per-(source,word) terms are floored micro-nats (q98 convention); the
+# final combine is one identical double expression on exact bigints.
+_KL_U = "CAST(floor(CAST(c_sw AS DOUBLE) * ln(CAST(c_sw AS DOUBLE)) * 1000000) AS BIGINT)"
+_KL_V = "CAST(floor(CAST(c_sw AS DOUBLE) * ln(CAST(c_w AS DOUBLE)) * 1000000) AS BIGINT)"
+_KL_FINAL = (
+    "CAST(floor((CAST(su AS DOUBLE) - CAST(sv AS DOUBLE)) / CAST(n_tokens AS DOUBLE) "
+    "+ ln(CAST(n AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)"
 )
 
 
@@ -206,40 +213,55 @@ _KL_TERM = (
       SELECT source, unnest({_SQL_WORDS}) AS word FROM documents
     ),
     sw AS (SELECT source, word, COUNT(*) AS c_sw FROM w GROUP BY source, word),
-    s AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
-    cw AS (SELECT word, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY word),
-    tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw)
-    SELECT sw.source, s.n_s AS n_tokens,
-           CAST(SUM({_KL_TERM}) AS BIGINT) AS kl_fp
-    FROM sw JOIN s ON sw.source = s.source
-            JOIN cw ON sw.word = cw.word
-            CROSS JOIN tot
-    GROUP BY sw.source, s.n_s
+    marg AS (
+      SELECT source, c_sw,
+             CAST(SUM(c_sw) OVER (PARTITION BY word) AS BIGINT) AS c_w
+      FROM sw
+    ),
+    per_s AS (
+      SELECT source,
+             CAST(SUM(c_sw) AS BIGINT) AS n_tokens,
+             CAST(SUM({_KL_U}) AS BIGINT) AS su,
+             CAST(SUM({_KL_V}) AS BIGINT) AS sv
+      FROM marg GROUP BY source
+    )
+    SELECT source, n_tokens, {_KL_FINAL} AS kl_fp
+    FROM per_s CROSS JOIN (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n FROM per_s) t
     """,
     doc="Data-mixing drift score: KL(source || corpus) over word "
-    "distributions, fixed-point micro-nats. One (source,word) "
-    "aggregation feeds everything; the per-source and corpus totals "
-    "are derived re-aggregations of it (no second pass over the text); "
-    "the word-marginal join is the only wide shuffle, keyed on word. "
-    "Source and grand totals broadcast.",
+    "distributions, fixed-point micro-nats. Decomposed so the corpus "
+    "marginal is a word-partitioned window over the (source,word) "
+    "counts: one scan, three keyed exchanges (source+word, word, "
+    "source), zero joins against recomputed subplans. The grand total "
+    "comes from the checkpointed per-source result (rows = #sources), "
+    "so nothing upstream runs twice.",
     tags=("ext", "text", "mixing"),
 )
 def q116_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     w = _docs(spark, sf_dir).select(
         "source", F.explode(F.expr(_WORDS)).alias("word")
     )
     sw = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
-    s = sw.groupBy("source").agg(F.sum("c_sw").cast("bigint").alias("n_s"))
-    cw = sw.groupBy("word").agg(F.sum("c_sw").cast("bigint").alias("c_w"))
-    tot = cw.agg(F.sum("c_w").cast("bigint").alias("n"))
+    marg = sw.select(
+        "source",
+        "c_sw",
+        F.sum("c_sw").over(Window.partitionBy("word")).cast("bigint").alias("c_w"),
+    )
+    per_s = marg.groupBy("source").agg(
+        F.sum("c_sw").cast("bigint").alias("n_tokens"),
+        F.sum(F.expr(_KL_U)).cast("bigint").alias("su"),
+        F.sum(F.expr(_KL_V)).cast("bigint").alias("sv"),
+    )
+    # rows = #sources (a dimension, not data): checkpoint the tiny result
+    # so the grand-total aggregate + join-back reads it instead of
+    # re-running the whole pipeline (Spark has no CTE materialization).
+    per_s = per_s.localCheckpoint(eager=True)
+    tot = per_s.agg(F.sum("n_tokens").cast("bigint").alias("n"))
     return (
-        sw.join(F.broadcast(s), "source")
-        .join(cw, "word")
-        .crossJoin(F.broadcast(tot))
-        .select("source", "n_s", F.expr(_KL_TERM).alias("t"))
-        .groupBy("source", "n_s")
-        .agg(F.sum("t").cast("bigint").alias("kl_fp"))
-        .select("source", F.col("n_s").alias("n_tokens"), "kl_fp")
+        per_s.crossJoin(F.broadcast(tot))
+        .select("source", "n_tokens", F.expr(_KL_FINAL).alias("kl_fp"))
     )
 
 

@@ -54,11 +54,21 @@ class TestEntropyBounds:
             upper = math.log(max(r["n_distinct"], 1)) * 1_000_000
             assert -r["n_distinct"] <= r["entropy_fp"] <= upper + r["n_distinct"]
 
-    def test_single_word_doc_has_zero_entropy(self, spark):
-        from e2e_stock_data_pipeline_spark.plans.queries_ext5 import _ENT_TERM
+    def test_single_word_doc_has_near_zero_entropy(self, spark):
+        """A doc of one word repeated 7x: H = ln(7) - 7*ln(7)/7 = 0,
+        up to the one-micro-nat per-term floor."""
+        from e2e_stock_data_pipeline_spark.plans.queries_ext5 import (
+            _ENT_FINAL,
+            _ENT_WORD_TERM,
+        )
 
         df = spark.createDataFrame([(7, 7)], "c long, n_tokens long")
-        assert df.select(F.expr(_ENT_TERM).alias("t")).first()["t"] == 0
+        out = (
+            df.withColumn("s", F.expr(_ENT_WORD_TERM))
+            .select(F.expr(_ENT_FINAL).alias("h"))
+            .first()["h"]
+        )
+        assert -1 <= out <= 0
 
 
 class TestKLBounds:
