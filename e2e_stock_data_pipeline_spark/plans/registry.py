@@ -76,6 +76,7 @@ def load_all_query_modules() -> dict[str, QuerySpec]:
     from . import queries_relational  # noqa: F401
     from . import queries_relational2  # noqa: F401
     from . import queries_relational3  # noqa: F401
+    from . import queries_relational4  # noqa: F401
     from . import queries_window  # noqa: F401
     from . import queries_dedup  # noqa: F401
     from . import queries_text  # noqa: F401
