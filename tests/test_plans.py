@@ -183,3 +183,18 @@ def test_partition_pruning_on_dt_layout(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters")[1][:200]
     assert "dt" in seg and "isnotnull" in seg or one_day in seg
+
+
+def test_q120_market_share_all_dims_broadcast(spark, sf_dir):
+    """Q8 shape: one fact shuffle; every dimension (customer, supplier,
+    nation x2, region, part) rides a broadcast join, and the exact-
+    decimal ratio never falls back to a sort-merge join on a dim."""
+    plan = formatted_plan(REGISTRY["q120_market_share"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_q122_anti_join_is_broadcast(spark, sf_dir):
+    plan = formatted_plan(REGISTRY["q122_parts_supplier_breadth"].spark(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
