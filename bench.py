@@ -9,11 +9,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is forced end-to-end with a noop sink (full column
 materialization, no driver collect). One untimed warmup pass first so
 JVM/codegen startup doesn't pollute the numbers, then
-$SPARK_GRAFT_BENCH_RUNS (default 3) timed passes; the reported per-query
-number and total are the MEDIAN across passes, with per-pass totals and
-min/max spread in the same JSON line so a single-round artifact carries
-its own variance evidence (a 30% swing between rounds can be judged
-against the in-run spread instead of guessed at).
+$SPARK_GRAFT_BENCH_RUNS (default 3) timed passes. The headline "value"
+is the MEDIAN of the measured per-pass totals (so it always lies inside
+the reported min/max spread); per-query numbers are per-query medians
+(indicative, not summing to the headline). A single-round artifact thus
+carries its own variance evidence — a 30% swing between rounds can be
+judged against the in-run spread instead of guessed at.
 """
 
 from __future__ import annotations
@@ -67,7 +68,9 @@ def main() -> None:
         totals.append(round(pass_total, 3))
 
     timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
-    total = round(sum(timings.values()), 3)
+    # headline = median of MEASURED pass totals (always inside the reported
+    # spread); sum of per-query medians is not a number any pass produced
+    total = round(statistics.median(totals), 3)
     print(
         json.dumps(
             {

@@ -224,17 +224,22 @@ _KL_FINAL = (
              CAST(SUM({_KL_U}) AS BIGINT) AS su,
              CAST(SUM({_KL_V}) AS BIGINT) AS sv
       FROM marg GROUP BY source
+    ),
+    with_tot AS (
+      SELECT source, n_tokens, su, sv,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS n
+      FROM per_s
     )
-    SELECT source, n_tokens, {_KL_FINAL} AS kl_fp
-    FROM per_s CROSS JOIN (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n FROM per_s) t
+    SELECT source, n_tokens, {_KL_FINAL} AS kl_fp FROM with_tot
     """,
     doc="Data-mixing drift score: KL(source || corpus) over word "
     "distributions, fixed-point micro-nats. Decomposed so the corpus "
     "marginal is a word-partitioned window over the (source,word) "
     "counts: one scan, three keyed exchanges (source+word, word, "
     "source), zero joins against recomputed subplans. The grand total "
-    "comes from the checkpointed per-source result (rows = #sources), "
-    "so nothing upstream runs twice.",
+    "is a global window over the per-source aggregate — single "
+    "partition of #sources rows (a dimension, not data), keeping the "
+    "whole query one lazy linear pipeline.",
     tags=("ext", "text", "mixing"),
 )
 def q116_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,15 +259,16 @@ def q116_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_KL_U)).cast("bigint").alias("su"),
         F.sum(F.expr(_KL_V)).cast("bigint").alias("sv"),
     )
-    # rows = #sources (a dimension, not data): checkpoint the tiny result
-    # so the grand-total aggregate + join-back reads it instead of
-    # re-running the whole pipeline (Spark has no CTE materialization).
-    per_s = per_s.localCheckpoint(eager=True)
-    tot = per_s.agg(F.sum("n_tokens").cast("bigint").alias("n"))
-    return (
-        per_s.crossJoin(F.broadcast(tot))
-        .select("source", "n_tokens", F.expr(_KL_FINAL).alias("kl_fp"))
-    )
+    # Grand total via a global window over the per-source AGGREGATE: a
+    # single partition of #sources rows (a dimension, not data — the
+    # pattern ranking.py forbids is a global window over row-level
+    # data). This keeps construction lazy and the pipeline single-pass;
+    # a scalar-aggregate join-back would re-execute the whole upstream
+    # (no CTE materialization in Spark, and under AQE even a lazy
+    # localCheckpoint runs upstream stages at plan-construction time).
+    return per_s.withColumn(
+        "n", F.sum("n_tokens").over(Window.partitionBy()).cast("bigint")
+    ).select("source", "n_tokens", F.expr(_KL_FINAL).alias("kl_fp"))
 
 
 # --------------------------------------------------------------------------
@@ -306,6 +312,18 @@ def q117_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Shared by the query, its property tests, and the scale smoke — one
+# definition of the fold, so a regression can't hide behind a stale copy.
+EMA_VALS_EXPR = (
+    "transform(array_sort(collect_list(struct(ts, event_id, value))), r -> r.value)"
+)
+EMA_FOLD_EXPR = (
+    "CASE WHEN size(_vals) = 1 THEN element_at(_vals, 1) "
+    "ELSE aggregate(slice(_vals, 2, size(_vals) - 1), "
+    "element_at(_vals, 1), (acc, x) -> 0.25D * x + 0.75D * acc) END"
+)
+
+
 @query(
     "q118_ema_smoothing",
     oracle="""
@@ -329,16 +347,8 @@ def q117_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q118_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
-    vals = F.expr(
-        "transform(array_sort(collect_list(struct(ts, event_id, value))), r -> r.value)"
-    )
-    ema = F.expr(
-        "CASE WHEN size(_vals) = 1 THEN element_at(_vals, 1) "
-        "ELSE aggregate(slice(_vals, 2, size(_vals) - 1), "
-        "element_at(_vals, 1), (acc, x) -> 0.25D * x + 0.75D * acc) END"
-    )
     return (
         e.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_obs"), vals.alias("_vals"))
-        .select("user_id", "n_obs", ema.alias("ema"))
+        .agg(F.count(F.lit(1)).alias("n_obs"), F.expr(EMA_VALS_EXPR).alias("_vals"))
+        .select("user_id", "n_obs", F.expr(EMA_FOLD_EXPR).alias("ema"))
     )

@@ -12,7 +12,10 @@ are deliberately absent):
 
 All revenue math uses the repo's exact-decimal convention (DECIMAL
 sums, cast to DOUBLE at the edge) so both engines agree bit-for-bit;
-joins keep dimension tables broadcast-side.
+joins force-broadcast only the fixed-size dims (region, nation,
+supplier) per the repo's BROADCAST_DIMS policy; customer and part grow
+linearly with scale factor and are left to AQE's runtime size decision
+(auto-broadcast at test scale, shuffle join at 100 TB).
 
 Reference parity: the reference has no relational tier beyond its
 price pipeline; these extend the engine's general-SQL surface
@@ -60,7 +63,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
     doc="TPC-H Q7 shape: shipping volume between NATION_1 and NATION_2 in "
     "both directions, per ship year. The two nation lookups broadcast "
-    "(25 rows each, aliased independently); the disjunctive "
+    "(25 rows each, aliased independently); customer is left to AQE "
+    "(linear-growth table); the disjunctive "
     "cross-nation predicate applies after both, exactly as Q7 demands. "
     "Fact-side shuffles only on the orders join key.",
     tags=("join", "agg", "tpch"),
@@ -78,7 +82,7 @@ def q119_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) & (F.col("cust_nation") == "NATION_1")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
@@ -122,8 +126,9 @@ def q119_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q8 shape: NATION_6's share of AMERICA-region STANDARD-part "
     "revenue per order year — the conditional-decimal-sum over "
     "total-decimal-sum ratio, both exact until the final double "
-    "division. Five broadcast dimension joins around one fact shuffle; "
-    "the part filter prunes before the join fan-out.",
+    "division. Fixed dims (region/nation/supplier) broadcast; customer "
+    "and part are AQE-sized (linear-growth tables); the part filter "
+    "prunes before the join fan-out.",
     tags=("join", "agg", "tpch"),
 )
 def q120_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +146,7 @@ def q120_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(
             F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
@@ -149,7 +154,7 @@ def q120_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
         .agg(
             (
@@ -200,7 +205,7 @@ def q121_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
@@ -235,7 +240,8 @@ def q121_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q16 shape with partsupp replaced by the observed "
     "supplier-part pairs in lineitem: how many qualified suppliers "
     "ship each surviving (brand,type,size) group. Exclusion filters = "
-    "one broadcast anti join (negative-balance suppliers) + pushed "
+    "one broadcast anti join (negative-balance suppliers, fixed dim) + "
+    "AQE-sized part join + pushed "
     "part predicates; the only wide shuffle is the distinct-count "
     "aggregation key.",
     tags=("join", "agg", "anti", "tpch"),
@@ -250,7 +256,7 @@ def q122_parts_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -29,6 +29,20 @@ def timed(label, fn):
     print(f"{label}: {n:,} rows in {time.perf_counter() - t0:.1f}s")
 
 
+def forced(df) -> int:
+    """Materialize EVERY column via the noop sink (as bench.py does),
+    counting rows with an observe() metric on the same single execution.
+    A bare .count() lets Catalyst prune computed columns out of the
+    plan — the smoke would time a cheaper shape than the one it claims."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return obs.get["n"]
+
+
 def main(n_rows: int = 10_000_000) -> None:
     spark = get_spark(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -50,9 +64,11 @@ def main(n_rows: int = 10_000_000) -> None:
 
     timed(
         f"moving averages (2 frames, {n_rows/1e6:.0f}M rows, 10k keys)",
-        lambda: ev.select(
-            "event_id", moving_avg("user_id", ["ts", "event_id"], "value", 20).alias("ma")
-        ).count(),
+        lambda: forced(
+            ev.select(
+                "event_id", moving_avg("user_id", ["ts", "event_id"], "value", 20).alias("ma")
+            )
+        ),
     )
 
     timed(
@@ -190,12 +206,13 @@ def main(n_rows: int = 10_000_000) -> None:
     ).cast("bigint")
     timed(
         f"bigram-LM NLL scoring ({n_docs/1e3:.0f}k docs)",
-        lambda: bg.join(pair_c, "bigram")
-        .join(head_c, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"))
-        .select("doc_id", nll.alias("nll_fp"))
-        .groupBy("doc_id")
-        .agg(F.sum("nll_fp").alias("t"))
-        .count(),
+        lambda: forced(
+            bg.join(pair_c, "bigram")
+            .join(head_c, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"))
+            .select("doc_id", nll.alias("nll_fp"))
+            .groupBy("doc_id")
+            .agg(F.sum("nll_fp").alias("t"))
+        ),
     )
 
     from pyspark.sql import Window  # noqa: E402
@@ -216,7 +233,7 @@ def main(n_rows: int = 10_000_000) -> None:
     )
     timed(
         f"context packing ({n_docs/1e3:.0f}k docs, 256 shards)",
-        lambda: packed.count(),
+        lambda: forced(packed),
     )
 
     # --- ANN path at 100x: hyperplane buckets over 1M vectors -----------
@@ -233,61 +250,72 @@ def main(n_rows: int = 10_000_000) -> None:
     )
     timed(
         f"lsh bucket assignment ({n_vecs/1e6:.1f}M vectors, 16-dim, 8 planes)",
-        lambda: hyperplane_lsh_buckets(vecs, dim=16).count(),
+        lambda: forced(hyperplane_lsh_buckets(vecs, dim=16)),
     )
 
     # --- round-6 distribution tier at 100x: entropy + KL over the word
-    # explode path (the (doc,word)/(source,word) shuffles are the cost) --
+    # explode path, using the PRODUCTION plan shapes from queries_ext5
+    # (join-free entropy; window-marginal KL) and noop-forced so Catalyst
+    # cannot prune the floored-log term math out of the timing ----------
+    from pyspark.sql import Window  # noqa: E402
+
+    from e2e_stock_data_pipeline_spark.plans.queries_ext5 import (  # noqa: E402
+        _ENT_FINAL,
+        _ENT_WORD_TERM,
+        _KL_FINAL,
+        _KL_U,
+        _KL_V,
+        EMA_FOLD_EXPR,
+        EMA_VALS_EXPR,
+    )
+
     words = docs.select(
         "doc_id",
         (F.col("doc_id") % 20).cast("string").alias("source"),
         F.explode(F.split(F.col("text"), " ")).alias("word"),
     )
     ent_c = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
-    ent_n = ent_c.groupBy("doc_id").agg(F.sum("c").alias("n_tokens"))
-    term = (
-        F.floor(
-            (F.col("c").cast("double") / F.col("n_tokens"))
-            * F.log(F.col("n_tokens").cast("double") / F.col("c"))
-            * 1000000
-        ).cast("bigint")
+    ent_n = ent_c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.expr(_ENT_WORD_TERM)).cast("bigint").alias("s"),
     )
     timed(
         f"token entropy ({n_docs/1e3:.0f}k docs)",
-        lambda: ent_c.join(ent_n, "doc_id")
-        .select("doc_id", term.alias("t"))
-        .groupBy("doc_id")
-        .agg(F.sum("t").alias("entropy_fp"))
-        .count(),
+        lambda: forced(
+            ent_n.select(
+                "doc_id", "n_tokens", "n_distinct", F.expr(_ENT_FINAL).alias("entropy_fp")
+            )
+        ),
     )
     sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
-    s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
-    cw = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
-    tot = cw.agg(F.sum("c_w").alias("n"))
+    marg = sw.select(
+        "source",
+        "c_sw",
+        F.sum("c_sw").over(Window.partitionBy("word")).cast("bigint").alias("c_w"),
+    )
+    per_s = marg.groupBy("source").agg(
+        F.sum("c_sw").cast("bigint").alias("n_tokens"),
+        F.sum(F.expr(_KL_U)).cast("bigint").alias("su"),
+        F.sum(F.expr(_KL_V)).cast("bigint").alias("sv"),
+    )
     timed(
         f"source KL divergence ({n_docs/1e3:.0f}k docs, 20 sources)",
-        lambda: sw.join(F.broadcast(s_tot), "source")
-        .join(cw, "word")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_terms"))
-        .count(),
+        lambda: forced(
+            per_s.withColumn(
+                "n", F.sum("n_tokens").over(Window.partitionBy()).cast("bigint")
+            ).select("source", "n_tokens", F.expr(_KL_FINAL).alias("kl_fp"))
+        ),
     )
 
-    # --- round-6 EMA fold at 100x: 10k keys x ~1k obs/key ---------------
-    ema_vals = F.expr(
-        "transform(array_sort(collect_list(struct(ts, event_id, value))), r -> r.value)"
-    )
-    ema = F.expr(
-        "aggregate(slice(_vals, 2, size(_vals) - 1), element_at(_vals, 1), "
-        "(acc, x) -> 0.25D * x + 0.75D * acc)"
-    )
+    # --- round-6 EMA fold at 100x: 10k keys, full series per key --------
     timed(
         f"EMA fold ({n_rows/1e6:.0f}M obs, 10k keys)",
-        lambda: ev.groupBy("user_id")
-        .agg(ema_vals.alias("_vals"))
-        .select("user_id", ema.alias("ema"))
-        .count(),
+        lambda: forced(
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_obs"), F.expr(EMA_VALS_EXPR).alias("_vals"))
+            .select("user_id", "n_obs", F.expr(EMA_FOLD_EXPR).alias("ema"))
+        ),
     )
 
     spark.stop()

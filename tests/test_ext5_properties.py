@@ -99,22 +99,25 @@ class TestEmaFold:
 
     def test_ema_depends_on_order(self, spark):
         """Reversing the series changes the EMA — the property that rules
-        out implementing this with an order-free aggregate."""
+        out implementing this with an order-free aggregate. Uses the
+        query's own expression constants, so a regression in q118 cannot
+        hide behind a stale copy."""
+        from e2e_stock_data_pipeline_spark.plans.queries_ext5 import (
+            EMA_FOLD_EXPR,
+            EMA_VALS_EXPR,
+        )
+
         fwd = [(1, i, float(i)) for i in range(10)]
         rev = [(1, i, float(9 - i)) for i in range(10)]
         out = {}
         for tag, data in [("fwd", fwd), ("rev", rev)]:
             df = spark.createDataFrame(data, "user_id long, event_id long, value double")
             df = df.withColumn("ts", F.timestamp_micros(F.col("event_id") * 1_000_000))
-            vals = F.expr(
-                "transform(array_sort(collect_list(struct(ts, event_id, value))), r -> r.value)"
-            )
-            ema = F.expr(
-                "aggregate(slice(_vals, 2, size(_vals) - 1), element_at(_vals, 1), "
-                "(acc, x) -> 0.25D * x + 0.75D * acc)"
-            )
             out[tag] = (
-                df.groupBy("user_id").agg(vals.alias("_vals")).select(ema.alias("e")).first()["e"]
+                df.groupBy("user_id")
+                .agg(F.expr(EMA_VALS_EXPR).alias("_vals"))
+                .select(F.expr(EMA_FOLD_EXPR).alias("e"))
+                .first()["e"]
             )
         assert out["fwd"] != out["rev"]
         # late observations dominate: rising series ends high, falling low

@@ -186,9 +186,10 @@ def test_partition_pruning_on_dt_layout(spark, sf_dir, tmp_path):
 
 
 def test_q120_market_share_all_dims_broadcast(spark, sf_dir):
-    """Q8 shape: one fact shuffle; every dimension (customer, supplier,
-    nation x2, region, part) rides a broadcast join, and the exact-
-    decimal ratio never falls back to a sort-merge join on a dim."""
+    """Q8 shape: the fixed dims (supplier, nation x2, region) are
+    force-broadcast; customer/part are AQE-sized (auto-broadcast at this
+    tiny sf, shuffle join at scale). At test scale everything lands
+    broadcast and nothing falls back to a sort-merge join on a dim."""
     plan = formatted_plan(REGISTRY["q120_market_share"].spark(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 5
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
