@@ -115,6 +115,23 @@ _ENT_FINAL = (
 )
 
 
+def token_entropy_plan(docs: DataFrame) -> DataFrame:
+    """The q114 plan over any (doc_id, text) frame — ONE definition
+    shared by the registered query and the scale smoke, so the smoke
+    can never drift to timing a stale copy of the shape."""
+    w = docs.select("doc_id", F.explode(F.expr(_WORDS)).alias("word"))
+    c = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.expr(_ENT_WORD_TERM)).cast("bigint").alias("s"),
+    )
+    return n.select(
+        "doc_id", "n_tokens", "n_distinct", F.expr(_ENT_FINAL).alias("entropy_fp")
+    )
+
+
+
 @query(
     "q114_token_entropy",
     oracle=f"""
@@ -138,18 +155,7 @@ _ENT_FINAL = (
     tags=("ext", "text", "quality"),
 )
 def q114_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.expr(_WORDS)).alias("word")
-    )
-    c = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
-    n = c.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.sum(F.expr(_ENT_WORD_TERM)).cast("bigint").alias("s"),
-    )
-    return n.select(
-        "doc_id", "n_tokens", "n_distinct", F.expr(_ENT_FINAL).alias("entropy_fp")
-    )
+    return token_entropy_plan(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -206,6 +212,37 @@ _KL_FINAL = (
 )
 
 
+def source_kl_plan(docs: DataFrame) -> DataFrame:
+    """The q116 plan over any (source, text) frame — ONE definition
+    shared by the registered query and the scale smoke (same contract
+    as :func:`token_entropy_plan`)."""
+    from pyspark.sql import Window
+
+    w = docs.select("source", F.explode(F.expr(_WORDS)).alias("word"))
+    sw = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    marg = sw.select(
+        "source",
+        "c_sw",
+        F.sum("c_sw").over(Window.partitionBy("word")).cast("bigint").alias("c_w"),
+    )
+    per_s = marg.groupBy("source").agg(
+        F.sum("c_sw").cast("bigint").alias("n_tokens"),
+        F.sum(F.expr(_KL_U)).cast("bigint").alias("su"),
+        F.sum(F.expr(_KL_V)).cast("bigint").alias("sv"),
+    )
+    # Grand total via a global window over the per-source AGGREGATE: a
+    # single partition of #sources rows (a dimension, not data — the
+    # pattern ranking.py forbids is a global window over row-level
+    # data). This keeps construction lazy and the pipeline single-pass;
+    # a scalar-aggregate join-back would re-execute the whole upstream
+    # (no CTE materialization in Spark, and under AQE even a lazy
+    # localCheckpoint runs upstream stages at plan-construction time).
+    return per_s.withColumn(
+        "n", F.sum("n_tokens").over(Window.partitionBy()).cast("bigint")
+    ).select("source", "n_tokens", F.expr(_KL_FINAL).alias("kl_fp"))
+
+
+
 @query(
     "q116_source_kl_divergence",
     oracle=f"""
@@ -243,32 +280,7 @@ _KL_FINAL = (
     tags=("ext", "text", "mixing"),
 )
 def q116_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    w = _docs(spark, sf_dir).select(
-        "source", F.explode(F.expr(_WORDS)).alias("word")
-    )
-    sw = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
-    marg = sw.select(
-        "source",
-        "c_sw",
-        F.sum("c_sw").over(Window.partitionBy("word")).cast("bigint").alias("c_w"),
-    )
-    per_s = marg.groupBy("source").agg(
-        F.sum("c_sw").cast("bigint").alias("n_tokens"),
-        F.sum(F.expr(_KL_U)).cast("bigint").alias("su"),
-        F.sum(F.expr(_KL_V)).cast("bigint").alias("sv"),
-    )
-    # Grand total via a global window over the per-source AGGREGATE: a
-    # single partition of #sources rows (a dimension, not data — the
-    # pattern ranking.py forbids is a global window over row-level
-    # data). This keeps construction lazy and the pipeline single-pass;
-    # a scalar-aggregate join-back would re-execute the whole upstream
-    # (no CTE materialization in Spark, and under AQE even a lazy
-    # localCheckpoint runs upstream stages at plan-construction time).
-    return per_s.withColumn(
-        "n", F.sum("n_tokens").over(Window.partitionBy()).cast("bigint")
-    ).select("source", "n_tokens", F.expr(_KL_FINAL).alias("kl_fp"))
+    return source_kl_plan(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

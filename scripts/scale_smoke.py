@@ -254,61 +254,32 @@ def main(n_rows: int = 10_000_000) -> None:
     )
 
     # --- round-6 distribution tier at 100x: entropy + KL over the word
-    # explode path, using the PRODUCTION plan shapes from queries_ext5
-    # (join-free entropy; window-marginal KL) and noop-forced so Catalyst
-    # cannot prune the floored-log term math out of the timing ----------
-    from pyspark.sql import Window  # noqa: E402
-
+    # explode path. The plans are the PRODUCTION plan constructors
+    # imported from queries_ext5 (token_entropy_plan/source_kl_plan —
+    # the exact code the registered queries run, so the smoke cannot
+    # drift to timing a stale copy), noop-forced so Catalyst cannot
+    # prune the floored-log term math out of the timing ----------------
     from e2e_stock_data_pipeline_spark.plans.queries_ext5 import (  # noqa: E402
-        _ENT_FINAL,
-        _ENT_WORD_TERM,
-        _KL_FINAL,
-        _KL_U,
-        _KL_V,
         EMA_FOLD_EXPR,
         EMA_VALS_EXPR,
+        source_kl_plan,
+        token_entropy_plan,
     )
 
-    words = docs.select(
-        "doc_id",
-        (F.col("doc_id") % 20).cast("string").alias("source"),
-        F.explode(F.split(F.col("text"), " ")).alias("word"),
-    )
-    ent_c = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
-    ent_n = ent_c.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.sum(F.expr(_ENT_WORD_TERM)).cast("bigint").alias("s"),
-    )
+    corpus = docs.withColumn("source", (F.col("doc_id") % 20).cast("string"))
     timed(
         f"token entropy ({n_docs/1e3:.0f}k docs)",
-        lambda: forced(
-            ent_n.select(
-                "doc_id", "n_tokens", "n_distinct", F.expr(_ENT_FINAL).alias("entropy_fp")
-            )
-        ),
-    )
-    sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
-    marg = sw.select(
-        "source",
-        "c_sw",
-        F.sum("c_sw").over(Window.partitionBy("word")).cast("bigint").alias("c_w"),
-    )
-    per_s = marg.groupBy("source").agg(
-        F.sum("c_sw").cast("bigint").alias("n_tokens"),
-        F.sum(F.expr(_KL_U)).cast("bigint").alias("su"),
-        F.sum(F.expr(_KL_V)).cast("bigint").alias("sv"),
+        lambda: forced(token_entropy_plan(corpus)),
     )
     timed(
         f"source KL divergence ({n_docs/1e3:.0f}k docs, 20 sources)",
-        lambda: forced(
-            per_s.withColumn(
-                "n", F.sum("n_tokens").over(Window.partitionBy()).cast("bigint")
-            ).select("source", "n_tokens", F.expr(_KL_FINAL).alias("kl_fp"))
-        ),
+        lambda: forced(source_kl_plan(corpus)),
     )
 
     # --- round-6 EMA fold at 100x: 10k keys, full series per key --------
+    # (EMA_VALS/FOLD are the query's own expression constants; q118's
+    # one-liner body over the events table is reproduced here because the
+    # smoke's input is the synthetic stream, not a table dir)
     timed(
         f"EMA fold ({n_rows/1e6:.0f}M obs, 10k keys)",
         lambda: forced(

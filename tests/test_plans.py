@@ -71,7 +71,13 @@ def test_no_eager_actions_in_plan_modules():
         pkg / "operators" / "windows.py",
         pkg / "operators" / "skew.py",
     ]
-    pat = re.compile(r"\.(count|first|collect|toPandas|head)\(\)")
+    # localCheckpoint/checkpoint/cache/persist also belong here: under AQE
+    # even a LAZY localCheckpoint materializes upstream stages at plan-
+    # construction time (the q116 round-6 regression class)
+    pat = re.compile(
+        r"\.(count|first|collect|toPandas|head)\(\)"
+        r"|\.(localCheckpoint|checkpoint|cache|persist)\("
+    )
     offenders = []
     for f in targets:
         for i, line in enumerate(f.read_text().splitlines(), 1):
@@ -185,7 +191,7 @@ def test_partition_pruning_on_dt_layout(spark, sf_dir, tmp_path):
     assert "dt" in seg and "isnotnull" in seg or one_day in seg
 
 
-def test_q120_market_share_all_dims_broadcast(spark, sf_dir):
+def test_q120_market_share_fixed_dims_broadcast(spark, sf_dir):
     """Q8 shape: the fixed dims (supplier, nation x2, region) are
     force-broadcast; customer/part are AQE-sized (auto-broadcast at this
     tiny sf, shuffle join at scale). At test scale everything lands
@@ -199,3 +205,20 @@ def test_q122_anti_join_is_broadcast(spark, sf_dir):
     plan = formatted_plan(REGISTRY["q122_parts_supplier_breadth"].spark(spark, sf_dir))
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_query_construction_runs_no_jobs(spark, sf_dir):
+    """Building a query's DataFrame must execute ZERO Spark jobs — the
+    dynamic complement of the static regex above (which cannot see, e.g.,
+    a localCheckpoint whose upstream stages AQE materializes at build
+    time). Warm the table memo first so its one-time schema probes don't
+    count against the queries."""
+    tracker = spark.sparkContext.statusTracker()
+    names = ["q114_token_entropy", "q116_source_kl_divergence", "q118_ema_smoothing"]
+    for name in names:
+        REGISTRY[name].spark(spark, str(sf_dir))  # warm table-load memo
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    for name in names:
+        REGISTRY[name].spark(spark, str(sf_dir))
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, f"plan construction ran {after - before} job(s)"
