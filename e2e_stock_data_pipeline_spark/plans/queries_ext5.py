@@ -336,6 +336,17 @@ EMA_FOLD_EXPR = (
 )
 
 
+def ema_plan(events: DataFrame) -> DataFrame:
+    """The q118 plan over any (user_id, ts, event_id, value) frame —
+    ONE definition shared by the registered query and the scale smoke
+    (same contract as :func:`token_entropy_plan`)."""
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_obs"), F.expr(EMA_VALS_EXPR).alias("_vals"))
+        .select("user_id", "n_obs", F.expr(EMA_FOLD_EXPR).alias("ema"))
+    )
+
+
 @query(
     "q118_ema_smoothing",
     oracle="""
@@ -358,9 +369,4 @@ EMA_FOLD_EXPR = (
     tags=("ext", "window", "fold"),
 )
 def q118_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
-    return (
-        e.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_obs"), F.expr(EMA_VALS_EXPR).alias("_vals"))
-        .select("user_id", "n_obs", F.expr(EMA_FOLD_EXPR).alias("ema"))
-    )
+    return ema_plan(_events(spark, sf_dir))

@@ -260,8 +260,7 @@ def main(n_rows: int = 10_000_000) -> None:
     # drift to timing a stale copy), noop-forced so Catalyst cannot
     # prune the floored-log term math out of the timing ----------------
     from e2e_stock_data_pipeline_spark.plans.queries_ext5 import (  # noqa: E402
-        EMA_FOLD_EXPR,
-        EMA_VALS_EXPR,
+        ema_plan,
         source_kl_plan,
         token_entropy_plan,
     )
@@ -277,16 +276,9 @@ def main(n_rows: int = 10_000_000) -> None:
     )
 
     # --- round-6 EMA fold at 100x: 10k keys, full series per key --------
-    # (EMA_VALS/FOLD are the query's own expression constants; q118's
-    # one-liner body over the events table is reproduced here because the
-    # smoke's input is the synthetic stream, not a table dir)
     timed(
         f"EMA fold ({n_rows/1e6:.0f}M obs, 10k keys)",
-        lambda: forced(
-            ev.groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("n_obs"), F.expr(EMA_VALS_EXPR).alias("_vals"))
-            .select("user_id", "n_obs", F.expr(EMA_FOLD_EXPR).alias("ema"))
-        ),
+        lambda: forced(ema_plan(ev)),
     )
 
     spark.stop()
