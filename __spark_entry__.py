@@ -46,7 +46,11 @@ def _driver_rows_seen() -> set[str]:
 
     Error / non-matching rows (e.g. a stale ``err: no_oracle`` recorded before
     the query gained an oracle) do NOT count as seen, so those queries re-run
-    first and can re-earn a green row in a later round.
+    first and can re-earn a green row in a later round. A row counts as green
+    only with positive hash evidence: if the ``hash_match`` key is present it
+    must be True (None = hash never computed, so the query re-runs until it
+    earns a hash-verified row); the key being absent entirely means an older
+    driver format that recorded only rows+schema, which we accept as checked.
     """
     seen: set[str] = set()
     for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
@@ -61,7 +65,7 @@ def _driver_rows_seen() -> set[str]:
             if (
                 row.get("rows_match")
                 and row.get("schema_match")
-                and row.get("hash_match") is not False
+                and ("hash_match" not in row or row["hash_match"] is True)
                 and row.get("err") is None
             ):
                 seen.add(name)

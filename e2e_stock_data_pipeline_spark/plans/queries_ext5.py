@@ -326,6 +326,9 @@ def q117_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared by the query, its property tests, and the scale smoke — one
 # definition of the fold, so a regression can't hide behind a stale copy.
+# array_sort on the struct makes `value` the tertiary sort key after
+# (ts, event_id); the DuckDB oracle orders by the same three keys so the
+# fold sequence stays identical even if (ts, event_id) ever collides.
 EMA_VALS_EXPR = (
     "transform(array_sort(collect_list(struct(ts, event_id, value))), r -> r.value)"
 )
@@ -352,7 +355,7 @@ def ema_plan(events: DataFrame) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_obs,
-           list_reduce(list(value ORDER BY ts, event_id),
+           list_reduce(list(value ORDER BY ts, event_id, value),
                        (acc, x) -> 0.25::DOUBLE * x + 0.75::DOUBLE * acc)
              AS ema
     FROM events GROUP BY user_id
