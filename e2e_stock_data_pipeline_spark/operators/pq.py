@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import dot_q, quantized
+
 
 def _subvec(vec_col: str, j: int, dsub: int):
     return F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub)
@@ -144,5 +146,108 @@ def pq_topk(
         .groupBy("query_id", "cand_id")
         .agg(F.sum("d2").alias("adc_dist2"))
         .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_top)
+    )
+
+
+def _d2_q(a, b):
+    """Exact integer squared L2 via the dot decomposition |a|^2 - 2ab + |b|^2.
+
+    Same value as summing (x-y)^2 (integers are exact), but each dot is a
+    single fold and the decomposition is what an SQL oracle can replay with
+    its native list dot product.
+    """
+    return dot_q(a, a) - F.lit(2).cast("bigint") * dot_q(a, b) + dot_q(b, b)
+
+
+def pq_rerank_topk_seeded(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    n_seeds: int = 16,
+    shortlist: int = 32,
+    k_top: int = 5,
+) -> DataFrame:
+    """PQ shortlist -> exact rerank, fully lazy and integer-exact.
+
+    The production two-stage ANN composition (see module docstring): an
+    ADC scan over m-byte codes shortlists `shortlist` candidates per
+    query, then only those survivors pay an exact full-vector distance.
+    Unlike :func:`pq_fit_codebooks` (driver-side KMeans), the codebook
+    here is DATA-DERIVED INSIDE THE PLAN: centroid c of subspace j is
+    the j-th subvector of the c-th-smallest-id candidate (a deterministic
+    sample codebook ~ KMeans iteration zero). That keeps the whole chain
+    one lazy Catalyst plan — no fit job, no literals — and lets a SQL
+    oracle replay every stage bit-for-bit over integer-quantized vectors.
+
+    Scale shape: seeds are a broadcast O(n_seeds) frame; encode is one
+    explode + map-side-combinable groupBy(cand, j) (the stored code
+    index at 100 TB); the ADC scan touches codes only (|C| * m rows, no
+    float vectors) and shortlisting is a per-query top-k window over an
+    aggregated |Q| x |C| code-distance frame; the exact stage reads full
+    vectors for `shortlist` rows per query only.
+
+    Returns (query_id, cand_id, adc_dist2, exact_d2, rnk) — all bigint
+    but the int rnk; ties break on cand_id everywhere.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    subs = f"transform(sequence(0, {m - 1}), j -> slice(_q, j * {dsub} + 1, {dsub}))"
+
+    qn = queries.select(F.col(id_col).alias("query_id"), quantized(vec_col).alias("_q"))
+    cn = candidates.select(F.col(id_col).alias("cand_id"), quantized(vec_col).alias("_q"))
+
+    # Codebook: subvectors of the n_seeds smallest-id candidates. The limit
+    # is a TakeOrdered (no global sort); the row_number window then runs on
+    # n_seeds rows only.
+    seeds = (
+        cn.orderBy("cand_id")
+        .limit(n_seeds)
+        .withColumn("c", F.row_number().over(Window.orderBy("cand_id")) - 1)
+    )
+    seed_sub = seeds.select("c", F.posexplode(F.expr(subs)).alias("j", "cent"))
+
+    d2 = _d2_q(F.col("sub"), F.col("cent"))
+
+    # Encode: argmin centroid per (candidate, subspace) — min over a
+    # lexicographic (d2, c) struct is partial-aggregable, so the explode
+    # never shuffles raw subvector rows.
+    cand_sub = cn.select("cand_id", F.posexplode(F.expr(subs)).alias("j", "sub"))
+    codes = (
+        cand_sub.join(F.broadcast(seed_sub), "j")
+        .select("cand_id", "j", d2.alias("_d2"), "c")
+        .groupBy("cand_id", "j")
+        .agg(F.min(F.struct("_d2", "c")).alias("_mc"))
+        .select("cand_id", "j", F.col("_mc.c").alias("c"))
+    )
+
+    # Per-query LUT: |Q| * m * n_seeds rows, broadcast to the code scan.
+    q_sub = qn.select("query_id", F.posexplode(F.expr(subs)).alias("j", "sub"))
+    lut = q_sub.join(F.broadcast(seed_sub), "j").select("query_id", "j", "c", d2.alias("d2"))
+
+    adc = (
+        codes.join(F.broadcast(lut), ["j", "c"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_dist2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_dist2", "cand_id")
+    short = (
+        adc.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= shortlist)
+        .drop("_r")
+    )
+
+    # Exact rerank of survivors only.
+    exact = _d2_q(F.col("_qq"), F.col("_cq"))
+    wr = Window.partitionBy("query_id").orderBy("exact_d2", "cand_id")
+    return (
+        short.join(cn.select("cand_id", F.col("_q").alias("_cq")), "cand_id")
+        .join(F.broadcast(qn.select("query_id", F.col("_q").alias("_qq"))), "query_id")
+        .select("query_id", "cand_id", "adc_dist2", exact.alias("exact_d2"))
+        .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= k_top)
     )

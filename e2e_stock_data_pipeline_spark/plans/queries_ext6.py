@@ -1,0 +1,128 @@
+"""Round-7 query additions [EXT]: the PQ shortlist -> exact-rerank ANN
+composition, registered and oracle-gated.
+
+Product quantization is the memory-bound scale path for embedding
+search (operators/pq.py); the deployment shape a 100 TB user actually
+runs is two-stage — scan compressed codes to shortlist ~0.1% of the
+corpus per query, then exact-rerank only the survivors. q123 registers
+that full chain as one lazy Catalyst plan whose every stage a DuckDB
+oracle replays bit-for-bit: the codebook is data-derived inside the
+plan (subvectors of the n_seeds smallest-id candidates — a sample
+codebook ~ KMeans iteration zero) and all distances are exact integers
+over quantized vectors (floor(x * 10000), same convention as
+queries_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import pq
+from ..sources import tables
+from .registry import query
+
+_SQL_Q = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+# PQ geometry shared by the Spark plan and the SQL oracle below: 64-dim
+# vectors, m=8 subspaces of 8 components, 16 seed centroids, shortlist 32.
+_M, _DSUB, _N_SEEDS, _SHORTLIST, _K = 8, 8, 16, 32, 5
+
+_D2 = (
+    "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}) AS BIGINT)"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+@query(
+    "q123_pq_rerank",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_Q} AS q FROM embeddings),
+    qs AS (SELECT vec_id, q FROM e WHERE vec_id < 5),
+    cand AS (SELECT vec_id, q FROM e WHERE vec_id >= 5),
+    seeds AS (
+      SELECT q, row_number() OVER (ORDER BY vec_id) - 1 AS c
+      FROM (SELECT vec_id, q FROM cand ORDER BY vec_id LIMIT {_N_SEEDS})
+    ),
+    sub_j AS (SELECT unnest(range({_M})) AS j),
+    seed_sub AS (
+      SELECT s.c, sj.j,
+             list_slice(s.q, sj.j * {_DSUB} + 1, sj.j * {_DSUB} + {_DSUB}) AS cent
+      FROM seeds s CROSS JOIN sub_j sj
+    ),
+    cand_sub AS (
+      SELECT cd.vec_id AS cand_id, sj.j,
+             list_slice(cd.q, sj.j * {_DSUB} + 1, sj.j * {_DSUB} + {_DSUB}) AS sub
+      FROM cand cd CROSS JOIN sub_j sj
+    ),
+    enc_d AS (
+      SELECT cs.cand_id, cs.j, ss.c,
+             {_D2.format(a="cs.sub", b="ss.cent")} AS d2
+      FROM cand_sub cs JOIN seed_sub ss ON cs.j = ss.j
+    ),
+    codes AS (
+      SELECT cand_id, j, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY cand_id, j ORDER BY d2, c) AS r
+        FROM enc_d
+      ) WHERE r = 1
+    ),
+    q_sub AS (
+      SELECT qq.vec_id AS query_id, sj.j,
+             list_slice(qq.q, sj.j * {_DSUB} + 1, sj.j * {_DSUB} + {_DSUB}) AS sub
+      FROM qs qq CROSS JOIN sub_j sj
+    ),
+    lut AS (
+      SELECT qsx.query_id, qsx.j, ss.c,
+             {_D2.format(a="qsx.sub", b="ss.cent")} AS d2
+      FROM q_sub qsx JOIN seed_sub ss ON qsx.j = ss.j
+    ),
+    adc AS (
+      SELECT l.query_id, cz.cand_id, CAST(SUM(l.d2) AS BIGINT) AS adc_dist2
+      FROM codes cz JOIN lut l ON cz.j = l.j AND cz.c = l.c
+      GROUP BY l.query_id, cz.cand_id
+    ),
+    short AS (
+      SELECT query_id, cand_id, adc_dist2 FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist2, cand_id) AS r
+        FROM adc
+      ) WHERE r <= {_SHORTLIST}
+    )
+    SELECT query_id, cand_id, adc_dist2, exact_d2, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY exact_d2, cand_id) AS rnk
+      FROM (
+        SELECT s.query_id, s.cand_id, s.adc_dist2,
+               {_D2.format(a="qv.q", b="cv.q")} AS exact_d2
+        FROM short s
+        JOIN qs qv ON s.query_id = qv.vec_id
+        JOIN cand cv ON s.cand_id = cv.vec_id
+      )
+    ) WHERE rnk <= {_K}
+    """,
+    doc="Two-stage PQ ANN: ADC over 8-byte codes shortlists 32 of ~500 "
+    "candidates per query, exact integer L2 reranks survivors to top-5. "
+    "The codebook is derived lazily inside the plan (seed subvectors of "
+    "the 16 smallest-id candidates) so the whole chain — encode, LUT, "
+    "ADC scan, shortlist, rerank — is one Catalyst plan the oracle "
+    "replays exactly. The scale path: the code index stores m bytes per "
+    "vector, the scan never touches floats, and only shortlist rows pay "
+    "a full-vector distance.",
+    tags=("similarity", "ann", "pq", "ext"),
+)
+def q123_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return pq.pq_rerank_topk_seeded(
+        e.filter(F.col("vec_id") < 5),
+        e.filter(F.col("vec_id") >= 5),
+        m=_M,
+        dim=_M * _DSUB,
+        n_seeds=_N_SEEDS,
+        shortlist=_SHORTLIST,
+        k_top=_K,
+    )

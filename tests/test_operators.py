@@ -320,6 +320,35 @@ class TestProductQuantization:
         b = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
         assert a == b
 
+    def test_pq_rerank_recall_bound_and_shortlist_knob(self, spark, sf_dir):
+        """q123's shortlist->rerank chain: recall vs exact brute force.
+
+        The synthetic embeddings are near-uniform — the hard PQ regime
+        (quantization error rivals the neighbor gap, see pq.py module
+        doc), so the registered 32-wide shortlist catches ~half the true
+        top-5 and widening the shortlist is the recall knob. A shortlist
+        covering all candidates makes the chain EXACT (the rerank sees
+        everything), which pins the truth set to the same code path.
+        """
+        from e2e_stock_data_pipeline_spark.operators.pq import pq_rerank_topk_seeded
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        e = tables.load(spark, sf_dir, "embeddings")
+        q, c = e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5)
+
+        def pairs(shortlist):
+            df = pq_rerank_topk_seeded(q, c, shortlist=shortlist, k_top=5)
+            return {(r.query_id, r.cand_id) for r in df.collect()}
+
+        truth = pairs(10_000)  # covers every candidate -> exact top-5
+        assert len(truth) == 25
+        narrow, wide = pairs(32), pairs(128)
+        r_narrow = len(narrow & truth) / len(truth)
+        r_wide = len(wide & truth) / len(truth)
+        assert r_narrow >= 0.4  # measured 0.52-0.56 at sf0.001/sf0.01
+        assert r_wide >= 0.8  # measured 0.88 — the knob works
+        assert r_wide >= r_narrow
+
 
 class TestConnectedComponents:
     def test_known_clusters(self, spark):
