@@ -1,16 +1,23 @@
-"""Round-7 query additions [EXT]: the PQ shortlist -> exact-rerank ANN
-composition, registered and oracle-gated.
+"""Round-7 query additions [EXT]:
 
-Product quantization is the memory-bound scale path for embedding
-search (operators/pq.py); the deployment shape a 100 TB user actually
-runs is two-stage — scan compressed codes to shortlist ~0.1% of the
-corpus per query, then exact-rerank only the survivors. q123 registers
-that full chain as one lazy Catalyst plan whose every stage a DuckDB
-oracle replays bit-for-bit: the codebook is data-derived inside the
-plan (subvectors of the n_seeds smallest-id candidates — a sample
-codebook ~ KMeans iteration zero) and all distances are exact integers
-over quantized vectors (floor(x * 10000), same convention as
-queries_similarity.py).
+* q123 — the PQ shortlist -> exact-rerank ANN composition. Product
+  quantization is the memory-bound scale path for embedding search
+  (operators/pq.py); the deployment shape a 100 TB user actually runs
+  is two-stage — scan compressed codes to shortlist a small fraction
+  of the corpus per query, then exact-rerank only the survivors. The
+  codebook is data-derived inside the plan (subvectors of the n_seeds
+  smallest-id candidates — a sample codebook ~ KMeans iteration zero)
+  and all distances are exact integers over quantized vectors
+  (floor(x * 10000), same convention as queries_similarity.py), so a
+  DuckDB oracle replays the whole chain bit-for-bit.
+
+* q124 — the late-data quarantine audit as a batch query: the exact
+  horizon rule route_late_events applies in streaming (streaming/
+  late.py — late iff event time < prior-batches max - delay), replayed
+  over a deterministic simulated arrival order (event time + portable-
+  hash jitter, hourly arrival batches). The engine's late-data policy
+  (SURVEY §7 T8) thereby carries an oracle-gated row, not only
+  streaming tests.
 """
 
 from __future__ import annotations
@@ -18,8 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..operators import pq
 from ..sources import tables
+from ..streaming.late import late_audit_plan
 from .registry import query
 
 _SQL_Q = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
@@ -126,3 +135,62 @@ def q123_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=_SHORTLIST,
         k_top=_K,
     )
+
+
+# Late-quarantine audit geometry: simulated arrival = event time plus a
+# seeded portable-hash jitter of up to 1 hour; arrival batches are hourly;
+# the quarantine horizon is prior-batch max event time minus 10 minutes.
+_JITTER_S, _BATCH_US, _DELAY_US = 3600, 3_600_000_000, 600_000_000
+
+
+@query(
+    "q124_late_quarantine_audit",
+    oracle=f"""
+    WITH ev AS (
+      SELECT epoch_us(ts) AS ev_us,
+             epoch_us(ts)
+               + ({portable_hash64_sql("event_id", seed=7)} % {_JITTER_S}) * 1000000
+               AS arr_us
+      FROM events
+    ),
+    b AS (SELECT ev_us, arr_us // {_BATCH_US} AS batch FROM ev),
+    bm AS (SELECT batch, MAX(ev_us) AS bmax FROM b GROUP BY batch),
+    h AS (
+      SELECT batch,
+             MAX(bmax) OVER (ORDER BY batch
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - {_DELAY_US} AS horizon
+      FROM bm
+    )
+    SELECT b.batch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN b.ev_us < h.horizon THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           MAX(CASE WHEN b.ev_us < h.horizon THEN h.horizon - b.ev_us END)
+             AS max_late_by_us
+    FROM b JOIN h ON b.batch = h.batch
+    GROUP BY b.batch
+    """,
+    doc="Late-data quarantine accounting as a batch query: replays the "
+    "streaming splitter's exact horizon rule (streaming/late.py "
+    "route_late_events — late iff event time < prior-batches max event "
+    "time - delay; first batch all on-time) over a deterministic "
+    "simulated arrival order (event ts + hash jitter <= 1 h, hourly "
+    "arrival batches, 10 min delay). All-micros bigint arithmetic, two "
+    "keyed aggs + a running max over the dimension-sized batch frame "
+    "only (q116 pattern) — no data-sized window.",
+    tags=("ext", "streaming", "late", "audit"),
+)
+def q124_late_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts is TIMESTAMP_NTZ; the session timezone is pinned UTC (session.py),
+    # so the cast reads the wall-clock as UTC — same epoch DuckDB's
+    # epoch_us() assigns the naive timestamp.
+    ev_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = tables.load(spark, sf_dir, "events").select(
+        ev_us.alias("ev_us"),
+        (
+            ev_us + (portable_hash64("event_id", seed=7) % _JITTER_S) * F.lit(1_000_000)
+        ).alias("arr_us"),
+    )
+    batched = ev.select("ev_us", F.expr(f"arr_us div {_BATCH_US}").alias("batch"))
+    return late_audit_plan(batched, _DELAY_US)

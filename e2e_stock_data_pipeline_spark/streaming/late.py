@@ -65,6 +65,40 @@ def _write_high_water(path: str, value: dt.datetime) -> None:
     os.replace(tmp, path)
 
 
+def late_audit_plan(batched: DataFrame, delay_us: int) -> DataFrame:
+    """Batch twin of :func:`route_late_events`'s quarantine rule.
+
+    Input: any frame with ``ev_us`` (event time, epoch micros, bigint)
+    and ``batch`` (arrival micro-batch id, bigint). A row is late iff
+    ``ev_us < max(ev_us over all PRIOR batches) - delay_us`` — exactly
+    the horizon the streaming splitter applies (max event time seen in
+    prior batches minus the watermark delay); the first batch is all
+    on-time, matching the splitter's cold start.
+
+    Shape: one map-side-combinable groupBy(batch) for per-batch maxima
+    (dimension-sized: one row per micro-batch), a running-max window
+    over that dimension only, then a broadcast join back and a second
+    keyed aggregation. No data-sized window, no self-join — the q116
+    pattern. Returns (batch, n_events, n_late, max_late_by_us).
+    """
+    bm = batched.groupBy("batch").agg(F.max("ev_us").alias("bmax"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    h = bm.select(
+        "batch", (F.max("bmax").over(w) - F.lit(delay_us)).alias("horizon")
+    )
+    joined = batched.join(F.broadcast(h), "batch")
+    late_flag = F.when(F.col("ev_us") < F.col("horizon"), 1).otherwise(0)
+    return joined.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late_flag).cast("bigint").alias("n_late"),
+        F.max(
+            F.when(F.col("ev_us") < F.col("horizon"), F.col("horizon") - F.col("ev_us"))
+        ).alias("max_late_by_us"),
+    )
+
+
 def route_late_events(
     stream: DataFrame,
     ts_col: str,

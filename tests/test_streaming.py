@@ -333,6 +333,73 @@ class TestLateDataPolicy:
         # 01:00 is 9 h behind the 10:00 horizon
         assert late_rows[0].late_by_seconds == 9 * 3600.0
 
+    def test_late_audit_plan_is_the_streaming_splitters_batch_twin(
+        self, spark, tmp_path
+    ):
+        """The q124 batch plan and route_late_events apply the SAME horizon
+        rule: feed the splitter one file per arrival batch (each run_once
+        = one micro-batch via the sidecar high-water mark), then replay
+        the identical rows through late_audit_plan with the same batch
+        assignment and delay, and demand identical per-batch late counts
+        and on-time/late totals."""
+        import datetime as dt
+
+        from e2e_stock_data_pipeline_spark.streaming.late import (
+            late_audit_plan,
+            route_late_events,
+        )
+
+        src, main, late_p, ckpt = (
+            str(tmp_path / d) for d in ["src", "main", "late", "ckpt"]
+        )
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        # (event_id, event time, arrival batch): batch 1 has one straggler
+        # behind the 10-minute horizon, batch 2 has two (one extreme), and
+        # each batch also advances the high-water mark.
+        rows = [
+            (1, base, 0),
+            (2, base + dt.timedelta(hours=1), 0),
+            (3, base + dt.timedelta(minutes=30), 1),  # 30 min late
+            (4, base + dt.timedelta(hours=2), 1),
+            (5, base - dt.timedelta(hours=5), 2),  # extreme straggler
+            (6, base + dt.timedelta(hours=1, minutes=55), 2),  # 5 min: on time
+            (7, base + dt.timedelta(hours=3), 2),
+        ]
+
+        def mk(batch):
+            return spark.createDataFrame(
+                [(i, t, 0, "view", 1.0, None) for i, t, b in rows if b == batch],
+                "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+            )
+
+        for b in range(3):
+            mk(b).coalesce(1).write.mode("append").parquet(src)
+            stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+            q = route_late_events(stream, "ts", "10 minutes", main, late_p, ckpt)
+            q.awaitTermination()
+
+        stream_late = {r.event_id for r in spark.read.parquet(late_p).collect()}
+        stream_main = {r.event_id for r in spark.read.parquet(main).collect()}
+        assert stream_late == {3, 5}
+        assert stream_main == {1, 2, 4, 6, 7}
+
+        epoch = dt.datetime(1970, 1, 1)
+        batched = spark.createDataFrame(
+            [(int((t - epoch).total_seconds() * 1_000_000), b) for _, t, b in rows],
+            "ev_us long, batch long",
+        )
+        audit = {
+            r.batch: (r.n_events, r.n_late, r.max_late_by_us)
+            for r in late_audit_plan(batched, 600_000_000).collect()
+        }
+        # batch 1: event 3 is 20 min behind the 00:50 horizon; batch 2:
+        # event 5 is 6 h 50 min behind the 01:50 horizon, event 6 clears
+        # it by 5 min.
+        assert audit[0] == (2, 0, None)
+        assert audit[1] == (2, 1, 20 * 60 * 1_000_000)
+        assert audit[2] == (3, 1, (6 * 3600 + 50 * 60) * 1_000_000)
+        assert sum(n for _, n, _ in audit.values()) == len(stream_late)
+
 
 class TestSchemaDriftEndToEnd:
     def test_drift_restart_widens_bronze(self, spark, tmp_path):
