@@ -50,7 +50,25 @@ def merge_upsert(
     keys: list[str],
     order_col: str,
 ) -> None:
-    """Upsert: newest row per key wins across existing target + updates."""
+    """Upsert: newest row per key wins across existing target + updates.
+
+    The semantics contract (pinned by the MERGE matrix test in
+    tests/test_pipeline.py, which any future native-Delta route must
+    also pass):
+
+    * source is deduped to its newest row per key first (the
+      reference's ``row_num = 1`` guard, docs/databricks_setup.md:
+      183-197);
+    * a matched target row is replaced iff the source row's
+      ``order_col`` is **newer or equal** — i.e. the update wins ties
+      (the Delta route's ``s.order >= t.order`` condition; the rewrite
+      path encodes the same policy with a source-precedence tie-break
+      column). This is deliberately stricter than the reference's
+      unconditional ``WHEN MATCHED THEN UPDATE SET *``: a late-arriving
+      OLDER source row must not clobber newer silver data;
+    * unmatched source rows insert; target rows never disappear;
+    * re-running the same merge is a no-op (idempotent).
+    """
     if HAVE_DELTA and DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
         deduped = keep_last(updates, keys, [order_col])
         (
@@ -68,8 +86,15 @@ def merge_upsert(
         existing = spark.read.parquet(target_path)
     else:  # first run: nothing to merge with (avoids a noisy read probe)
         existing = None
-    merged = updates if existing is None else existing.unionByName(updates)
-    result = keep_last(merged, keys, [order_col])
+    if existing is None:
+        result = keep_last(updates, keys, [order_col])
+    else:
+        # _src_pri makes the update win order-col ties deterministically,
+        # matching the Delta route's `s.order >= t.order`.
+        merged = existing.withColumn("_src_pri", F.lit(0)).unionByName(
+            updates.withColumn("_src_pri", F.lit(1))
+        )
+        result = keep_last(merged, keys, [order_col, "_src_pri"]).drop("_src_pri")
     # Can't overwrite the path being read: stage to a sibling temp dir,
     # then swap (distributed write, no driver materialization).
     import shutil

@@ -97,6 +97,92 @@ class TestMergeUpsert:
             ("MSFT", "2024-09-16"): 9.9,  # inserted
         }
 
+    # The engine's MERGE semantics contract, table-driven. Encodes the
+    # reference's WHEN MATCHED / WHEN NOT MATCHED + row_num=1 shape
+    # (docs/databricks_setup.md:170-198) under the engine's newest-wins
+    # policy (see merge_upsert docstring for the one deliberate
+    # difference: an older source row never clobbers newer target data,
+    # where the reference's unconditional UPDATE SET * would).
+    # merge_upsert dispatches to native Delta when importable, so the
+    # same matrix gates BOTH routes — today it runs the staged-rewrite
+    # fallback; with delta-spark installed it verifies DeltaTable.merge.
+    # Rows are (symbol, trade_date, close, v); v is the recency order.
+    MERGE_MATRIX = [
+        (
+            "unmatched_source_inserts",
+            [("A", "d1", 1.0, 1)],
+            [("B", "d1", 9.0, 1)],
+            {("A", "d1"): (1.0, 1), ("B", "d1"): (9.0, 1)},
+        ),
+        (
+            "newer_source_updates",
+            [("A", "d1", 1.0, 1)],
+            [("A", "d1", 2.0, 2)],
+            {("A", "d1"): (2.0, 2)},
+        ),
+        (
+            "older_source_loses",
+            [("A", "d1", 5.0, 5)],
+            [("A", "d1", 1.0, 1)],
+            {("A", "d1"): (5.0, 5)},
+        ),
+        (
+            "tie_update_wins",
+            [("A", "d1", 1.0, 3)],
+            [("A", "d1", 2.0, 3)],
+            {("A", "d1"): (2.0, 3)},
+        ),
+        (
+            "row_num_1_guard_only_newest_source_row_acts",
+            [("A", "d1", 1.0, 1)],
+            # three source rows for one key: only v=4 may act
+            [("A", "d1", 2.0, 2), ("A", "d1", 4.0, 4), ("A", "d1", 3.0, 3)],
+            {("A", "d1"): (4.0, 4)},
+        ),
+        (
+            "target_rows_never_disappear",
+            [("A", "d1", 1.0, 1), ("A", "d2", 2.0, 1), ("C", "d1", 3.0, 1)],
+            [("A", "d2", 9.0, 2)],
+            {
+                ("A", "d1"): (1.0, 1),
+                ("A", "d2"): (9.0, 2),
+                ("C", "d1"): (3.0, 1),
+            },
+        ),
+        (
+            "mixed_batch_per_key_independence",
+            [("A", "d1", 1.0, 2), ("B", "d1", 1.0, 2)],
+            # A gets an older row (loses), B a newer one (wins), D is new
+            [("A", "d1", 9.0, 1), ("B", "d1", 9.0, 3), ("D", "d1", 7.0, 1)],
+            {
+                ("A", "d1"): (1.0, 2),
+                ("B", "d1"): (9.0, 3),
+                ("D", "d1"): (7.0, 1),
+            },
+        ),
+    ]
+
+    @pytest.mark.parametrize(
+        "name,target,updates,expected", MERGE_MATRIX, ids=[c[0] for c in MERGE_MATRIX]
+    )
+    def test_merge_semantics_matrix(self, spark, tmp_path, name, target, updates, expected):
+        cols = ["symbol", "trade_date", "close", "v"]
+        path = str(tmp_path / "silver")
+        merge_upsert(spark, path, spark.createDataFrame(target, cols), ["symbol", "trade_date"], "v")
+        merge_upsert(spark, path, spark.createDataFrame(updates, cols), ["symbol", "trade_date"], "v")
+        got = {
+            (r.symbol, r.trade_date): (r.close, r.v)
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == expected, name
+        # idempotency: replaying the same update batch changes nothing
+        merge_upsert(spark, path, spark.createDataFrame(updates, cols), ["symbol", "trade_date"], "v")
+        again = {
+            (r.symbol, r.trade_date): (r.close, r.v)
+            for r in spark.read.parquet(path).collect()
+        }
+        assert again == expected, f"{name}: merge is not idempotent"
+
 
 class TestGoldFeatures:
     def test_known_values(self, spark):
