@@ -30,6 +30,43 @@ class TestHashSplit:
         assert rows["val"]["n_docs"] / n <= 0.12
         assert rows["test"]["n_docs"] / n <= 0.12
 
+    @pytest.mark.parametrize(
+        "shape,mk_expr",
+        [
+            ("sequential_ints", lambda: F.col("id").cast("string")),
+            ("zero_padded_common_prefix", lambda: F.format_string("doc_%012d", F.col("id"))),
+            ("long_shared_prefix_short_suffix", lambda: F.concat(
+                F.lit("corpus/shard-2024-01-01/source=web/document-"),
+                F.col("id").cast("string"),
+            )),
+            ("low_entropy_tail", lambda: F.format_string("%d000000", F.col("id"))),
+        ],
+        ids=["sequential", "zeropad", "sharedprefix", "lowtail"],
+    )
+    def test_split_unbiased_on_adversarial_id_distributions(self, spark, shape, mk_expr):
+        """Weak string hashes collapse on sequential / shared-prefix key
+        families (the classic 90/5/5-split failure: correlated ids land
+        in one split). The sha2-based portable hash must keep every
+        adversarial family within binomial slack of 90/5/5: for
+        n=20000, sigma(train) = sqrt(n*.9*.1) ~ 42, so +-5 sigma is
+        ~+-210 docs (~1 pp)."""
+        n = 20_000
+        from e2e_stock_data_pipeline_spark.functions.hashing import portable_hash64
+
+        bucket = portable_hash64(mk_expr(), seed=42) % 100
+        split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+        got = {
+            r["split"]: r["n"]
+            for r in spark.range(n)
+            .groupBy(split.alias("split"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert set(got) == {"train", "val", "test"}, shape
+        assert abs(got["train"] - 0.90 * n) <= 5 * math.sqrt(n * 0.9 * 0.1), shape
+        for s in ("val", "test"):
+            assert abs(got[s] - 0.05 * n) <= 5 * math.sqrt(n * 0.05 * 0.95), (shape, s)
+
     def test_split_is_partitioning_invariant(self, spark, sf_dir):
         """The same doc lands in the same split regardless of how the
         input is partitioned — the property RNG-based splits lose."""
