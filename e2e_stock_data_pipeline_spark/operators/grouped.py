@@ -86,6 +86,52 @@ def per_key_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
     )
 
 
+EMA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("ema", T.DoubleType()),
+    ]
+)
+
+
+def _ema_group(pdf: pd.DataFrame, alpha: float) -> pd.DataFrame:
+    # (ts, event_id, value) ordering mirrors plans/queries_ext5.ema_plan's
+    # struct sort, value as the tertiary tie-break.
+    pdf = pdf.sort_values(["ts", "event_id", "value"])
+    ema = pdf["value"].ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_obs": [len(pdf)],
+            "ema": [float(ema)],
+        }
+    )
+
+
+def per_key_ema(events: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Final EMA per key — the unbounded-series form of q118's fold.
+
+    q118 (plans/queries_ext5.ema_plan) collects each key's series into
+    one array and folds it with Catalyst `aggregate`: O(series) heap
+    per key on a single expression — ideal for bounded bar series. For
+    UNBOUNDED keys this applyInPandas twin streams each group through
+    an Arrow batch instead of materializing an array inside an agg
+    buffer, so memory is governed by spark.sql.execution.arrow batch
+    handling rather than a single collect_list cell. pandas' adjust=False
+    ewm runs the identical recursion y_t = a*x_t + (1-a)*y_{t-1} in
+    float64, and the property test (tests/test_ext5_properties.py)
+    pins BIT-EQUALITY against ema_plan on the same data.
+
+    Same output contract as ema_plan: (user_id, n_obs, ema).
+    """
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(lambda pdf: _ema_group(pdf, alpha), schema=EMA_SCHEMA)
+    )
+
+
 MACD_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

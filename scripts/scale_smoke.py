@@ -281,6 +281,17 @@ def main(n_rows: int = 10_000_000) -> None:
         lambda: forced(ema_plan(ev)),
     )
 
+    # --- round-7 unbounded-series EMA twin: the applyInPandas escape
+    # hatch (operators/grouped.per_key_ema, bit-equal to ema_plan by
+    # property test) — times the Arrow grouped-map path at the same
+    # volume so the bounded/unbounded trade is measured, not asserted --
+    from e2e_stock_data_pipeline_spark.operators.grouped import per_key_ema  # noqa: E402
+
+    timed(
+        f"EMA applyInPandas twin ({n_rows/1e6:.0f}M obs, 10k keys)",
+        lambda: forced(per_key_ema(ev)),
+    )
+
     spark.stop()
 
 

@@ -134,6 +134,24 @@ class TestEmaFold:
         bad = joined.filter((F.col("ema") < F.col("lo")) | (F.col("ema") > F.col("hi")))
         assert bad.count() == 0
 
+    def test_per_key_ema_bit_equals_the_catalyst_fold(self, spark, sf_dir):
+        """The applyInPandas escape hatch for unbounded series
+        (operators/grouped.per_key_ema) must run the IDENTICAL IEEE
+        recursion as q118's Catalyst `aggregate` fold — bit-equality on
+        every key of the real events table, not approximate closeness."""
+        from e2e_stock_data_pipeline_spark.operators.grouped import per_key_ema
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        events = tables.load(spark, sf_dir, "events")
+        plan = {
+            r["user_id"]: (r["n_obs"], r["ema"])
+            for r in _run("q118_ema_smoothing", spark, sf_dir).collect()
+        }
+        pandas_twin = {
+            r["user_id"]: (r["n_obs"], r["ema"]) for r in per_key_ema(events).collect()
+        }
+        assert plan == pandas_twin  # exact float equality, all keys
+
     def test_ema_depends_on_order(self, spark):
         """Reversing the series changes the EMA — the property that rules
         out implementing this with an order-free aggregate. Uses the

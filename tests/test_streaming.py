@@ -955,3 +955,87 @@ class TestTransformWithState:
                 spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
             else:
                 spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    def test_processor_logic_batch_twin_without_state_server(self, spark, sf_dir):
+        """Evidence for the protobuf-gated skip above: drive
+        RunningStatsProcessor's handleInputRows directly through a fake
+        typed-state harness (the part the state server would provide),
+        feeding each key's rows as a 3-micro-batch sequence, and demand
+        the final emission equals the batch aggregate AND the
+        runtime-tested GroupState twin's semantics (count ignores
+        nulls; max of none is null). Everything but the wire protocol
+        runs for real."""
+        import pandas as pd
+
+        from e2e_stock_data_pipeline_spark.streaming.stateful import (
+            RunningStatsProcessor,
+        )
+
+        if RunningStatsProcessor is None:
+            pytest.skip("Spark < 4.0: no StatefulProcessor API")
+
+        class FakeValueState:
+            def __init__(self):
+                self._v = None
+
+            def exists(self):
+                return self._v is not None
+
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = tuple(v)
+
+        class FakeHandle:
+            def __init__(self):
+                self.states = {}
+
+            def getValueState(self, name, schema):
+                return self.states.setdefault(name, FakeValueState())
+
+        events = tables.load(spark, sf_dir, "events").limit(300)
+        rows = events.select("user_id", "value", "event_id").collect()
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r.user_id, []).append((r.event_id, r.value))
+
+        got = {}
+        for uid, kv in by_key.items():
+            proc = RunningStatsProcessor()
+            proc.init(FakeHandle())
+            vals = [v for _, v in sorted(kv)]
+            # three micro-batches per key, the middle one possibly empty —
+            # the state hand-off across handleInputRows calls is the point
+            chunks = [vals[0::3], vals[1::3], vals[2::3]]
+            last = None
+            for chunk in chunks:
+                out = list(
+                    proc.handleInputRows(
+                        (uid,), [pd.DataFrame({"value": chunk})], None
+                    )
+                )
+                assert len(out) == 1
+                last = out[0]
+            proc.close()
+            got[uid] = (
+                int(last["n_events"].iloc[0]),
+                round(float(last["total_value"].iloc[0]), 6),
+                last["max_value"].iloc[0],
+            )
+
+        expect = {
+            r.user_id: (
+                r.n,
+                round(r.t, 6) if r.t is not None else None,
+                r.m,
+            )
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count("value").alias("n"),
+                F.sum("value").alias("t"),
+                F.max("value").alias("m"),
+            )
+            .collect()
+        }
+        assert got == expect
