@@ -48,9 +48,29 @@ def main(argv: list[str]) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    # Queries whose oracle embeds a literal path (pinned_sf_dir) are only
+    # valid at that sf: run BOTH sides there regardless of the sweep dir,
+    # so a cross-sf sweep stays a true apples-to-apples comparison.
+    from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules
+
+    pinned = {
+        n: s.pinned_sf_dir
+        for n, s in load_all_query_modules().items()
+        if s.pinned_sf_dir
+    }
+
+    _cons: dict[str, duckdb.DuckDBPyConnection] = {}
+
+    def con_for(d: str) -> duckdb.DuckDBPyConnection:
+        if d not in _cons:
+            c = duckdb.connect()
+            for t in TABLE_NAMES:
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+            _cons[d] = c
+        return _cons[d]
+
+    con = con_for(sf_dir)
     # warm up JVM/codegen and the table-load memo (ns->us cache, parquet
     # footers) with one untimed touch per table, so the first-ordered
     # queries' recorded costs aren't cold-start-contaminated — these
@@ -71,12 +91,13 @@ def main(argv: list[str]) -> int:
     for i, name in enumerate(qs, 1):
         t0 = time.perf_counter()
         err = None
+        q_dir = pinned.get(name, sf_dir)
         try:
-            sdf = qs[name](spark, sf_dir)
+            sdf = qs[name](spark, q_dir)
             srows = [tuple(r) for r in sdf.collect()]
             t_spark = time.perf_counter() - t0
             if name in osql:
-                rel = con.sql(osql[name])
+                rel = con_for(q_dir).sql(osql[name])
                 orows = rel.fetchall()
                 ok = len(srows) == len(orows) and norm(srows, sdf.columns) == norm(
                     orows, list(rel.columns)
