@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..operators import pq
+from ..operators.grouped import per_key_ema
 from ..sources import tables
 from ..streaming.late import late_audit_plan
 from .registry import query
@@ -194,3 +195,29 @@ def q124_late_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batched = ev.select("ev_us", F.expr(f"arr_us div {_BATCH_US}").alias("batch"))
     return late_audit_plan(batched, _DELAY_US)
+
+
+@query(
+    "q125_ema_unbounded_twin",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_obs,
+           list_reduce(list(value ORDER BY ts, event_id, value),
+                       (acc, x) -> 0.25::DOUBLE * x + 0.75::DOUBLE * acc)
+             AS ema
+    FROM events GROUP BY user_id
+    """,
+    doc="q118's EMA computed on the engine's OTHER sanctioned path: an "
+    "Arrow grouped-map kernel (operators/grouped.per_key_ema, pandas "
+    "ewm adjust=False) instead of the Catalyst collect_list+aggregate "
+    "fold. Same oracle as q118 because the two paths are bit-identical "
+    "(property-tested) — this row makes the applyInPandas surface "
+    "itself oracle-gated, evidence that the Python/Arrow boundary "
+    "preserves IEEE doubles exactly. The scale story is the inverse of "
+    "q118's: memory per key is Arrow-batch governed (unbounded-key "
+    "safe) and measured ~2x faster at 100M obs x 10k keys "
+    "(BENCH_NOTES r7).",
+    tags=("ext", "window", "fold", "pandas"),
+)
+def q125_ema_unbounded_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return per_key_ema(tables.load(spark, sf_dir, "events"))
