@@ -173,6 +173,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_neardup(
+    docs: DataFrame,
+    is_new,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 6,
+) -> DataFrame:
+    """Near-dup check of a NEW batch against the EXISTING corpus — the
+    daily-ingest composition: candidates pair only across the
+    new/corpus boundary, never corpus x corpus, so incremental work
+    scales with the batch, not the archive.
+
+    ``is_new`` is a boolean Column over ``docs`` marking today's batch.
+    Stages mirror q86's recall->precision pipeline: MinHash-LSH banding
+    proposes cross-boundary candidates (one shuffle on (seed, sig));
+    exact Jaccard verifies only those candidates at ``threshold``.
+
+    At 100 TB the corpus side's signatures are a stored index (computed
+    once, appended per batch) — here both sides derive from one frame
+    for oracle replayability, which changes cost, not semantics.
+    Returns (doc_new, doc_old, jaccard).
+    """
+    flagged = docs.select(F.col(id_col), is_new.alias("_new"), F.col("text"))
+    sigs = minhash_signatures(
+        exploded_shingles(flagged, id_col, distinct=False), id_col, num_hashes
+    ).join(flagged.select(id_col, "_new"), id_col)
+    new_side = sigs.filter(F.col("_new")).select(
+        F.col(id_col).alias("doc_new"), "seed", "sig"
+    )
+    old_side = sigs.filter(~F.col("_new")).select(
+        F.col(id_col).alias("doc_old"), "seed", "sig"
+    )
+    cands = (
+        new_side.join(old_side, ["seed", "sig"]).select("doc_new", "doc_old").distinct()
+    )
+
+    shd = exploded_shingles(flagged, id_col, distinct=True)
+    sizes = shd.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shd.select(F.col(id_col).alias("doc_new"), "shingle")
+    sb = shd.select(F.col(id_col).alias("doc_old"), "shingle")
+    inter = (
+        cands.join(sa, "doc_new")
+        .join(sb, ["doc_old", "shingle"])
+        .groupBy("doc_new", "doc_old")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sx = sizes.select(F.col(id_col).alias("doc_new"), F.col("n").alias("n_a"))
+    sy = sizes.select(F.col(id_col).alias("doc_old"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sx, "doc_new")
+        .join(sy, "doc_old")
+        .select("doc_new", "doc_old", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash16(docs: DataFrame, id_col: str = "doc_id", seed: int = 7) -> DataFrame:
     """16-bit SimHash over each doc's distinct words.
 

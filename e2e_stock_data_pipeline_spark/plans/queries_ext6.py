@@ -221,3 +221,65 @@ def q124_late_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q125_ema_unbounded_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key_ema(tables.load(spark, sf_dir, "events"))
+
+
+@query(
+    "q126_incremental_dedup",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(text, ' +') AS ws,
+             doc_id % 5 = 0 AS is_new
+      FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, is_new,
+             unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      FROM words
+    ),
+    hashed AS (
+      SELECT doc_id, is_new,
+             CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS h
+      FROM shingled
+    ),
+    seeds AS (SELECT unnest(range(6)) AS seed),
+    sigs AS (
+      SELECT doc_id, is_new, seed,
+             MIN(((seed * 2 + 1) * h + (seed * 7919 + 13)) % 268435399) AS sig
+      FROM hashed CROSS JOIN seeds GROUP BY doc_id, is_new, seed
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+      FROM sigs a JOIN sigs b
+        ON a.seed = b.seed AND a.sig = b.sig AND a.is_new AND NOT b.is_new
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_new, c.doc_old, COUNT(*) AS n_common
+      FROM cands c
+      JOIN shingled sa ON sa.doc_id = c.doc_new
+      JOIN shingled sb ON sb.doc_id = c.doc_old AND sb.shingle = sa.shingle
+      GROUP BY c.doc_new, c.doc_old
+    )
+    SELECT i.doc_new, i.doc_old,
+           CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes x ON i.doc_new = x.doc_id
+    JOIN sizes y ON i.doc_old = y.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) >= 0.5
+    """,
+    doc="Incremental near-dup: today's batch (doc_id % 5 = 0 here) "
+    "checked against the existing corpus only — candidates pair "
+    "strictly across the boundary (MinHash-LSH banding, one shuffle on "
+    "(seed, sig)), then exact Jaccard verifies just those candidates "
+    "at 0.5. The daily-ingest composition at 100 TB: work scales with "
+    "the batch, never corpus x corpus, and the corpus signatures are a "
+    "stored index appended per batch (operators/dedup.py "
+    "incremental_neardup).",
+    tags=("dedup", "minhash", "lsh", "incremental", "ext"),
+)
+def q126_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_neardup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return incremental_neardup(docs, F.col("doc_id") % 5 == 0, threshold=0.5)

@@ -350,6 +350,33 @@ class TestProductQuantization:
         assert r_wide >= r_narrow
 
 
+class TestIncrementalNearDup:
+    def test_equals_cross_boundary_slice_of_full_pipeline(self, spark, sf_dir):
+        """The incremental (new-vs-corpus) check must find EXACTLY the
+        full pipeline's verified pairs that straddle the boundary —
+        same banding family, same verify threshold, so restricting the
+        candidate join to new x old loses nothing and adds nothing."""
+        from e2e_stock_data_pipeline_spark.operators import dedup as D
+        from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        docs = tables.load(spark, sf_dir, "documents")
+        inc = {
+            (r.doc_new, r.doc_old)
+            for r in D.incremental_neardup(
+                docs, F.col("doc_id") % 5 == 0, threshold=0.5
+            ).collect()
+        }
+        assert inc  # non-degenerate at this sf
+        full = load_all_query_modules()["q86_neardup_pipeline"].spark(spark, sf_dir)
+        cross = set()
+        for r in full.collect():
+            a_new, b_new = r.doc_a % 5 == 0, r.doc_b % 5 == 0
+            if a_new != b_new:  # exactly one side in the new batch
+                cross.add((r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a))
+        assert inc == cross
+
+
 class TestConnectedComponents:
     def test_known_clusters(self, spark):
         from e2e_stock_data_pipeline_spark.operators.dedup import connected_components
