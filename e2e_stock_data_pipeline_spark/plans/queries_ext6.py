@@ -283,3 +283,109 @@ def q126_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     return incremental_neardup(docs, F.col("doc_id") % 5 == 0, threshold=0.5)
+
+
+# Fixed-point weight: floor to micro-units BEFORE the integer arithmetic
+# (q98 convention) — the expression text is shared verbatim with the oracle.
+_W_FP = "CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+@query(
+    "q127_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    weighted AS (SELECT lang, c, {_W_FP} AS w_fp FROM counts),
+    targets AS (
+      SELECT lang, c,
+             CAST((SUM(c) OVER () * w_fp) // SUM(w_fp) OVER () AS BIGINT) AS n_target
+      FROM weighted
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY {portable_hash64_sql("d.doc_id", seed=11)}, d.doc_id
+             ) AS rnk
+      FROM documents d
+    ),
+    kept AS (
+      SELECT r.doc_id, r.lang FROM ranked r
+      JOIN targets t ON r.lang = t.lang
+      WHERE r.rnk <= t.n_target
+    ),
+    sampled AS (
+      SELECT k.lang, COUNT(*) AS n_sampled,
+             CAST(SUM(len(regexp_split_to_array(trim(d.text), ' +'))) AS BIGINT)
+               AS tokens_sampled
+      FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+      GROUP BY k.lang
+    )
+    SELECT t.lang, t.c AS n_docs, t.n_target,
+           COALESCE(s.n_sampled, 0) AS n_sampled,
+           COALESCE(s.tokens_sampled, 0) AS tokens_sampled
+    FROM targets t LEFT JOIN sampled s ON t.lang = s.lang
+    """,
+    doc="Temperature-weighted mixture sampling (alpha=0.5, the Gopher/"
+    "Pile data-mixing recipe): per-lang targets n_target = N * "
+    "sqrt(c)/sum(sqrt(c)) computed in exact integer arithmetic on a "
+    "fixed-point weight, then a DETERMINISTIC per-doc keep decision "
+    "(rank by seeded portable hash within lang <= target) — "
+    "reproducible on any engine/partitioning, no RNG. Head langs "
+    "downsample (en 218 -> 152 at sf0.01); tail langs cap at their "
+    "full count (n_target may exceed c — the needs-more-epochs "
+    "signal). One dimension-sized agg + one per-lang rank window.",
+    tags=("ext", "curation", "mixing", "sampling"),
+)
+def q127_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_mixture_plan(tables.load(spark, sf_dir, "documents"))
+
+
+def temperature_mixture_plan(docs: DataFrame) -> DataFrame:
+    """The q127 plan over any (doc_id, lang, text) frame — ONE definition
+    shared by the registered query and the partitioning-invariance
+    property test (same contract as ema_plan/token_entropy_plan)."""
+    from pyspark.sql import Window
+
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy()
+    targets = (
+        counts.select("lang", "c", F.expr(_W_FP).alias("w_fp"))
+        .select(
+            "lang",
+            "c",
+            (F.sum("c").over(wall) * F.col("w_fp")).alias("_num"),
+            F.sum("w_fp").over(wall).alias("_den"),
+        )
+        .select("lang", "c", F.expr("_num div _den").alias("n_target"))
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        portable_hash64("doc_id", seed=11), F.col("doc_id")
+    )
+    kept = (
+        docs.select("doc_id", "lang", F.row_number().over(wr).alias("rnk"))
+        .join(F.broadcast(targets.select("lang", "n_target")), "lang")
+        .filter(F.col("rnk") <= F.col("n_target"))
+        .select("doc_id", "lang")
+    )
+    toks = docs.select(
+        "doc_id", F.expr("size(split(trim(text), ' +'))").alias("_nw")
+    )
+    sampled = (
+        kept.join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("_nw").cast("bigint").alias("tokens_sampled"),
+        )
+    )
+    return (
+        targets.withColumnRenamed("c", "n_docs")
+        .join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_target",
+            F.coalesce("n_sampled", F.lit(0).cast("bigint")).alias("n_sampled"),
+            F.coalesce("tokens_sampled", F.lit(0).cast("bigint")).alias("tokens_sampled"),
+        )
+    )

@@ -179,6 +179,46 @@ class TestEmaFold:
         assert out["fwd"] > out["rev"]
 
 
+class TestTemperatureMixture:
+    def test_mixture_invariants(self, spark, sf_dir):
+        """alpha=0.5 temperature sampling: kept = min(count, target);
+        targets sum to ~N (floor loss < n_groups); the head group
+        downsamples while tail groups keep everything — the flattening
+        that IS the point of temperature mixing."""
+        rows = _run("q127_temperature_mixture", spark, sf_dir).collect()
+        n_total = sum(r["n_docs"] for r in rows)
+        assert sum(r["n_target"] for r in rows) <= n_total
+        assert sum(r["n_target"] for r in rows) >= n_total - len(rows)
+        for r in rows:
+            assert r["n_sampled"] == min(r["n_docs"], r["n_target"])
+            assert (r["tokens_sampled"] > 0) == (r["n_sampled"] > 0)
+        head = max(rows, key=lambda r: r["n_docs"])
+        tail = min(rows, key=lambda r: r["n_docs"])
+        assert head["n_target"] < head["n_docs"]  # head downsampled
+        assert tail["n_target"] >= tail["n_docs"]  # tail kept whole
+
+    def test_keep_decision_is_partitioning_invariant(self, spark, sf_dir):
+        """The hash-ranked keep set must not depend on input layout —
+        same guarantee the q113 split carries, now for sampling. Runs
+        the SHARED plan constructor over a repartitioned clone, so a
+        drift between query and test is impossible."""
+        from e2e_stock_data_pipeline_spark.plans.queries_ext6 import (
+            temperature_mixture_plan,
+        )
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        base = {
+            (r["lang"], r["tokens_sampled"])
+            for r in _run("q127_temperature_mixture", spark, sf_dir).collect()
+        }
+        docs = tables.load(spark, sf_dir, "documents").repartition(13, "lang")
+        again = {
+            (r["lang"], r["tokens_sampled"])
+            for r in temperature_mixture_plan(docs).collect()
+        }
+        assert again == base
+
+
 class TestPercentileAnchors:
     def test_percentiles_are_ordered_and_bounded(self, spark, sf_dir):
         from e2e_stock_data_pipeline_spark.sources import tables
