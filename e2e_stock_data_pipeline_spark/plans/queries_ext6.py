@@ -333,17 +333,41 @@ _W_FP = "CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"
     "reproducible on any engine/partitioning, no RNG. Head langs "
     "downsample (en 218 -> 152 at sf0.01); tail langs cap at their "
     "full count (n_target may exceed c — the needs-more-epochs "
-    "signal). One dimension-sized agg + one per-lang rank window.",
+    "signal). The keep stage is the BUCKETED distributed rank (below): "
+    "no data-sized sort on the skewed lang key.",
     tags=("ext", "curation", "mixing", "sampling"),
 )
 def q127_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_plan(tables.load(spark, sf_dir, "documents"))
 
 
+# Order-preserving hash-range bucketing for the keep stage: arithmetic
+# shiftright(h, 54) floors a signed 64-bit hash into 1024 contiguous
+# ranges, so bucket id is monotone in the rank's order key and the
+# per-lang rank of any row equals (rows of that lang in earlier
+# buckets) + (rank within its own bucket).
+_BUCKET_SHIFT = 54
+
+
 def temperature_mixture_plan(docs: DataFrame) -> DataFrame:
     """The q127 plan over any (doc_id, lang, text) frame — ONE definition
     shared by the registered query and the partitioning-invariance
-    property test (same contract as ema_plan/token_entropy_plan)."""
+    property test (same contract as ema_plan/token_entropy_plan).
+
+    Keep stage (skew-safe, VERDICT r7 item 1): ``lang`` is exactly the
+    key the query proves is skewed, so ranking docs with a
+    ``Window.partitionBy("lang")`` would sort the entire head language
+    in one task at 100x. Instead: bucket every doc by an
+    order-preserving hash range (shiftright of the seeded rank hash),
+    build the dimension-sized (lang x <=1024 buckets) histogram,
+    prefix-sum it, keep WHOLE buckets that fit under the per-lang
+    target with no sort at all, and run the row_number window only
+    over the single boundary bucket per lang — each such partition is
+    ~1/1024 of the lang, so the head lang never lands in one reducer.
+    Bit-identical to the per-lang rank (property-tested against the
+    naive twin) because bucketing is monotone in (hash, doc_id) and
+    doc_id makes the ordering total.
+    """
     from pyspark.sql import Window
 
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
@@ -358,15 +382,7 @@ def temperature_mixture_plan(docs: DataFrame) -> DataFrame:
         )
         .select("lang", "c", F.expr("_num div _den").alias("n_target"))
     )
-    wr = Window.partitionBy("lang").orderBy(
-        portable_hash64("doc_id", seed=11), F.col("doc_id")
-    )
-    kept = (
-        docs.select("doc_id", "lang", F.row_number().over(wr).alias("rnk"))
-        .join(F.broadcast(targets.select("lang", "n_target")), "lang")
-        .filter(F.col("rnk") <= F.col("n_target"))
-        .select("doc_id", "lang")
-    )
+    kept = _bucketed_keep(docs, targets.select("lang", "n_target"))
     toks = docs.select(
         "doc_id", F.expr("size(split(trim(text), ' +'))").alias("_nw")
     )
@@ -388,4 +404,73 @@ def temperature_mixture_plan(docs: DataFrame) -> DataFrame:
             F.coalesce("n_sampled", F.lit(0).cast("bigint")).alias("n_sampled"),
             F.coalesce("tokens_sampled", F.lit(0).cast("bigint")).alias("tokens_sampled"),
         )
+    )
+
+
+def _bucketed_keep(docs: DataFrame, targets: DataFrame) -> DataFrame:
+    """Keep the per-lang top-``n_target`` docs ordered by
+    (portable_hash64(doc_id, seed=11), doc_id) WITHOUT a per-lang
+    data-sized sort.
+
+    ``targets`` is a dimension-sized (lang, n_target) frame. Returns
+    (doc_id, lang) of kept docs — the same set a per-lang
+    ``row_number() <= n_target`` window selects (see
+    naive_window_keep, the property-test twin).
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash64("doc_id", seed=11)
+    bucketed = docs.select(
+        "doc_id",
+        "lang",
+        h.alias("_h"),
+        F.shiftright(h, _BUCKET_SHIFT).alias("_b"),
+    )
+    # dimension-sized histogram: n_langs x <=1024 buckets
+    hist = bucketed.groupBy("lang", "_b").agg(F.count(F.lit(1)).alias("_bc"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # candidate buckets: everything wholly above the target is dropped
+    # BEFORE the window — a broadcast semi-join prunes ~all of a heavily
+    # downsampled head lang without sorting it
+    classified = (
+        hist.withColumn("_before", F.coalesce(F.sum("_bc").over(w_cum), F.lit(0)))
+        .join(targets, "lang")
+        .filter(F.col("_before") < F.col("n_target"))
+        .select("lang", "_b", "_before", "n_target")
+    )
+    # per-lang rank = earlier-bucket count + within-bucket rank, so ONE
+    # uniform filter covers both whole-kept buckets (every row passes)
+    # and the single boundary bucket per lang. The window partitions on
+    # (lang, _b): max partition = max bucket = ~1/1024 of a lang, so the
+    # head lang never collapses into one reducer — and the expensive
+    # portable hash is computed in ONE data pass besides the histogram's
+    # (the classic two-pass distributed rank, operators/ranking.py).
+    w_b = Window.partitionBy("lang", "_b").orderBy("_h", "doc_id")
+    return (
+        bucketed.join(F.broadcast(classified), ["lang", "_b"])
+        .withColumn("_rnk", F.row_number().over(w_b))
+        .filter(F.col("_before") + F.col("_rnk") <= F.col("n_target"))
+        .select("doc_id", "lang")
+    )
+
+
+def naive_window_keep(docs: DataFrame, targets: DataFrame) -> DataFrame:
+    """The single-window per-lang keep — q127's ORIGINAL shape, retained
+    solely as the property-test twin for _bucketed_keep (it sorts each
+    whole lang in one task, which is exactly the skew hazard the
+    bucketed version removes)."""
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("lang").orderBy(
+        portable_hash64("doc_id", seed=11), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(wr).alias("rnk"))
+        .join(F.broadcast(targets), "lang")
+        .filter(F.col("rnk") <= F.col("n_target"))
+        .select("doc_id", "lang")
     )

@@ -281,6 +281,29 @@ def main(n_rows: int = 10_000_000) -> None:
         lambda: forced(ema_plan(ev)),
     )
 
+    # --- round-8 skew-safe temperature mixture: adversarial 90%-head
+    # mixture over 10M docs (VERDICT r7 item 1). The old per-lang
+    # row_number window would sort 9M head-lang rows in ONE task; the
+    # bucketed keep's largest window partition is head/1024 (~9k rows).
+    # Production plan constructor, noop-forced -----------------------
+    from e2e_stock_data_pipeline_spark.plans.queries_ext6 import (  # noqa: E402
+        temperature_mixture_plan,
+    )
+
+    mix_docs = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("head"))
+        .otherwise(F.concat(F.lit("t"), F.pmod(F.xxhash64("id"), F.lit(40))))
+        .alias("lang"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit("w"), (F.xxhash64("id", F.lit(j)) % 5_000)) for j in range(8)]
+        ).alias("text"),
+    )
+    timed(
+        f"temperature mixture, 90%-head skew ({n_rows/1e6:.0f}M docs, 41 langs)",
+        lambda: forced(temperature_mixture_plan(mix_docs)),
+    )
+
     # --- round-7 unbounded-series EMA twin: the applyInPandas escape
     # hatch (operators/grouped.per_key_ema, bit-equal to ema_plan by
     # property test) — times the Arrow grouped-map path at the same

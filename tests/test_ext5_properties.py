@@ -218,6 +218,78 @@ class TestTemperatureMixture:
         }
         assert again == base
 
+    def test_bucketed_keep_bit_equals_naive_window_keep(self, spark, sf_dir):
+        """The skew-safe bucketed keep (r8) must select the EXACT doc
+        set the original per-lang row_number window did — per-lang rank
+        decomposes as earlier-bucket count + within-bucket rank because
+        shiftright bucketing is monotone in the (hash, doc_id) order
+        key. Checked on the real corpus AND on an adversarial 90%-head
+        skew with targets that force a boundary bucket in the head."""
+        from e2e_stock_data_pipeline_spark.plans.queries_ext6 import (
+            _bucketed_keep,
+            naive_window_keep,
+        )
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        docs = tables.load(spark, sf_dir, "documents")
+        targets = (
+            docs.groupBy("lang")
+            .agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_target"))
+        )
+        got = {tuple(r) for r in _bucketed_keep(docs, targets).collect()}
+        want = {tuple(r) for r in naive_window_keep(docs, targets).collect()}
+        assert got == want and len(want) > 0
+
+        skewed = spark.range(5_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < 9, "head").otherwise(
+                F.concat(F.lit("t"), F.col("id") % 7)
+            ).alias("lang"),
+        )
+        st = skewed.groupBy("lang").agg(
+            (F.count(F.lit(1)) * 3 / 10).cast("bigint").alias("n_target")
+        )
+        got = {tuple(r) for r in _bucketed_keep(skewed, st).collect()}
+        want = {tuple(r) for r in naive_window_keep(skewed, st).collect()}
+        assert got == want and len(want) > 0
+
+    @pytest.mark.parametrize(
+        "shape,langs",
+        [
+            ("single_lang", lambda i: F.lit("only")),
+            ("all_equal", lambda i: F.concat(F.lit("l"), i % 10)),
+            ("one_doc_langs", lambda i: F.concat(F.lit("u"), i)),
+        ],
+        ids=["single", "equal", "onedoc"],
+    )
+    def test_degenerate_mixtures_pin_target_arithmetic(self, spark, shape, langs):
+        """ADVICE r7 item 7: degenerate corpora pin the integer-div
+        floor contract — sum(n_target) <= N with under-allocation at
+        most n_langs rows, n_sampled = min(c, target), and in the
+        all-equal / single-lang cases every lang keeps (almost) whole:
+        target >= c - n_langs (floor loss only)."""
+        from e2e_stock_data_pipeline_spark.plans.queries_ext6 import (
+            temperature_mixture_plan,
+        )
+
+        docs = spark.range(400).select(
+            F.col("id").alias("doc_id"),
+            langs(F.col("id")).alias("lang"),
+            F.lit("alpha beta gamma").alias("text"),
+        )
+        rows = temperature_mixture_plan(docs).collect()
+        n = 400
+        n_langs = len(rows)
+        assert sum(r["n_docs"] for r in rows) == n
+        tsum = sum(r["n_target"] for r in rows)
+        assert n - n_langs <= tsum <= n
+        for r in rows:
+            assert r["n_sampled"] == min(r["n_docs"], r["n_target"])
+            assert r["tokens_sampled"] == 3 * r["n_sampled"]
+            if shape in ("single_lang", "all_equal"):
+                # uniform mixture: temperature is a no-op up to floor loss
+                assert r["n_target"] >= r["n_docs"] - n_langs
+
 
 class TestPercentileAnchors:
     def test_percentiles_are_ordered_and_bounded(self, spark, sf_dir):
