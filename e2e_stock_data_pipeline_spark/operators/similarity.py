@@ -320,3 +320,110 @@ def ivf_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def _d2_int(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 via |a|^2 - 2ab + |b|^2 (pq._d2_q's
+    decomposition — the form a SQL oracle replays with a native list
+    dot product)."""
+    return dot_q(a, a) - F.lit(2).cast("bigint") * dot_q(a, b) + dot_q(b, b)
+
+
+def ivf_rerank_topk_seeded(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k_top: int = 5,
+) -> DataFrame:
+    """IVF probe -> exact rerank, fully lazy and integer-exact.
+
+    The oracle-replayable twin of :func:`ivf_topk` (which fits a real
+    KMeans): here the coarse quantizer is DATA-DERIVED INSIDE THE PLAN —
+    seed centroids are the ``n_cells`` smallest-id candidates (KMeans
+    iteration zero, the q123 codebook trick) refined by ONE exact Lloyd
+    step in Catalyst: assign every candidate to its nearest seed, then
+    recompute each cell centroid component-wise as ``sum div count``
+    (integer floor-toward-zero division, identical in Spark and DuckDB,
+    so the "learned" centroids are bit-replayable by SQL). Candidates
+    are then indexed by the refined cells, each query probes its
+    ``n_probe`` nearest cells and pays exact integer-L2 distance only
+    inside those cells.
+
+    Scale shape: centroids are a broadcast O(n_cells) frame at every
+    stage; both assignment passes are cross-join-to-broadcast + one
+    map-side-combinable argmin per candidate (no data-sized shuffle
+    beyond the groupBy on unique cand_id); the Lloyd update is one
+    posexplode groupBy (cell, pos) -> n_cells x dim rows; probes are a
+    |Q| x n_cells window; the search joins candidates to the BROADCAST
+    probe frame (never shuffles candidates on the 16-value cell key —
+    the low-cardinality-key hazard), and only probed-cell rows pay a
+    full-vector distance. An empty refined cell simply vanishes on both
+    engines.
+
+    Returns (query_id, cand_id, cell, exact_d2, rnk); ties on cand_id.
+    """
+    qn = queries.select(F.col(id_col).alias("query_id"), quantized(vec_col).alias("_q"))
+    cn = candidates.select(F.col(id_col).alias("cand_id"), quantized(vec_col).alias("_q"))
+
+    seeds = (
+        cn.orderBy("cand_id")
+        .limit(n_cells)
+        .withColumn("c", F.row_number().over(Window.orderBy("cand_id")) - 1)
+        .select("c", F.col("_q").alias("_cent"))
+    )
+    d2c = _d2_int(F.col("_q"), F.col("_cent"))
+
+    def assign(to_cells: DataFrame) -> DataFrame:
+        """Argmin cell per candidate vs a broadcast centroid frame —
+        min over a lexicographic (d2, c) struct is partial-aggregable."""
+        return (
+            cn.crossJoin(F.broadcast(to_cells))
+            .select("cand_id", d2c.alias("_d2"), "c")
+            .groupBy("cand_id")
+            .agg(F.min(F.struct("_d2", "c")).alias("_mc"))
+            .select("cand_id", F.col("_mc.c").alias("cell"))
+        )
+
+    # one exact Lloyd step: cell centroid = component-wise sum div count
+    comp = assign(seeds).join(cn, "cand_id").select(
+        "cell", F.posexplode("_q").alias("pos", "val")
+    )
+    cent = (
+        comp.groupBy("cell", "pos")
+        .agg(F.sum("val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select("cell", "pos", F.expr("_s div _n").alias("_cv"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "_cv"))).alias("_a"))
+        .select(
+            F.col("cell").alias("c"),
+            F.transform(F.col("_a"), lambda s: s["_cv"]).alias("_cent"),
+        )
+    )
+
+    indexed = assign(cent).join(cn, "cand_id")  # (cand_id, cell, _q)
+
+    wp = Window.partitionBy("query_id").orderBy("_d2", "c")
+    probes = (
+        qn.crossJoin(F.broadcast(cent))
+        .select("query_id", "_q", d2c.alias("_d2"), "c")
+        .withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", F.col("_q").alias("_qq"), F.col("c").alias("cell"))
+    )
+
+    wk = Window.partitionBy("query_id").orderBy("exact_d2", "cand_id")
+    return (
+        indexed.join(F.broadcast(probes), "cell")
+        .select(
+            "query_id",
+            "cand_id",
+            "cell",
+            _d2_int(F.col("_qq"), F.col("_q")).alias("exact_d2"),
+        )
+        .withColumn("rnk", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rnk") <= k_top)
+    )
