@@ -109,6 +109,16 @@ def _ema_group(pdf: pd.DataFrame, alpha: float) -> pd.DataFrame:
     )
 
 
+# alphas for which pandas ewm(adjust=False) is BIT-equal to the explicit
+# y_t = a*x_t + (1-a)*y_{t-1} recursion q118's Catalyst fold runs: ewm
+# divides by accumulated weights (old_wt + new_wt), which only collapses
+# to the plain recursion when alpha and 1-alpha are exactly representable
+# and sum to exactly 1.0 — true for these dyadic values, false for e.g.
+# alpha=0.3 (ADVICE r7). Callers needing other alphas should extend this
+# set only after re-running the bit-equality property test with them.
+_EXACT_ALPHAS = frozenset({0.25, 0.5, 0.75, 0.125, 0.375, 0.625, 0.875})
+
+
 def per_key_ema(events: DataFrame, alpha: float = 0.25) -> DataFrame:
     """Final EMA per key — the unbounded-series form of q118's fold.
 
@@ -123,8 +133,20 @@ def per_key_ema(events: DataFrame, alpha: float = 0.25) -> DataFrame:
     float64, and the property test (tests/test_ext5_properties.py)
     pins BIT-EQUALITY against ema_plan on the same data.
 
+    That bit-equality holds only for dyadic alphas where alpha and
+    1-alpha are exact in float64 and sum to exactly 1.0 (_EXACT_ALPHAS);
+    other values silently diverge from the fold in the last ulp, so
+    they are rejected rather than allowed to break the hash-verified
+    parity this docstring promises (ADVICE r7).
+
     Same output contract as ema_plan: (user_id, n_obs, ema).
     """
+    if alpha not in _EXACT_ALPHAS:
+        raise ValueError(
+            f"alpha={alpha} is not in the bit-equality-validated set "
+            f"{sorted(_EXACT_ALPHAS)}; pandas ewm only matches the Catalyst "
+            "fold exactly for dyadic alphas (see _EXACT_ALPHAS note)"
+        )
     return (
         events.select("user_id", "ts", "event_id", "value")
         .groupBy("user_id")

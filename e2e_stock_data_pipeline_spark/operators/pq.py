@@ -198,8 +198,24 @@ def pq_rerank_topk_seeded(
     dsub = dim // m
     subs = f"transform(sequence(0, {m - 1}), j -> slice(_q, j * {dsub} + 1, {dsub}))"
 
-    qn = queries.select(F.col(id_col).alias("query_id"), quantized(vec_col).alias("_q"))
-    cn = candidates.select(F.col(id_col).alias("cand_id"), quantized(vec_col).alias("_q"))
+    def checked_q(side: str):
+        # Length guard INSIDE the _q expression (a separate asserted
+        # column would be pruned out of the plan): a short/malformed
+        # embedding would otherwise silently truncate zip_with dots and
+        # produce short slice() subvectors — wrong ADC and exact
+        # distances instead of an error (ADVICE r7).
+        q = quantized(vec_col)
+        return F.when(F.size(q) == dim, q).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pq_rerank: {side} embedding length != dim={dim} for id "),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
+
+    qn = queries.select(F.col(id_col).alias("query_id"), checked_q("query").alias("_q"))
+    cn = candidates.select(F.col(id_col).alias("cand_id"), checked_q("candidate").alias("_q"))
 
     # Codebook: subvectors of the n_seeds smallest-id candidates. The limit
     # is a TakeOrdered (no global sort); the row_number window then runs on

@@ -366,8 +366,21 @@ def ivf_rerank_topk_seeded(
 
     Returns (query_id, cand_id, cell, exact_d2, rnk); ties on cand_id.
     """
-    qn = queries.select(F.col(id_col).alias("query_id"), quantized(vec_col).alias("_q"))
-    cn = candidates.select(F.col(id_col).alias("cand_id"), quantized(vec_col).alias("_q"))
+    def checked_q(side: str) -> Column:
+        # length guard inside the _q expression (pq.py convention): a
+        # short embedding would silently truncate zip_with dots
+        q = quantized(vec_col)
+        return F.when(F.size(q) == dim, q).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"ivf_rerank: {side} embedding length != dim={dim} for id "),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
+
+    qn = queries.select(F.col(id_col).alias("query_id"), checked_q("query").alias("_q"))
+    cn = candidates.select(F.col(id_col).alias("cand_id"), checked_q("candidate").alias("_q"))
 
     seeds = (
         cn.orderBy("cand_id")

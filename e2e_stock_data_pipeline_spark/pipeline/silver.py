@@ -67,10 +67,26 @@ def merge_upsert(
       unconditional ``WHEN MATCHED THEN UPDATE SET *``: a late-arriving
       OLDER source row must not clobber newer silver data;
     * unmatched source rows insert; target rows never disappear;
-    * re-running the same merge is a no-op (idempotent).
+    * re-running the same merge is a no-op (idempotent);
+    * multiple SOURCE rows tied on ``order_col`` resolve by a content
+      hash over all columns (deterministic on every engine/partitioning
+      — ADVICE r7; identical duplicate rows are interchangeable, so the
+      arbitrary-but-stable hash order is sufficient).
     """
+    helper_clash = {"_src_pri", "_tie", "_rn"} & set(updates.columns)
+    if helper_clash:
+        raise ValueError(
+            f"merge_upsert input carries reserved helper column(s) "
+            f"{sorted(helper_clash)}; rename them before merging (they would "
+            "silently corrupt the tie-break policy)"
+        )
+
+    def with_tie(df: DataFrame) -> DataFrame:
+        # content hash over the DATA columns only, fixed column order
+        return df.withColumn("_tie", F.xxhash64(*[F.col(c) for c in updates.columns]))
+
     if HAVE_DELTA and DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
-        deduped = keep_last(updates, keys, [order_col])
+        deduped = keep_last(with_tie(updates), keys, [order_col, "_tie"]).drop("_tie")
         (
             DeltaTable.forPath(spark, target_path)
             .alias("t")
@@ -87,14 +103,17 @@ def merge_upsert(
     else:  # first run: nothing to merge with (avoids a noisy read probe)
         existing = None
     if existing is None:
-        result = keep_last(updates, keys, [order_col])
+        result = keep_last(with_tie(updates), keys, [order_col, "_tie"]).drop("_tie")
     else:
         # _src_pri makes the update win order-col ties deterministically,
-        # matching the Delta route's `s.order >= t.order`.
-        merged = existing.withColumn("_src_pri", F.lit(0)).unionByName(
-            updates.withColumn("_src_pri", F.lit(1))
+        # matching the Delta route's `s.order >= t.order`; _tie resolves
+        # same-source order-col ties by content hash.
+        merged = with_tie(existing).withColumn("_src_pri", F.lit(0)).unionByName(
+            with_tie(updates).withColumn("_src_pri", F.lit(1))
         )
-        result = keep_last(merged, keys, [order_col, "_src_pri"]).drop("_src_pri")
+        result = keep_last(merged, keys, [order_col, "_src_pri", "_tie"]).drop(
+            "_src_pri", "_tie"
+        )
     # Can't overwrite the path being read: stage to a sibling temp dir,
     # then swap (distributed write, no driver materialization).
     import shutil

@@ -131,6 +131,8 @@ def main(argv: list[str]) -> int:
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
     spark.stop()
+    for c in _cons.values():  # release view-backed file handles (ADVICE r7)
+        c.close()
     return 1 if bad else 0
 
 

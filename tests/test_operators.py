@@ -350,6 +350,48 @@ class TestProductQuantization:
         assert r_wide >= r_narrow
 
 
+class TestVectorLengthGuards:
+    @pytest.mark.parametrize("which", ["pq", "ivf"])
+    def test_short_embedding_raises_instead_of_truncating(self, spark, which):
+        """ADVICE r7: zip_with truncates to the shorter array and
+        slice() past the end returns short arrays, so a malformed
+        embedding used to yield silently wrong distances. Both seeded
+        ANN operators now raise from inside the plan."""
+        from pyspark.errors import SparkRuntimeException
+
+        from e2e_stock_data_pipeline_spark.operators.pq import pq_rerank_topk_seeded
+        from e2e_stock_data_pipeline_spark.operators.similarity import (
+            ivf_rerank_topk_seeded,
+        )
+
+        good = [(i, [float((i * 13 + d) % 7) for d in range(16)]) for i in range(40)]
+        bad = [(99, [1.0, 2.0])]  # length 2 != dim 16
+        df = spark.createDataFrame(good + bad, ["vec_id", "embedding"])
+        q, c = df.filter(F.col("vec_id") < 3), df.filter(F.col("vec_id") >= 3)
+        if which == "pq":
+            res = pq_rerank_topk_seeded(q, c, m=4, dim=16, n_seeds=8, shortlist=8, k_top=3)
+        else:
+            res = ivf_rerank_topk_seeded(q, c, dim=16, n_cells=8, n_probe=4, k_top=3)
+        with pytest.raises(SparkRuntimeException, match="embedding length"):
+            res.collect()
+
+
+class TestEmaAlphaContract:
+    def test_unvalidated_alpha_rejected(self, spark):
+        """ADVICE r7: pandas ewm only matches q118's Catalyst fold
+        bit-for-bit when alpha and 1-alpha are exact and sum to 1.0;
+        an arbitrary alpha would silently break the hash-verified
+        parity, so per_key_ema rejects values outside the dyadic set."""
+        from e2e_stock_data_pipeline_spark.operators.grouped import per_key_ema
+
+        df = spark.createDataFrame(
+            [(1, 1, 1.0)], ["user_id", "event_id", "value"]
+        ).withColumn("ts", F.current_timestamp())
+        with pytest.raises(ValueError, match="bit-equality"):
+            per_key_ema(df, alpha=0.3)
+        per_key_ema(df, alpha=0.5)  # validated dyadic alpha constructs fine
+
+
 class TestIvfSeeded:
     def test_ivf_rerank_recall_bound_and_probe_knob(self, spark, sf_dir):
         """q128's probe->rerank chain: recall vs exact brute force.

@@ -183,6 +183,35 @@ class TestMergeUpsert:
         }
         assert again == expected, f"{name}: merge is not idempotent"
 
+    def test_tied_source_rows_resolve_by_content_hash(self, spark, tmp_path):
+        """ADVICE r7: two source rows tied on the order col used to
+        survive nondeterministically (row_number over equal sort keys).
+        Now the max content hash wins — pinned by computing the same
+        xxhash64 here, and by layout-invariance across partitionings."""
+        cols = ["symbol", "trade_date", "close", "v"]
+        tied = [("A", "d1", 1.0, 7), ("A", "d1", 2.0, 7), ("A", "d1", 3.0, 7)]
+        src = spark.createDataFrame(tied, cols)
+        expected_close = (
+            src.withColumn("_h", F.xxhash64(*cols))
+            .orderBy(F.col("_h").desc())
+            .first()
+            .close
+        )
+        for i, parted in enumerate([src.coalesce(1), src.repartition(5, "close")]):
+            path = str(tmp_path / f"silver{i}")
+            merge_upsert(spark, path, parted, ["symbol", "trade_date"], "v")
+            rows = spark.read.parquet(path).collect()
+            assert len(rows) == 1 and rows[0].close == expected_close
+
+    def test_reserved_helper_column_rejected(self, spark, tmp_path):
+        """A user column named _src_pri (or _tie/_rn) would silently
+        corrupt the tie policy via withColumn replacement — refuse it."""
+        df = spark.createDataFrame(
+            [("A", "d1", 1.0, 1, 9)], ["symbol", "trade_date", "close", "v", "_src_pri"]
+        )
+        with pytest.raises(ValueError, match="_src_pri"):
+            merge_upsert(spark, str(tmp_path / "s"), df, ["symbol", "trade_date"], "v")
+
 
 class TestGoldFeatures:
     def test_known_values(self, spark):
