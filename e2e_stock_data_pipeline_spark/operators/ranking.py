@@ -69,3 +69,56 @@ def global_ntile(
             .cast("int")
         )
     return ranked.withColumn(tile_col, tile).drop("_grank")
+
+
+def bucketed_group_keep(
+    df: DataFrame,
+    keys: list[str],
+    targets: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 11,
+    target_col: str = "n_target",
+    n_bucket_shift: int = 54,
+) -> DataFrame:
+    """Keep the per-group top-``target_col`` rows ordered by
+    (portable_hash64(id_col, seed), id_col) WITHOUT a data-sized
+    per-group sort — the skew-safe keep stage shared by q127's
+    temperature mixture and q129's per-source cap.
+
+    ``targets`` is a dimension-sized (keys..., target_col) frame. The
+    group key may be arbitrarily skewed (that is the point): rows are
+    bucketed by an ORDER-PRESERVING hash range (arithmetic shiftright
+    of the signed 64-bit rank hash -> contiguous monotone buckets), a
+    dimension-sized (group x <=1024 buckets) histogram is prefix-summed
+    per group, buckets wholly above the target are pruned by a
+    broadcast semi-join BEFORE any sort, and per-group rank decomposes
+    as earlier-bucket count + within-bucket row_number — the only
+    data-sized window partitions on (keys..., bucket), max partition
+    ~1/1024 of a group. Bit-equal to the naive per-group row_number
+    keep (property-tested via queries_ext6.naive_window_keep).
+
+    Returns (id_col, keys...) of kept rows.
+    """
+    from ..functions.hashing import portable_hash64
+
+    h = portable_hash64(id_col, seed=seed)
+    bucketed = df.select(
+        id_col, *keys, h.alias("_h"), F.shiftright(h, n_bucket_shift).alias("_b")
+    )
+    hist = bucketed.groupBy(*keys, "_b").agg(F.count(F.lit(1)).alias("_bc"))
+    w_cum = (
+        Window.partitionBy(*keys).orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    classified = (
+        hist.withColumn("_before", F.coalesce(F.sum("_bc").over(w_cum), F.lit(0)))
+        .join(targets, keys)
+        .filter(F.col("_before") < F.col(target_col))
+        .select(*keys, "_b", "_before", target_col)
+    )
+    w_b = Window.partitionBy(*keys, "_b").orderBy("_h", id_col)
+    return (
+        bucketed.join(F.broadcast(classified), [*keys, "_b"])
+        .withColumn("_rnk", F.row_number().over(w_b))
+        .filter(F.col("_before") + F.col("_rnk") <= F.col(target_col))
+        .select(id_col, *keys)
+    )

@@ -410,51 +410,17 @@ def temperature_mixture_plan(docs: DataFrame) -> DataFrame:
 def _bucketed_keep(docs: DataFrame, targets: DataFrame) -> DataFrame:
     """Keep the per-lang top-``n_target`` docs ordered by
     (portable_hash64(doc_id, seed=11), doc_id) WITHOUT a per-lang
-    data-sized sort.
-
-    ``targets`` is a dimension-sized (lang, n_target) frame. Returns
-    (doc_id, lang) of kept docs — the same set a per-lang
-    ``row_number() <= n_target`` window selects (see
-    naive_window_keep, the property-test twin).
+    data-sized sort — delegates to the generic skew-safe keep
+    (operators/ranking.bucketed_group_keep; q129 reuses it with a
+    composite (source, lang) key). Returns (doc_id, lang) of kept
+    docs — the same set a per-lang ``row_number() <= n_target`` window
+    selects (see naive_window_keep, the property-test twin).
     """
-    from pyspark.sql import Window
+    from ..operators.ranking import bucketed_group_keep
 
-    h = portable_hash64("doc_id", seed=11)
-    bucketed = docs.select(
-        "doc_id",
-        "lang",
-        h.alias("_h"),
-        F.shiftright(h, _BUCKET_SHIFT).alias("_b"),
-    )
-    # dimension-sized histogram: n_langs x <=1024 buckets
-    hist = bucketed.groupBy("lang", "_b").agg(F.count(F.lit(1)).alias("_bc"))
-    w_cum = (
-        Window.partitionBy("lang")
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # candidate buckets: everything wholly above the target is dropped
-    # BEFORE the window — a broadcast semi-join prunes ~all of a heavily
-    # downsampled head lang without sorting it
-    classified = (
-        hist.withColumn("_before", F.coalesce(F.sum("_bc").over(w_cum), F.lit(0)))
-        .join(targets, "lang")
-        .filter(F.col("_before") < F.col("n_target"))
-        .select("lang", "_b", "_before", "n_target")
-    )
-    # per-lang rank = earlier-bucket count + within-bucket rank, so ONE
-    # uniform filter covers both whole-kept buckets (every row passes)
-    # and the single boundary bucket per lang. The window partitions on
-    # (lang, _b): max partition = max bucket = ~1/1024 of a lang, so the
-    # head lang never collapses into one reducer — and the expensive
-    # portable hash is computed in ONE data pass besides the histogram's
-    # (the classic two-pass distributed rank, operators/ranking.py).
-    w_b = Window.partitionBy("lang", "_b").orderBy("_h", "doc_id")
-    return (
-        bucketed.join(F.broadcast(classified), ["lang", "_b"])
-        .withColumn("_rnk", F.row_number().over(w_b))
-        .filter(F.col("_before") + F.col("_rnk") <= F.col("n_target"))
-        .select("doc_id", "lang")
+    return bucketed_group_keep(
+        docs, ["lang"], targets, id_col="doc_id", seed=11,
+        n_bucket_shift=_BUCKET_SHIFT,
     )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import portable_hash64_sql
 from ..operators.similarity import ivf_rerank_topk_seeded
 from ..sources import tables
 from .queries_ext6 import _D2, _SQL_Q
@@ -106,4 +107,55 @@ def q128_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=_N_CELLS,
         n_probe=_N_PROBE,
         k_top=_K,
+    )
+
+
+# Per-(source, lang) document cap — the C4/RefinedWeb domain-quota
+# primitive: no single origin may contribute more than _CAP docs per
+# language to the training mix. Output is dimension-bounded (at most
+# n_groups * _CAP rows at ANY scale factor), and the keep decision is
+# the same deterministic hash rank as q127/q113, so the kept SET is
+# reproducible on any engine and layout.
+_CAP, _CAP_SEED = 8, 13
+
+
+@query(
+    "q129_source_lang_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source, lang
+               ORDER BY {portable_hash64_sql("doc_id", seed=_CAP_SEED)}, doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM ranked WHERE rnk <= {_CAP}
+    """,
+    doc=f"Per-(source, lang) cap at {_CAP} docs (the C4/RefinedWeb "
+    "domain-quota rule): groups over the cap are clipped to their "
+    f"{_CAP} smallest seeded-hash ranks, groups under it keep whole. "
+    "Runs on the generic skew-safe keep "
+    "(operators/ranking.bucketed_group_keep — q127's bucketed "
+    "distributed rank with a composite group key): no data-sized sort "
+    "on the group key, buckets wholly above the cap pruned broadcast-"
+    "side before any window. Output is dimension-bounded "
+    "(groups x cap rows) at every scale factor.",
+    tags=("ext", "curation", "sampling", "cap"),
+)
+def q129_source_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import bucketed_group_keep
+
+    docs = tables.load(spark, sf_dir, "documents")
+    targets = (
+        docs.select("source", "lang")
+        .distinct()
+        .withColumn("n_target", F.lit(_CAP).cast("bigint"))
+    )
+    return bucketed_group_keep(
+        docs.select("doc_id", "source", "lang"),
+        ["source", "lang"],
+        targets,
+        id_col="doc_id",
+        seed=_CAP_SEED,
     )

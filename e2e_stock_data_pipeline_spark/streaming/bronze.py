@@ -80,9 +80,14 @@ def run_bronze_stream(
     checkpoint: str,
     fmt: str = "parquet",
     transform=None,
+    lineage: bool = True,
 ) -> None:
-    """Append the stream into the bronze table, run to completion (K3/T2)."""
-    df = with_lineage(source)
+    """Append the stream into the bronze table, run to completion (K3/T2).
+
+    ``lineage=False`` skips the processing-time/source-file columns —
+    the raw-append baseline scripts/bench_stream.py measures the
+    lineage overhead against."""
+    df = with_lineage(source) if lineage else source
     if transform is not None:
         df = transform(df)
     q = (
