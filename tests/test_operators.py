@@ -357,8 +357,6 @@ class TestVectorLengthGuards:
         slice() past the end returns short arrays, so a malformed
         embedding used to yield silently wrong distances. Both seeded
         ANN operators now raise from inside the plan."""
-        from pyspark.errors import SparkRuntimeException
-
         from e2e_stock_data_pipeline_spark.operators.pq import pq_rerank_topk_seeded
         from e2e_stock_data_pipeline_spark.operators.similarity import (
             ivf_rerank_topk_seeded,
@@ -372,7 +370,11 @@ class TestVectorLengthGuards:
             res = pq_rerank_topk_seeded(q, c, m=4, dim=16, n_seeds=8, shortlist=8, k_top=3)
         else:
             res = ivf_rerank_topk_seeded(q, c, dim=16, n_cells=8, n_probe=4, k_top=3)
-        with pytest.raises(SparkRuntimeException, match="embedding length"):
+        # the USER_RAISED_EXCEPTION may fire on an executor task or
+        # inside a broadcast-exchange thread depending on which stage
+        # evaluates the bad row first, and Spark wraps the two
+        # differently — assert on the message, not the wrapper class
+        with pytest.raises(Exception, match="embedding length"):
             res.collect()
 
 
