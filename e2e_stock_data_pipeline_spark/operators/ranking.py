@@ -78,17 +78,20 @@ def bucketed_group_keep(
     id_col: str = "doc_id",
     seed: int = 11,
     target_col: str = "n_target",
-    n_bucket_shift: int = 54,
+    n_bucket_shift: int = 50,
 ) -> DataFrame:
     """Keep the per-group top-``target_col`` rows ordered by
     (portable_hash64(id_col, seed), id_col) WITHOUT a data-sized
     per-group sort — the skew-safe keep stage shared by q127's
     temperature mixture and q129's per-source cap.
 
-    ``targets`` is a dimension-sized (keys..., target_col) frame. The
-    group key may be arbitrarily skewed (that is the point): rows are
+    ``targets`` is a dimension-sized (keys..., target_col) frame;
+    groups ABSENT from it are dropped entirely (inner join — a cap of
+    0 and a missing row behave the same). The group key may be
+    arbitrarily skewed (that is the point): rows are
     bucketed by an ORDER-PRESERVING hash range (arithmetic shiftright
-    of the signed 64-bit rank hash -> contiguous monotone buckets), a
+    of the positive 60-bit rank hash -> 1024 contiguous monotone
+    buckets at the default shift of 50), a
     dimension-sized (group x <=1024 buckets) histogram is prefix-summed
     per group, buckets wholly above the target are pruned by a
     broadcast semi-join BEFORE any sort, and per-group rank decomposes

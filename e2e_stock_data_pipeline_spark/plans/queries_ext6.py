@@ -341,12 +341,13 @@ def q127_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_plan(tables.load(spark, sf_dir, "documents"))
 
 
-# Order-preserving hash-range bucketing for the keep stage: arithmetic
-# shiftright(h, 54) floors a signed 64-bit hash into 1024 contiguous
-# ranges, so bucket id is monotone in the rank's order key and the
+# Order-preserving hash-range bucketing for the keep stage: the
+# portable rank hash is a POSITIVE 60-bit value (functions/hashing.py),
+# so arithmetic shiftright(h, 50) floors it into 1024 contiguous
+# ranges; bucket id is monotone in the rank's order key and the
 # per-lang rank of any row equals (rows of that lang in earlier
 # buckets) + (rank within its own bucket).
-_BUCKET_SHIFT = 54
+_BUCKET_SHIFT = 50
 
 
 def temperature_mixture_plan(docs: DataFrame) -> DataFrame:
