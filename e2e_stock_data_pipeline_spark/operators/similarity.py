@@ -440,3 +440,52 @@ def ivf_rerank_topk_seeded(
         .withColumn("rnk", F.row_number().over(wk).cast("int"))
         .filter(F.col("rnk") <= k_top)
     )
+
+
+def incremental_embed_neardup(
+    df: DataFrame,
+    new_pred: Column,
+    threshold: float = 0.2,
+    n_planes: int = 4,
+    seed: int = 13,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Daily-ingest embedding near-dup: today's batch checked against the
+    existing corpus only — the vector-modality twin of
+    dedup.incremental_neardup (q126).
+
+    Candidate pairs come from hyperplane-LSH bucket collisions strictly
+    ACROSS the new/old boundary, so work scales with the batch, never
+    corpus x corpus; only colliding pairs pay the exact quantized-cosine
+    verify. At 100 TB the corpus side's (id, bucket) frame is a stored
+    index appended per batch — recomputing it here from one frame keeps
+    the registered query oracle-replayable (same trade q126 documents).
+
+    Returns (vec_new, vec_old, cos_sim) for verified pairs >= threshold.
+    """
+    new_b = hyperplane_lsh_buckets(
+        df.filter(new_pred), id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, seed=seed, dim=dim,
+    ).select(F.col(id_col).alias("vec_new"), "bucket")
+    old_b = hyperplane_lsh_buckets(
+        df.filter(~new_pred), id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, seed=seed, dim=dim,
+    ).select(F.col(id_col).alias("vec_old"), "bucket")
+    cand = new_b.join(old_b, "bucket").select("vec_new", "vec_old").distinct()
+
+    n = with_quantized_norm(df, vec_col)
+    a = n.select(
+        F.col(id_col).alias("vec_new"), F.col("_q").alias("_qa"), F.col("_nn").alias("_na")
+    )
+    b = n.select(
+        F.col(id_col).alias("vec_old"), F.col("_q").alias("_qb"), F.col("_nn").alias("_nb")
+    )
+    cos = cosine_q(F.col("_qa"), F.col("_qb"), F.col("_na"), F.col("_nb"))
+    return (
+        cand.join(a, "vec_new")
+        .join(b, "vec_old")
+        .select("vec_new", "vec_old", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -159,3 +159,179 @@ def q129_source_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         seed=_CAP_SEED,
     )
+
+
+# Embedding-modality incremental near-dup (q126's daily-ingest pattern on
+# vectors): 4 hyperplanes -> 16 buckets, candidates strictly new x old,
+# exact quantized cosine verify at 0.2 (q50 conventions).
+_INP, _ISEED, _ITHRESH = 4, 13, 0.2
+
+
+@query(
+    "q130_incremental_embed_neardup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {_SQL_Q} AS q, vec_id % 5 = 0 AS is_new FROM embeddings
+    ),
+    comp AS (
+      SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM e
+    ),
+    planes AS (
+      SELECT pp.p, dd.d,
+             CASE WHEN CAST(('0x' || substr(sha256('plane:{_ISEED}:' || CAST(pp.p AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
+                  THEN 1 ELSE -1 END AS c
+      FROM (SELECT unnest(range({_INP})) AS p) pp
+      CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+    ),
+    dots AS (
+      SELECT comp.vec_id, planes.p, SUM(comp.x * planes.c) AS dot
+      FROM comp JOIN planes ON comp.d - 1 = planes.d
+      GROUP BY comp.vec_id, planes.p
+    ),
+    b AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT DISTINCT bn.vec_id AS vec_new, bo.vec_id AS vec_old
+      FROM b bn
+      JOIN e en ON en.vec_id = bn.vec_id AND en.is_new
+      JOIN b bo ON bo.bucket = bn.bucket
+      JOIN e eo ON eo.vec_id = bo.vec_id AND NOT eo.is_new
+    ),
+    n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn FROM e)
+    SELECT c.vec_new, c.vec_old,
+           list_dot_product(x.q, y.q) / (sqrt(x.nn) * sqrt(y.nn)) AS cos_sim
+    FROM cand c
+    JOIN n x ON x.vec_id = c.vec_new
+    JOIN n y ON y.vec_id = c.vec_old
+    WHERE list_dot_product(x.q, y.q) / (sqrt(x.nn) * sqrt(y.nn)) >= {_ITHRESH}
+    """,
+    doc="Incremental EMBEDDING near-dup: today's batch (vec_id % 5 = 0) "
+    "against the existing corpus only — the vector-modality twin of "
+    "q126's MinHash composition. Candidates come from hyperplane-LSH "
+    "bucket collisions strictly across the new/old boundary (work "
+    "scales with the batch, never corpus x corpus; the corpus bucket "
+    "frame is a stored index at 100 TB), then only colliding pairs pay "
+    "the exact quantized-cosine verify at 0.2. Same integer-exact "
+    "plane/cosine conventions as q50b/q51, so DuckDB replays the "
+    "bucket assignment and the verdict bit-for-bit.",
+    tags=("similarity", "dedup", "incremental", "lsh", "ext"),
+)
+def q130_incremental_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import incremental_embed_neardup
+
+    e = tables.load(spark, sf_dir, "embeddings")
+    return incremental_embed_neardup(
+        e,
+        F.col("vec_id") % 5 == 0,
+        threshold=_ITHRESH,
+        n_planes=_INP,
+        seed=_ISEED,
+        dim=64,
+    )
+
+
+# Curation funnel stages, all integer-exact (no float boundary rows):
+# S1 language allowlist; S2 length floor in words; S3 repetition cap as
+# the cross-multiplied rational max_word_count * 100 <= 15 * n_words.
+_FUNNEL_LANGS = ("en", "es", "de", "fr")
+_MIN_WORDS, _REP_PCT = 15, 15
+
+
+@query(
+    "q131_curation_funnel",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), ' +') AS ws
+      FROM documents
+    ),
+    rep AS (
+      SELECT doc_id, MAX(c) AS max_c FROM (
+        SELECT doc_id, word, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(ws) AS word FROM w
+        ) GROUP BY doc_id, word
+      ) GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT w.doc_id,
+             w.lang IN {_FUNNEL_LANGS} AS p1,
+             len(w.ws) >= {_MIN_WORDS} AS p2,
+             rep.max_c * 100 <= {_REP_PCT} * len(w.ws) AS p3
+      FROM w JOIN rep ON rep.doc_id = w.doc_id
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n0,
+             CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+      FROM flags
+    )
+    SELECT stage, n_in, n_pass, n_in - n_pass AS n_drop FROM (
+      SELECT 'S1_lang_allowlist' AS stage, n0 AS n_in, n1 AS n_pass FROM agg
+      UNION ALL
+      SELECT 'S2_min_words', n1, n2 FROM agg
+      UNION ALL
+      SELECT 'S3_repetition_cap', n2, n3 FROM agg
+    )
+    """,
+    doc="Curation funnel audit: the per-stage drop report every "
+    "filtering pipeline publishes (language allowlist -> length floor "
+    "-> repetition cap), computed in ONE corpus pass — per-doc flags "
+    "from a keyed word-count agg, then a single global fold; output is "
+    "3 dimension-sized rows. Every predicate is integer-exact (the "
+    "repetition cap compares max_word_count * 100 <= 15 * n_words, a "
+    "cross-multiplied rational) so no float boundary can flip a count. "
+    "Stages compose sequentially: n_in of stage k is n_pass of k-1.",
+    tags=("ext", "curation", "quality", "audit"),
+)
+def q131_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), " +").alias("ws")
+    )
+    rep = (
+        w.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"))
+    )
+    flags = w.join(rep, "doc_id").select(
+        F.col("lang").isin(*_FUNNEL_LANGS).alias("p1"),
+        (F.size("ws") >= _MIN_WORDS).alias("p2"),
+        (F.col("max_c") * 100 <= _REP_PCT * F.size("ws")).alias("p3"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("p1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("p1") & F.col("p2"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("p1") & F.col("p2") & F.col("p3"), 1).otherwise(0)).alias("n3"),
+    )
+    s = agg.select(
+        F.array(
+            F.struct(
+                F.lit("S1_lang_allowlist").alias("stage"),
+                F.col("n0").alias("n_in"),
+                F.col("n1").alias("n_pass"),
+            ),
+            F.struct(
+                F.lit("S2_min_words").alias("stage"),
+                F.col("n1").alias("n_in"),
+                F.col("n2").alias("n_pass"),
+            ),
+            F.struct(
+                F.lit("S3_repetition_cap").alias("stage"),
+                F.col("n2").alias("n_in"),
+                F.col("n3").alias("n_pass"),
+            ),
+        ).alias("rows")
+    ).select(F.explode("rows").alias("r"))
+    return s.select(
+        F.col("r.stage").alias("stage"),
+        F.col("r.n_in").alias("n_in"),
+        F.col("r.n_pass").alias("n_pass"),
+        (F.col("r.n_in") - F.col("r.n_pass")).alias("n_drop"),
+    )
