@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import portable_hash64_sql
 from ..operators.similarity import ivf_rerank_topk_seeded
 from ..sources import tables
+from .queries_dedup import _SQL_SHINGLES
 from .queries_ext6 import _D2, _SQL_Q
 from .registry import query
 
@@ -334,4 +335,76 @@ def q131_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.n_in").alias("n_in"),
         F.col("r.n_pass").alias("n_pass"),
         (F.col("r.n_in") - F.col("r.n_pass")).alias("n_drop"),
+    )
+
+
+# Bloom-filter decontamination: the memory-bound scale twin of q99's
+# exact join. m=65536 bits as 2048 32-bit words, k=3 portable hashes
+# with the seed spliced into the hashed string ('s{seed}:' || shingle —
+# identical bytes in both engines), flag train docs carrying >= 2
+# maybe-present shingles.
+_BM, _BK, _BLOOM_FLAG_MIN = 65536, 3, 2
+_B_HASH = (
+    "CAST(('0x' || substr(sha256('s' || CAST(s AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)"
+    f" % {_BM}"
+)
+
+
+@query(
+    "q132_bloom_decontamination",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    seeds AS (SELECT unnest(range({_BK})) AS s),
+    ev AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 97 = 0),
+    bloom AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+      FROM (SELECT {_B_HASH} AS pos FROM ev CROSS JOIN seeds)
+      GROUP BY pos // 32
+    ),
+    tr AS (SELECT doc_id, shingle FROM shingled WHERE doc_id % 97 <> 0),
+    probes AS (
+      SELECT doc_id, shingle, pos // 32 AS word_idx,
+             1::BIGINT << CAST(pos % 32 AS INT) AS bit
+      FROM (SELECT doc_id, shingle, {_B_HASH} AS pos FROM tr CROSS JOIN seeds)
+    ),
+    hits AS (
+      SELECT p.doc_id, p.shingle, COUNT(*) AS h
+      FROM probes p JOIN bloom b ON p.word_idx = b.word_idx
+      WHERE (b.word & p.bit) <> 0
+      GROUP BY p.doc_id, p.shingle
+    ),
+    flagged AS (
+      SELECT doc_id, COUNT(*) AS n_flagged FROM hits
+      WHERE h = {_BK} GROUP BY doc_id
+    )
+    SELECT doc_id AS train_doc, CAST(n_flagged AS BIGINT) AS n_flagged
+    FROM flagged WHERE n_flagged >= {_BLOOM_FLAG_MIN}
+    """,
+    doc="Eval-set decontamination through a deterministic Bloom filter "
+    "(operators/bloom.py): eval shingles build a 65536-bit filter ONCE "
+    "(2048 broadcast rows of 32-bit words, k=3 portable-hash probes); "
+    "each train shingle then pays 3 constant-time bit tests instead of "
+    "joining the full eval shingle set — probe cost independent of "
+    "|eval|, no posting-list cap needed (q99's cap exists to bound its "
+    "join fan-out). Deterministic false positives only (rate ~(1-e^"
+    "(-kn/m))^k, here <1e-3); no false negatives (property-tested "
+    "superset of the exact join). DuckDB replays filter build and "
+    "probe verdicts bit-for-bit.",
+    tags=("dedup", "contamination", "sketch", "bloom", "ext"),
+)
+def q132_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_build, bloom_probe
+    from ..operators.dedup import exploded_shingles
+
+    sh = exploded_shingles(tables.load(spark, sf_dir, "documents"), distinct=True)
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    tr = sh.filter(F.col("doc_id") % 97 != 0).select("doc_id", "shingle")
+    bloom = bloom_build(ev, "shingle", m_bits=_BM, k=_BK)
+    flagged = bloom_probe(tr, "shingle", bloom, m_bits=_BM, k=_BK)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+        .filter(F.col("n_flagged") >= _BLOOM_FLAG_MIN)
+        .select(F.col("doc_id").alias("train_doc"), "n_flagged")
     )

@@ -350,6 +350,52 @@ class TestProductQuantization:
         assert r_wide >= r_narrow
 
 
+class TestBloom:
+    def test_no_false_negatives_vs_exact_join(self, spark, sf_dir):
+        """The Bloom contract: flagged set is a SUPERSET of the exact
+        join (false negatives impossible by construction), with a
+        measured false-positive rate far under the design bound."""
+        from e2e_stock_data_pipeline_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe,
+        )
+        from e2e_stock_data_pipeline_spark.operators.dedup import exploded_shingles
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        sh = exploded_shingles(
+            tables.load(spark, sf_dir, "documents"), distinct=True
+        )
+        ev = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+        tr = sh.filter(F.col("doc_id") % 97 != 0).select("doc_id", "shingle")
+        bloom = bloom_build(ev, "shingle")
+        flagged = {
+            (r.doc_id, r.shingle) for r in bloom_probe(tr, "shingle", bloom).collect()
+        }
+        exact = {
+            (r.doc_id, r.shingle)
+            for r in tr.join(ev, "shingle").select("doc_id", "shingle").collect()
+        }
+        assert exact and exact <= flagged
+        assert len(flagged - exact) / tr.count() < 0.01
+
+    def test_membership_on_known_set(self, spark):
+        """Deterministic membership: present values always flagged; with
+        m=65536 and 3 members, a false positive needs all 3 probe bits
+        of an absent value set by chance (~1e-11) — assert absent."""
+        from e2e_stock_data_pipeline_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        members = spark.createDataFrame([("a",), ("b",), ("c",)], ["v"])
+        probe = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("d",), ("e",)], ["v"]
+        )
+        bloom = bloom_build(members, "v")
+        got = {r.v for r in bloom_probe(probe, "v", bloom).collect()}
+        assert got == {"a", "b", "c"}
+
+
 class TestVectorLengthGuards:
     @pytest.mark.parametrize("which", ["pq", "ivf"])
     def test_short_embedding_raises_instead_of_truncating(self, spark, which):
