@@ -408,3 +408,64 @@ def q132_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_flagged") >= _BLOOM_FLAG_MIN)
         .select(F.col("doc_id").alias("train_doc"), "n_flagged")
     )
+
+
+# Count-Min frequency sketch: k=3 rows x m=4096 counters over word
+# occurrences; report the exact top-20 words with their CM estimates.
+_CM_M, _CM_K, _CM_TOP = 4096, 3, 20
+_CM_HASH = (
+    "CAST(('0x' || substr(sha256('s' || CAST(s AS VARCHAR) || ':' || word), 1, 15)) AS BIGINT)"
+    f" % {_CM_M}"
+)
+
+
+@query(
+    "q133_countmin_wordfreq",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word FROM documents
+    ),
+    seeds AS (SELECT unnest(range({_CM_K})) AS s),
+    sk AS (
+      SELECT s, pos, COUNT(*) AS counter FROM (
+        SELECT s, {_CM_HASH} AS pos FROM tok CROSS JOIN seeds
+      ) GROUP BY s, pos
+    ),
+    exact AS (SELECT word, COUNT(*) AS exact_c FROM tok GROUP BY word),
+    top AS (SELECT word, exact_c FROM exact ORDER BY exact_c DESC, word LIMIT {_CM_TOP}),
+    probes AS (
+      SELECT word, s, {_CM_HASH} AS pos FROM top CROSS JOIN seeds
+    )
+    SELECT t.word, t.exact_c,
+           (SELECT MIN(COALESCE(sk.counter, 0))
+            FROM probes p LEFT JOIN sk ON sk.s = p.s AND sk.pos = p.pos
+            WHERE p.word = t.word) AS cm_est
+    FROM top t
+    """,
+    doc="Count-Min frequency sketch (operators/countmin.py): k=3 rows x "
+    "m=4096 integer counters over word occurrences — the counter-"
+    "valued sibling of q132's Bloom filter in the sketch tier (HLL "
+    "q37, Misra-Gries q93). Reports the exact top-20 words with their "
+    "CM estimates; collisions only ADD, so est >= exact always (the "
+    "one-sided contract, property-tested corpus-wide with a measured "
+    "error ceiling). Sketch is a <=k*m-row broadcast frame; build is "
+    "one map-side-combinable groupBy — at 100 TB the sketch answers "
+    "frequency queries without re-scanning the corpus.",
+    tags=("sketch", "countmin", "frequency", "ext"),
+)
+def q133_countmin_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.countmin import countmin_build, countmin_estimate
+
+    tok = tables.load(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("word")
+    )
+    sketch = countmin_build(tok, "word", m=_CM_M, k=_CM_K)
+    top = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_c"))
+        .orderBy(F.col("exact_c").desc(), "word")
+        .limit(_CM_TOP)
+    )
+    return countmin_estimate(top, "word", sketch, m=_CM_M, k=_CM_K).select(
+        "word", "exact_c", "cm_est"
+    )

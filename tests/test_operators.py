@@ -396,6 +396,50 @@ class TestBloom:
         assert got == {"a", "b", "c"}
 
 
+class TestCountMin:
+    def test_one_sided_error_corpus_wide(self, spark, sf_dir):
+        """est >= exact for EVERY word (collisions only add), and the
+        mean overcount stays under the 2N/m design bound."""
+        from e2e_stock_data_pipeline_spark.operators.countmin import (
+            countmin_build,
+            countmin_estimate,
+        )
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        tok = tables.load(spark, sf_dir, "documents").select(
+            F.explode(F.split(F.trim(F.col("text")), " +")).alias("word")
+        )
+        sketch = countmin_build(tok, "word")
+        exact = tok.groupBy("word").agg(F.count(F.lit(1)).alias("exact_c"))
+        est = countmin_estimate(exact, "word", sketch)
+        n_total = tok.count()
+        rows = est.collect()
+        assert rows and all(r.cm_est >= r.exact_c for r in rows)
+        mean_over = sum(r.cm_est - r.exact_c for r in rows) / len(rows)
+        assert mean_over <= 2 * n_total / 4096
+
+    def test_absent_value_estimates_zero_or_tiny(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.countmin import (
+            countmin_build,
+            countmin_estimate,
+        )
+
+        items = spark.createDataFrame([("x",)] * 5 + [("y",)] * 3, ["v"])
+        sketch = countmin_build(items, "v")
+        got = {
+            r.v: r.cm_est
+            for r in countmin_estimate(
+                spark.createDataFrame([("x",), ("y",), ("zzz",)], ["v"]),
+                "v",
+                sketch,
+            ).collect()
+        }
+        assert got["x"] >= 5 and got["y"] >= 3
+        # 8 occurrences over 3x4096 cells: an absent value colliding on
+        # all 3 rows is ~(8/4096)^3 — assert the exact-zero path works
+        assert got["zzz"] == 0
+
+
 class TestVectorLengthGuards:
     @pytest.mark.parametrize("which", ["pq", "ivf"])
     def test_short_embedding_raises_instead_of_truncating(self, spark, which):
