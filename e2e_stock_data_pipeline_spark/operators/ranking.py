@@ -125,3 +125,66 @@ def bucketed_group_keep(
         .filter(F.col("_before") + F.col("_rnk") <= F.col(target_col))
         .select(id_col, *keys)
     )
+
+
+def bucketed_budget_keep(
+    df: DataFrame,
+    keys: list[str],
+    budgets: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 11,
+    budget_col: str = "budget",
+    n_bucket_shift: int = 50,
+) -> DataFrame:
+    """Keep each group's hash-ordered PREFIX whose cumulative
+    ``weight_col`` stays within ``budget_col`` — the weighted sibling of
+    :func:`bucketed_group_keep` (count caps are the weight==1 case).
+
+    The training-data use: token-budget sampling, where a language's
+    keep decision is "take docs in deterministic hash order until the
+    token budget is spent". Same skew-safe decomposition: bucket by the
+    order-preserving hash range, histogram per (group, bucket) sums
+    WEIGHTS instead of counting rows, prefix-sum the dimension-sized
+    histogram, prune buckets whose cumulative start already exceeds the
+    budget broadcast-side, and run ONE running-sum window over the
+    surviving buckets partitioned on (keys..., bucket) — a row is kept
+    iff earlier-bucket weight + its within-bucket running sum
+    (inclusive) fits the budget. Rows of whole-kept buckets pass the
+    uniform filter trivially; only ~1/1024 of a group ever sorts in one
+    partition. Groups absent from ``budgets`` are dropped (inner join).
+
+    Returns (id_col, keys..., weight_col) of kept rows.
+    """
+    from ..functions.hashing import portable_hash64
+
+    h = portable_hash64(id_col, seed=seed)
+    bucketed = df.select(
+        id_col, *keys, weight_col, h.alias("_h"),
+        F.shiftright(h, n_bucket_shift).alias("_b"),
+    )
+    hist = bucketed.groupBy(*keys, "_b").agg(
+        F.sum(weight_col).cast("bigint").alias("_bw")
+    )
+    w_cum = (
+        Window.partitionBy(*keys).orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    classified = (
+        hist.withColumn(
+            "_before", F.coalesce(F.sum("_bw").over(w_cum), F.lit(0)).cast("bigint")
+        )
+        .join(budgets, keys)
+        .filter(F.col("_before") < F.col(budget_col))
+        .select(*keys, "_b", "_before", budget_col)
+    )
+    w_run = (
+        Window.partitionBy(*keys, "_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(classified), [*keys, "_b"])
+        .withColumn("_run", F.sum(weight_col).over(w_run).cast("bigint"))
+        .filter(F.col("_before") + F.col("_run") <= F.col(budget_col))
+        .select(id_col, *keys, weight_col)
+    )

@@ -469,3 +469,101 @@ def q133_countmin_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_estimate(top, "word", sketch, m=_CM_M, k=_CM_K).select(
         "word", "exact_c", "cm_est"
     )
+
+
+# Token-budget temperature mixture (q127's recipe with the budget in
+# TOKENS, the unit real data mixes actually allocate): per-lang token
+# budget = total_tokens * w_fp / sum(w_fp) with w_fp =
+# floor(sqrt(lang_tokens) * 1e6); keep each lang's hash-ordered doc
+# prefix whose cumulative tokens fit the budget.
+_TB_SEED = 17
+_TB_W_FP = "CAST(floor(sqrt(CAST(tok_c AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+@query(
+    "q134_token_budget_mixture",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    counts AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS tok_c FROM d GROUP BY lang),
+    weighted AS (SELECT lang, tok_c, {_TB_W_FP} AS w_fp FROM counts),
+    budgets AS (
+      SELECT lang, tok_c,
+             CAST((SUM(tok_c) OVER () * w_fp) // SUM(w_fp) OVER () AS BIGINT) AS budget
+      FROM weighted
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, d.n_tok,
+             SUM(d.n_tok) OVER (
+               PARTITION BY d.lang
+               ORDER BY {portable_hash64_sql("d.doc_id", seed=_TB_SEED)}, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM d
+    ),
+    kept AS (
+      SELECT r.lang, COUNT(*) AS n_kept,
+             CAST(SUM(r.n_tok) AS BIGINT) AS tokens_kept
+      FROM ranked r JOIN budgets b ON r.lang = b.lang
+      WHERE r.cum <= b.budget
+      GROUP BY r.lang
+    )
+    SELECT b.lang, b.tok_c AS tokens_total, b.budget AS budget_tokens,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.tokens_kept, 0) AS tokens_kept
+    FROM budgets b LEFT JOIN kept k ON b.lang = k.lang
+    """,
+    doc="Temperature mixture with the budget in TOKENS (the unit real "
+    "mixes allocate): per-lang budget = total_tokens * sqrt-weight "
+    "share in exact fixed-point integers (q127's arithmetic on token "
+    "sums), keep each lang's hash-ordered doc prefix while cumulative "
+    "tokens fit. The keep stage is the WEIGHTED bucketed distributed "
+    "rank (operators/ranking.bucketed_budget_keep): the bucket "
+    "histogram sums token weights, whole budget-fitting buckets skip "
+    "the window, and the single running-sum window partitions on "
+    "(lang, bucket) — the head language never sorts in one task.",
+    tags=("ext", "curation", "mixing", "sampling", "budget"),
+)
+def q134_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import bucketed_budget_keep
+
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(size(split(trim(text), ' +')) AS BIGINT)").alias("n_tok"),
+    )
+    counts = d.groupBy("lang").agg(F.sum("n_tok").cast("bigint").alias("tok_c"))
+    wall = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy()
+    budgets = (
+        counts.select("lang", "tok_c", F.expr(_TB_W_FP).alias("w_fp"))
+        .select(
+            "lang",
+            "tok_c",
+            (F.sum("tok_c").over(wall) * F.col("w_fp")).alias("_num"),
+            F.sum("w_fp").over(wall).alias("_den"),
+        )
+        .select("lang", "tok_c", F.expr("_num div _den").alias("budget"))
+    )
+    kept = bucketed_budget_keep(
+        d, ["lang"], budgets.select("lang", "budget"), "n_tok",
+        id_col="doc_id", seed=_TB_SEED,
+    )
+    kept_agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+    )
+    return (
+        budgets.withColumnRenamed("tok_c", "tokens_total")
+        .withColumnRenamed("budget", "budget_tokens")
+        .join(kept_agg, "lang", "left")
+        .select(
+            "lang",
+            "tokens_total",
+            "budget_tokens",
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0).cast("bigint")).alias("tokens_kept"),
+        )
+    )

@@ -305,3 +305,67 @@ class TestPercentileAnchors:
         assert r["n_unique_texts"] <= r["n_docs"]
         assert r["n_tokens"] <= r["total_chars"]
         assert r["n_langs"] >= 1 and r["n_sources"] >= 1
+
+
+class TestTokenBudgetMixture:
+    def test_bucketed_budget_keep_equals_naive_running_sum(self, spark, sf_dir):
+        """The weighted keep must select EXACTLY the prefix a naive
+        per-group running-sum window selects — checked on the real
+        corpus and on an adversarial 90%-head-group weighted set."""
+        from pyspark.sql import Window
+
+        from e2e_stock_data_pipeline_spark.functions.hashing import portable_hash64
+        from e2e_stock_data_pipeline_spark.operators.ranking import (
+            bucketed_budget_keep,
+        )
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        def naive(df, budgets, seed):
+            w = (
+                Window.partitionBy("lang")
+                .orderBy(portable_hash64("doc_id", seed=seed), F.col("doc_id"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            return (
+                df.withColumn("_cum", F.sum("n_tok").over(w))
+                .join(F.broadcast(budgets), "lang")
+                .filter(F.col("_cum") <= F.col("budget"))
+                .select("doc_id", "lang", "n_tok")
+            )
+
+        docs = tables.load(spark, sf_dir, "documents").select(
+            "doc_id", "lang",
+            F.expr("CAST(size(split(trim(text), ' +')) AS BIGINT)").alias("n_tok"),
+        )
+        budgets = docs.groupBy("lang").agg(
+            (F.sum("n_tok") / 3).cast("bigint").alias("budget")
+        )
+        got = {tuple(r) for r in bucketed_budget_keep(
+            docs, ["lang"], budgets, "n_tok", seed=17).collect()}
+        want = {tuple(r) for r in naive(docs, budgets, 17).collect()}
+        assert got == want and len(want) > 0
+
+        skewed = spark.range(4_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < 9, "head").otherwise(
+                F.concat(F.lit("t"), F.col("id") % 5)
+            ).alias("lang"),
+            (F.pmod(F.xxhash64("id"), F.lit(40)) + 1).cast("bigint").alias("n_tok"),
+        )
+        sb = skewed.groupBy("lang").agg(
+            (F.sum("n_tok") / 4).cast("bigint").alias("budget")
+        )
+        got = {tuple(r) for r in bucketed_budget_keep(
+            skewed, ["lang"], sb, "n_tok", seed=17).collect()}
+        want = {tuple(r) for r in naive(skewed, sb, 17).collect()}
+        assert got == want and len(want) > 0
+
+    def test_budget_invariants(self, spark, sf_dir):
+        """Kept tokens never exceed the budget; every lang appears; the
+        budgets sum to at most the corpus total (integer floor)."""
+        rows = _run("q134_token_budget_mixture", spark, sf_dir).collect()
+        total = sum(r["tokens_total"] for r in rows)
+        assert total - len(rows) <= sum(r["budget_tokens"] for r in rows) <= total
+        for r in rows:
+            assert r["tokens_kept"] <= r["budget_tokens"]
+            assert r["n_kept"] >= 0
