@@ -535,8 +535,10 @@ def q134_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr("CAST(size(split(trim(text), ' +')) AS BIGINT)").alias("n_tok"),
     )
+    from pyspark.sql import Window
+
     counts = d.groupBy("lang").agg(F.sum("n_tok").cast("bigint").alias("tok_c"))
-    wall = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy()
+    wall = Window.partitionBy()
     budgets = (
         counts.select("lang", "tok_c", F.expr(_TB_W_FP).alias("w_fp"))
         .select(
