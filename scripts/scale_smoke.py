@@ -304,6 +304,50 @@ def main(n_rows: int = 10_000_000) -> None:
         lambda: forced(temperature_mixture_plan(mix_docs)),
     )
 
+    # --- round-8 sketch tier at 100x: Bloom build+probe and Count-Min
+    # over the 200k-doc corpus' ~1.6M shingle occurrences; both are one
+    # map-side-combinable groupBy plus a broadcast bit/counter join ----
+    from e2e_stock_data_pipeline_spark.operators.bloom import (  # noqa: E402
+        bloom_build,
+        bloom_probe,
+    )
+    from e2e_stock_data_pipeline_spark.operators.countmin import (  # noqa: E402
+        countmin_build,
+        countmin_estimate,
+    )
+
+    sh_all = exploded_shingles(docs, distinct=True)
+    ev_sh = sh_all.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    tr_sh = sh_all.filter(F.col("doc_id") % 97 != 0)
+    timed(
+        f"bloom build+probe ({n_docs/1e3:.0f}k docs, 65536 bits)",
+        lambda: bloom_probe(tr_sh, "shingle", bloom_build(ev_sh, "shingle")).count(),
+    )
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    timed(
+        f"count-min build+estimate ({n_docs*10/1e6:.0f}M word occurrences)",
+        lambda: forced(
+            countmin_estimate(words.distinct(), "word", countmin_build(words, "word"))
+        ),
+    )
+
+    # --- round-8 weighted budget keep at 100x: token-budget prefix over
+    # the 90%-head mixture corpus (bucketed_budget_keep) ---------------
+    from e2e_stock_data_pipeline_spark.operators.ranking import (  # noqa: E402
+        bucketed_budget_keep,
+    )
+
+    weighted = mix_docs.select(
+        "doc_id", "lang", F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tok")
+    )
+    wbudgets = weighted.groupBy("lang").agg(
+        (F.sum("n_tok") / 3).cast("bigint").alias("budget")
+    )
+    timed(
+        f"token-budget keep, 90%-head skew ({n_rows/1e6:.0f}M docs)",
+        lambda: bucketed_budget_keep(weighted, ["lang"], wbudgets, "n_tok").count(),
+    )
+
     # --- round-7 unbounded-series EMA twin: the applyInPandas escape
     # hatch (operators/grouped.per_key_ema, bit-equal to ema_plan by
     # property test) — times the Arrow grouped-map path at the same
