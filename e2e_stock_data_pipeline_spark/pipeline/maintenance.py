@@ -183,3 +183,34 @@ def skipping_effectiveness(stats: dict, col: str) -> float:
         return 0.0
     covered = sum((s["max"] - s["min"]) / width for s in spans) / len(spans)
     return 1.0 - covered
+
+
+def pruned_scan(spark: SparkSession, path: str, col: str, lo, hi):
+    """Data-skipping scan for a plain parquet dir: consult the per-file
+    footer min/max (the stats Delta keeps in its log; table_stats reads
+    them straight from the footers) and hand Spark ONLY the files whose
+    [min, max] span overlaps [lo, hi], then re-apply the predicate.
+
+    Correctness never depends on the stats: the range filter is applied
+    to whatever is read, and files with no usable statistics for `col`
+    are conservatively read. This is what turns cluster_rewrite /
+    zorder_rewrite's narrow spans into actual I/O savings — at 100 TB
+    the footer read is the metadata layer (a per-file stats index / the
+    Delta log), and the scan cost drops from all files to the
+    overlapping fraction that skipping_effectiveness predicts.
+
+    Returns (df, {"files_total": n, "files_read": k}).
+    """
+    import glob as _glob
+
+    predicate = F.col(col).between(lo, hi)
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    spans = table_stats(path, [col])["columns"].get(col, [])
+    known = {s["file"] for s in spans}
+    keep = {s["file"] for s in spans if not (s["max"] < lo or s["min"] > hi)}
+    keep |= {os.path.basename(f) for f in files if os.path.basename(f) not in known}
+    meta = {"files_total": len(files), "files_read": len(keep)}
+    if not keep:  # stats exclude everything: empty frame, correct schema
+        return spark.read.parquet(path).filter(F.lit(False)), meta
+    paths = [os.path.join(path, f) for f in sorted(keep)]
+    return spark.read.parquet(*paths).filter(predicate), meta

@@ -546,3 +546,42 @@ class TestTableStats:
         # random-hash layout: every file spans ~the whole range (eff ~ 0);
         # clustered layout: near-disjoint spans (eff -> 1)
         assert eff_before < 0.2 < 0.7 < eff_after
+
+    def test_pruned_scan_skips_files_and_matches_full_scan(self, spark, tmp_path):
+        """pruned_scan turns the narrow spans into actual I/O savings:
+        identical rows to a full-scan filter, but on the clustered
+        layout a narrow range reads ~1-2 of 8 files while the random
+        layout must read all 8 (every file spans the whole range)."""
+        from e2e_stock_data_pipeline_spark.pipeline.maintenance import (
+            cluster_rewrite,
+            pruned_scan,
+        )
+
+        path = str(tmp_path / "t")
+        spark.range(100_000).select(
+            (F.pmod(F.xxhash64("id"), F.lit(10_000))).alias("k"),
+            F.col("id").alias("v"),
+        ).repartition(8).write.parquet(path)
+        lo, hi = 100, 400
+
+        def full(p):
+            return {
+                (r.k, r.v)
+                for r in spark.read.parquet(p).filter(F.col("k").between(lo, hi)).collect()
+            }
+
+        want = full(path)
+        df, meta = pruned_scan(spark, path, "k", lo, hi)
+        assert {(r.k, r.v) for r in df.collect()} == want
+        assert meta["files_read"] == meta["files_total"] == 8  # no pruning possible
+
+        cluster_rewrite(spark, path, ["k"], num_files=8)
+        assert full(path) == want  # rewrite preserves data
+        df, meta = pruned_scan(spark, path, "k", lo, hi)
+        assert {(r.k, r.v) for r in df.collect()} == want
+        assert meta["files_total"] == 8 and meta["files_read"] <= 2
+
+        # stats-excluded range: zero files read, empty result, schema kept
+        df, meta = pruned_scan(spark, path, "k", 10_001, 10_002)
+        assert meta["files_read"] == 0 and df.count() == 0
+        assert df.columns == ["k", "v"]
