@@ -1,0 +1,410 @@
+"""Round-8 session-2 query additions [EXT] — time-series repair,
+market microstructure, and affinity shapes a stock/training-data
+pipeline runs daily:
+
+* q135 — calendar gap-fill + forward-fill (the missing-trading-day
+  repair the reference's gold layer needs before any ma_20/ma_50 is
+  trustworthy: a 20-row window over a series with holes is not a
+  20-day window; reference gold views: docs/databricks_setup.md:216-226).
+* q136 — VWAP (volume-weighted average price) per key per day, the
+  canonical microstructure aggregate; decimal-exact numerator.
+* q137 — maximum drawdown per key: running peak then worst peak-to-
+  trough drop, the risk metric every backtest reports.
+* q138 — co-occurrence affinity pairs with apriori support pruning
+  (frequent-pair mining: the same-basket self-join bounded by
+  per-order fan-out, never a cross product).
+* q139 — FORWARD as-of join, oracle-gated: q26/q68 proved the
+  backward direction; this greens operators/asof.py's direction=
+  "forward" path (next quote at-or-after, the fill-simulation shape).
+* q140 — robust outlier flags via median absolute deviation: two
+  exact-median passes (q109's rank trick) + a 3×MAD threshold —
+  the monitoring twin of q67's z-score (mean/std are skew-fragile;
+  MAD is what a data-quality gate should use).
+
+All six are pure Catalyst (no UDFs), windows partition on the
+high-cardinality user key, joins are key-local or broadcast, and
+every computed column is aliased identically in the Spark plan and
+the DuckDB oracle so the driver's value-hash gate is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources import tables
+from .registry import query
+
+DEC = "decimal(18,4)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# q135: per-key daily calendar gap-fill with forward-fill
+# --------------------------------------------------------------------------
+
+@query(
+    "q135_gap_fill_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS r
+      FROM events
+    ),
+    obs AS (SELECT user_id, day, value AS obs_value FROM daily WHERE r = 1),
+    span AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM obs GROUP BY user_id),
+    cal AS (SELECT user_id,
+                   CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM span),
+    j AS (SELECT c.user_id, c.day, o.obs_value
+          FROM cal c LEFT JOIN obs o ON o.user_id = c.user_id AND o.day = c.day)
+    SELECT user_id, day,
+           last_value(obs_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           (obs_value IS NULL) AS is_filled
+    FROM j
+    """,
+    doc="Daily resample + forward-fill: per key, close-of-day value "
+    "(last tick wins, deterministic tiebreak), densified to the key's "
+    "full min..max calendar via sequence/explode, holes filled with "
+    "last(ignorenulls). The repair step that makes fixed-row windows "
+    "(q21 ma_20, q73 Bollinger) mean what they say on sparse series. "
+    "Scale: explode fan-out is bounded by the date span (dimension-"
+    "sized per key, not data-sized); both windows and the fill join "
+    "partition on the high-cardinality key, so the whole plan is one "
+    "shuffle family on user_id with no skewed low-cardinality sort.",
+    tags=("window", "timeseries", "gapfill", "gold"),
+)
+def q135_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value", F.col("ts").cast("date").alias("day")
+    )
+    wlast = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        e.select("user_id", "day", "value", F.row_number().over(wlast).alias("r"))
+        .filter(F.col("r") == 1)
+        .select("user_id", "day", F.col("value").alias("obs_value"))
+    )
+    cal = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    j = cal.join(obs, ["user_id", "day"], "left")
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("obs_value", ignorenulls=True).over(wfill).alias("value"),
+        F.col("obs_value").isNull().alias("is_filled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q136: per-key daily VWAP
+# --------------------------------------------------------------------------
+
+@query(
+    "q136_vwap",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(k) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)) * k) AS DOUBLE)
+             / CAST(SUM(k) AS DOUBLE) AS vwap
+    FROM (SELECT user_id, ts, value,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY user_id, CAST(ts AS DATE)
+    HAVING SUM(k) > 0
+    """,
+    doc="Volume-weighted average price per key per day: price×size "
+    "summed in DECIMAL (exact, order-independent — the double sum "
+    "would hash-differ between engines), one double division at the "
+    "end. Size comes from the event's JSON props (C7's extraction "
+    "path), so this also exercises semi-structured→metric flow. One "
+    "hash aggregate, no window; partial aggregation is map-side.",
+    tags=("agg", "timeseries", "gold", "json"),
+)
+def q136_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return (
+        e.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("k").cast("bigint").alias("total_qty"),
+            (
+                F.sum(F.col("value").cast(DEC) * F.col("k")).cast("double")
+                / F.sum("k").cast("double")
+            ).alias("vwap"),
+        )
+        .filter(F.col("total_qty") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# q137: maximum drawdown per key
+# --------------------------------------------------------------------------
+
+@query(
+    "q137_max_drawdown",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, value,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM events
+    )
+    SELECT user_id,
+           CAST(MAX((peak - value) / peak) AS DOUBLE) AS max_drawdown,
+           CAST(MAX(peak - value) AS DOUBLE) AS max_abs_drawdown,
+           CAST(MAX(peak) AS DOUBLE) AS peak_value
+    FROM r GROUP BY user_id
+    """,
+    doc="Maximum drawdown: running peak (cumulative max over event "
+    "time, deterministic tiebreak) then the worst relative and "
+    "absolute peak-to-trough drop per key — the risk statistic every "
+    "backtest over the reference's gold prices reports. Per-row "
+    "arithmetic is order-independent (each row's drawdown depends "
+    "only on its own peak), so the double math hash-matches. One "
+    "window + one hash aggregate, both keyed on user_id.",
+    tags=("window", "timeseries", "risk", "gold"),
+)
+def q137_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    wpeak = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = e.select(
+        "user_id", "value", F.max("value").over(wpeak).alias("peak")
+    )
+    return r.groupBy("user_id").agg(
+        F.max((F.col("peak") - F.col("value")) / F.col("peak"))
+        .cast("double")
+        .alias("max_drawdown"),
+        F.max(F.col("peak") - F.col("value")).cast("double").alias("max_abs_drawdown"),
+        F.max("peak").cast("double").alias("peak_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q138: co-occurrence affinity pairs (frequent-pair mining)
+# --------------------------------------------------------------------------
+
+@query(
+    "q138_copurchase_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (SELECT l_partkey FROM li GROUP BY l_partkey HAVING COUNT(*) >= 2),
+    lf AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN freq USING (l_partkey)),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+      FROM lf a JOIN lf b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, n_orders FROM pairs
+    WHERE n_orders >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+    doc="Frequent co-occurrence pairs (market-basket affinity) with "
+    "apriori pruning: a part in fewer than min_support orders cannot "
+    "be in a frequent pair, so the per-part frequency filter runs "
+    "BEFORE the same-order self-join — the classic candidate-"
+    "generation cut. The self-join is keyed on l_orderkey with "
+    "fan-out bounded by per-order line count (≤7 in TPC-H shapes), "
+    "never a cross product; the frequent-part set joins broadcast "
+    "(bounded by the part dimension). Deterministic top-50.",
+    tags=("join", "affinity", "apriori", "topk"),
+)
+def q138_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("l_partkey")
+    )
+    lf = li.join(F.broadcast(freq), "l_partkey").select("l_orderkey", "l_partkey")
+    a = lf.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = lf.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# q139: forward as-of join (next quote at-or-after)
+# --------------------------------------------------------------------------
+
+@query(
+    "q139_asof_forward",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts, c.value,
+           p.ts AS asof_ts, p.value AS asof_value
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    doc="FORWARD as-of join: each click matched to the EARLIEST "
+    "purchase at or after it per user — the fill-simulation / "
+    "next-quote direction. Greens operators/asof.py direction="
+    "'forward' (backward over negated epoch, one code path both "
+    "directions), which until now carried only unit tests; q26/q68 "
+    "cover backward. Same single-shuffle union+window plan: no "
+    "range-condition join explosion, state bounded per key.",
+    tags=("join", "asof", "window"),
+)
+def q139_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["value"],
+        how="inner",
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+
+
+# --------------------------------------------------------------------------
+# q140: robust outliers via median absolute deviation
+# --------------------------------------------------------------------------
+
+@query(
+    "q140_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events
+    ),
+    med AS (
+      SELECT user_id, SUM(value) / CAST(COUNT(*) AS DOUBLE) AS med
+      FROM v WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id, e.event_id, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.user_id = m.user_id
+    ),
+    dr AS (
+      SELECT user_id, adev,
+             row_number() OVER (PARTITION BY user_id ORDER BY adev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM dev
+    ),
+    mad AS (
+      SELECT user_id, SUM(adev) / CAST(COUNT(*) AS DOUBLE) AS mad
+      FROM dr WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(d.med) AS med_value,
+           MAX(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.user_id = m.user_id
+    GROUP BY d.user_id
+    """,
+    doc="Robust per-key outlier audit: exact median (q109's rank "
+    "trick — middle one/two rows, FP-deterministic average), absolute "
+    "deviations, exact median of those (the MAD), then a 3×MAD flag "
+    "count. The skew-immune twin of q67's z-score: one wild tick "
+    "moves mean/std but not median/MAD, so this is the gate a "
+    "data-quality monitor should run. Every window and join is keyed "
+    "on the high-cardinality user_id — two window passes + two "
+    "key-local join-backs, all in one partitioning family.",
+    tags=("window", "median", "quality", "monitoring"),
+)
+def q140_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select("user_id", "event_id", "value")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wc = Window.partitionBy("user_id")
+    v = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    med = (
+        v.filter(
+            (F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) DIV 2"))
+        )
+        .groupBy("user_id")
+        .agg((F.sum("value") / F.count(F.lit(1)).cast("double")).alias("med"))
+    )
+    dev = e.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    wd = Window.partitionBy("user_id").orderBy("adev", "event_id")
+    dr = dev.select(
+        "user_id",
+        "adev",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    mad = (
+        dr.filter(
+            (F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) DIV 2"))
+        )
+        .groupBy("user_id")
+        .agg((F.sum("adev") / F.count(F.lit(1)).cast("double")).alias("mad"))
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("med").alias("med_value"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3.0 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
