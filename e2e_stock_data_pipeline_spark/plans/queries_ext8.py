@@ -20,8 +20,18 @@ pipeline runs daily:
   exact-median passes (q109's rank trick) + a 3×MAD threshold —
   the monitoring twin of q67's z-score (mean/std are skew-fragile;
   MAD is what a data-quality gate should use).
+* q141 — gaps-and-islands: longest consecutive-day streak per key
+  (day-minus-row_number island ids), calendar-exact retention.
+* q142 — TWAP: time-weighted average price with integer-microsecond
+  weights; all-BIGINT numerator (the >2^53 decimal sum exposes an
+  engine-dependent DECIMAL→DOUBLE rounding divergence — see the
+  in-plan comment — so the arithmetic stays in int64 where both
+  engines' casts are correctly rounded).
+* q143 — week-over-week growth: lag window AFTER aggregation, where
+  the low-cardinality series key is safe because the frame is already
+  dimension-sized (the deliberate contrast to q127's skew finding).
 
-All six are pure Catalyst (no UDFs), windows partition on the
+All are pure Catalyst (no UDFs), windows partition on the
 high-cardinality user key, joins are key-local or broadcast, and
 every computed column is aliased identically in the Spark plan and
 the DuckDB oracle so the driver's value-hash gate is exact.
@@ -41,6 +51,164 @@ DEC = "decimal(18,4)"
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load(spark, sf_dir, "events")
+
+
+# Plan constructors are module-level (not closed over inside the query
+# functions) so scripts/scale_smoke.py times the EXACT plans the
+# registered queries run — the ext5 ema_plan/token_entropy_plan pattern.
+
+
+def gap_fill_plan(e: DataFrame) -> DataFrame:
+    """events(user_id, event_id, ts, value) -> densified daily close series."""
+    e = e.select(
+        "user_id", "event_id", "ts", "value", F.col("ts").cast("date").alias("day")
+    )
+    wlast = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        e.select("user_id", "day", "value", F.row_number().over(wlast).alias("r"))
+        .filter(F.col("r") == 1)
+        .select("user_id", "day", F.col("value").alias("obs_value"))
+    )
+    cal = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    j = cal.join(obs, ["user_id", "day"], "left")
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("obs_value", ignorenulls=True).over(wfill).alias("value"),
+        F.col("obs_value").isNull().alias("is_filled"),
+    )
+
+
+def vwap_plan(e: DataFrame) -> DataFrame:
+    """events(user_id, ts, value, props) -> per-key daily VWAP."""
+    e = e.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return (
+        e.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("k").cast("bigint").alias("total_qty"),
+            (
+                F.sum(F.col("value").cast(DEC) * F.col("k")).cast("double")
+                / F.sum("k").cast("double")
+            ).alias("vwap"),
+        )
+        .filter(F.col("total_qty") > 0)
+    )
+
+
+def drawdown_plan(e: DataFrame) -> DataFrame:
+    """events(user_id, event_id, ts, value) -> per-key max drawdown."""
+    wpeak = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = e.select("user_id", "value", F.max("value").over(wpeak).alias("peak"))
+    return r.groupBy("user_id").agg(
+        F.max((F.col("peak") - F.col("value")) / F.col("peak"))
+        .cast("double")
+        .alias("max_drawdown"),
+        F.max(F.col("peak") - F.col("value")).cast("double").alias("max_abs_drawdown"),
+        F.max("peak").cast("double").alias("peak_value"),
+    )
+
+
+def copurchase_plan(
+    li: DataFrame, min_support: int = 2, top: int = 50
+) -> DataFrame:
+    """lineitem(l_orderkey, l_partkey) -> top co-occurrence pairs.
+
+    Apriori cut first (an item in < min_support baskets cannot be in a
+    frequent pair), then the same-basket self-join keyed on the basket id
+    — fan-out bounded by basket size, never a cross product."""
+    li = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_support)
+        .select("l_partkey")
+    )
+    lf = li.join(F.broadcast(freq), "l_partkey").select("l_orderkey", "l_partkey")
+    a = lf.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = lf.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_support)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(top)
+    )
+
+
+def mad_outliers_plan(e: DataFrame) -> DataFrame:
+    """events(user_id, event_id, value) -> per-key exact-median MAD audit."""
+    e = e.select("user_id", "event_id", "value")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wc = Window.partitionBy("user_id")
+    v = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    med = (
+        v.filter(
+            (F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) DIV 2"))
+        )
+        .groupBy("user_id")
+        .agg((F.sum("value") / F.count(F.lit(1)).cast("double")).alias("med"))
+    )
+    dev = e.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    wd = Window.partitionBy("user_id").orderBy("adev", "event_id")
+    dr = dev.select(
+        "user_id",
+        "adev",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    mad = (
+        dr.filter(
+            (F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) DIV 2"))
+        )
+        .groupBy("user_id")
+        .agg((F.sum("adev") / F.count(F.lit(1)).cast("double")).alias("mad"))
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("med").alias("med_value"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(F.col("adev") > 3.0 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -82,34 +250,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "timeseries", "gapfill", "gold"),
 )
 def q135_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir).select(
-        "user_id", "event_id", "ts", "value", F.col("ts").cast("date").alias("day")
-    )
-    wlast = Window.partitionBy("user_id", "day").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    obs = (
-        e.select("user_id", "day", "value", F.row_number().over(wlast).alias("r"))
-        .filter(F.col("r") == 1)
-        .select("user_id", "day", F.col("value").alias("obs_value"))
-    )
-    cal = (
-        obs.groupBy("user_id")
-        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
-    )
-    j = cal.join(obs, ["user_id", "day"], "left")
-    wfill = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return j.select(
-        "user_id",
-        "day",
-        F.last("obs_value", ignorenulls=True).over(wfill).alias("value"),
-        F.col("obs_value").isNull().alias("is_filled"),
-    )
+    return gap_fill_plan(_events(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -139,24 +280,7 @@ def q135_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "timeseries", "gold", "json"),
 )
 def q136_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.col("ts").cast("date").alias("day"),
-        "value",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
-    )
-    return (
-        e.groupBy("user_id", "day")
-        .agg(
-            F.count(F.lit(1)).alias("n_ticks"),
-            F.sum("k").cast("bigint").alias("total_qty"),
-            (
-                F.sum(F.col("value").cast(DEC) * F.col("k")).cast("double")
-                / F.sum("k").cast("double")
-            ).alias("vwap"),
-        )
-        .filter(F.col("total_qty") > 0)
-    )
+    return vwap_plan(_events(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -188,22 +312,7 @@ def q136_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "timeseries", "risk", "gold"),
 )
 def q137_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
-    wpeak = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    r = e.select(
-        "user_id", "value", F.max("value").over(wpeak).alias("peak")
-    )
-    return r.groupBy("user_id").agg(
-        F.max((F.col("peak") - F.col("value")) / F.col("peak"))
-        .cast("double")
-        .alias("max_drawdown"),
-        F.max(F.col("peak") - F.col("value")).cast("double").alias("max_abs_drawdown"),
-        F.max("peak").cast("double").alias("peak_value"),
-    )
+    return drawdown_plan(_events(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -238,28 +347,7 @@ def q137_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "affinity", "apriori", "topk"),
 )
 def q138_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        tables.load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    freq = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("l_partkey")
-    )
-    lf = li.join(F.broadcast(freq), "l_partkey").select("l_orderkey", "l_partkey")
-    a = lf.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = lf.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b"))
-    return (
-        a.join(b, (a.l_orderkey == b._ok) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
-        .limit(50)
-    )
+    return copurchase_plan(tables.load(spark, sf_dir, "lineitem"))
 
 
 # --------------------------------------------------------------------------
@@ -356,55 +444,182 @@ def q139_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "median", "quality", "monitoring"),
 )
 def q140_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir).select("user_id", "event_id", "value")
-    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
-    wc = Window.partitionBy("user_id")
-    v = e.select(
-        "user_id",
-        "value",
-        F.row_number().over(wv).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
+    return mad_outliers_plan(_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q141: gaps-and-islands — longest consecutive-day streak per key
+# --------------------------------------------------------------------------
+
+def streaks_plan(e: DataFrame) -> DataFrame:
+    """events(user_id, ts) -> per-key streak stats (gaps-and-islands)."""
+    d = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    wr = Window.partitionBy("user_id").orderBy("day")
+    r = d.select("user_id", "day", F.row_number().over(wr).alias("rn"))
+    g = r.select(
+        "user_id", F.date_sub(F.col("day"), F.col("rn").cast("int")).alias("grp")
     )
-    med = (
-        v.filter(
-            (F.col("rn") == F.expr("(cnt + 1) DIV 2"))
-            | (F.col("rn") == F.expr("(cnt + 2) DIV 2"))
-        )
-        .groupBy("user_id")
-        .agg((F.sum("value") / F.count(F.lit(1)).cast("double")).alias("med"))
+    islands = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return islands.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("active_days"),
     )
-    dev = e.join(med, "user_id").select(
+
+
+@query(
+    "q141_longest_streak",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    r AS (SELECT user_id, day,
+                 row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+          FROM d),
+    g AS (SELECT user_id, day - CAST(rn AS INTEGER) AS grp, COUNT(*) AS len
+          FROM r GROUP BY user_id, day - CAST(rn AS INTEGER))
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM g GROUP BY user_id
+    """,
+    doc="Gaps-and-islands: longest run of consecutive active days per "
+    "key via the day-minus-row_number island id (consecutive days share "
+    "one constant). The retention sibling of q31's session windows — "
+    "session_window gaps are time-delta based; this is calendar-exact. "
+    "Distinct-day reduction first, so the window sorts at most span "
+    "days per key; everything stays in one user_id shuffle family.",
+    tags=("window", "retention", "streaks"),
+)
+def q141_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaks_plan(_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q142: TWAP (time-weighted average price)
+# --------------------------------------------------------------------------
+
+def twap_plan(e: DataFrame) -> DataFrame:
+    """events(user_id, event_id, ts, value) -> per-key daily TWAP."""
+    t = e.select(
         "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
         "event_id",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "value",
     )
-    wd = Window.partitionBy("user_id").orderBy("adev", "event_id")
-    dr = dev.select(
+    wn = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    t = t.select(
         "user_id",
-        "adev",
-        F.row_number().over(wd).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
-    )
-    mad = (
-        dr.filter(
-            (F.col("rn") == F.expr("(cnt + 1) DIV 2"))
-            | (F.col("rn") == F.expr("(cnt + 2) DIV 2"))
-        )
-        .groupBy("user_id")
-        .agg((F.sum("adev") / F.count(F.lit(1)).cast("double")).alias("mad"))
-    )
-    return (
-        dev.join(mad, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.max("med").alias("med_value"),
-            F.max("mad").alias("mad"),
-            F.sum(
-                F.when(F.col("adev") > 3.0 * F.col("mad"), 1).otherwise(0)
+        "day",
+        "value",
+        (
+            # ts is TIMESTAMP_NTZ from parquet; unix_micros needs TIMESTAMP.
+            # Both operands get the same session-tz shift, so the delta is
+            # unaffected.
+            F.unix_micros(
+                F.coalesce(
+                    F.lead("ts").over(wn),
+                    F.date_add(F.col("day"), 1).cast("timestamp"),
+                ).cast("timestamp")
             )
-            .cast("bigint")
-            .alias("n_outliers"),
-        )
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("w_us"),
+    )
+    # All-integer arithmetic: value in 1e-4 units (exact from DECIMAL),
+    # weight in microseconds. The numerator sum exceeds 2^53, and the two
+    # engines' DECIMAL->DOUBLE casts round differently up there (Spark's
+    # BigDecimal path is correctly rounded, DuckDB divides int128 by
+    # 10^scale in double) — ULP mismatches. BIGINT->DOUBLE is correctly
+    # rounded in both, and both operands fit int64: numerator <=
+    # max_units x a day of us ~ 4e17; denominator = sum(w_us) x 1e4 <=
+    # 8.64e14 (< 2^53, so its double is even exact).
+    units = (F.col("value").cast(DEC) * 10000).cast("bigint")
+    return t.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        (
+            F.sum(units * F.col("w_us")).cast("double")
+            / (F.sum("w_us") * 10000).cast("double")
+        ).alias("twap"),
+    )
+
+
+@query(
+    "q142_twap",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, value,
+             lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, day, value,
+             date_diff('microsecond', ts,
+                       COALESCE(next_ts, CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) AS w_us
+      FROM t
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) * w_us)
+                     AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(w_us) * 10000 AS BIGINT) AS DOUBLE) AS twap
+    FROM w GROUP BY user_id, day
+    """,
+    doc="Time-weighted average price: each tick's value holds until the "
+    "next tick (the last until end of day), weights are integer "
+    "microseconds, value x weight sums in DECIMAL — exact and order-"
+    "independent, one double division at the end. The execution-quality "
+    "twin of q136's VWAP (VWAP weights by traded size, TWAP by elapsed "
+    "time). One lead window + one hash aggregate, both on (user, day).",
+    tags=("window", "agg", "timeseries", "gold"),
+)
+def q142_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return twap_plan(_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q143: week-over-week growth (window AFTER aggregation)
+# --------------------------------------------------------------------------
+
+@query(
+    "q143_weekly_growth",
+    oracle="""
+    WITH wk AS (
+      SELECT event_type, date_trunc('week', ts) AS week_start,
+             SUM(CAST(value AS DECIMAL(18,4))) AS rev
+      FROM events GROUP BY event_type, date_trunc('week', ts)
+    )
+    SELECT event_type, week_start,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev - lag(rev) OVER (PARTITION BY event_type ORDER BY week_start)
+                AS DOUBLE) AS wow_delta,
+           CAST(rev AS DOUBLE)
+             / CAST(lag(rev) OVER (PARTITION BY event_type ORDER BY week_start)
+                    AS DOUBLE) AS wow_ratio
+    FROM wk
+    """,
+    doc="Week-over-week growth per series: decimal-exact weekly rollup, "
+    "then lag/delta/ratio. The window partitions on the low-cardinality "
+    "event_type BUT only AFTER aggregation has reduced the frame to "
+    "(series x weeks) — dimension-sized, so the skew hazard that made "
+    "q127's pre-aggregation lang window a 100x finding does not exist "
+    "here. The pattern to document: low-card windows are fine on "
+    "dimension-sized frames, never on data-sized ones. First week's "
+    "lag is NULL in both engines.",
+    tags=("window", "agg", "timeseries", "growth"),
+)
+def q143_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    wk = e.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).cast("date").alias("week_start")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("rev"))
+    wl = Window.partitionBy("event_type").orderBy("week_start")
+    return wk.select(
+        "event_type",
+        "week_start",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") - F.lag("rev").over(wl)).cast("double").alias("wow_delta"),
+        (F.col("rev").cast("double") / F.lag("rev").over(wl).cast("double")).alias(
+            "wow_ratio"
+        ),
     )

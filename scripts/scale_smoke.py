@@ -359,6 +359,65 @@ def main(n_rows: int = 10_000_000) -> None:
         lambda: forced(per_key_ema(ev)),
     )
 
+    # --- round-8 session-2 time-series tier at 100x: the production
+    # plan constructors from queries_ext8 ------------------------------
+    from e2e_stock_data_pipeline_spark.plans.queries_ext8 import (  # noqa: E402
+        copurchase_plan,
+        drawdown_plan,
+        gap_fill_plan,
+        mad_outliers_plan,
+        streaks_plan,
+        twap_plan,
+    )
+
+    # gap-fill: 100k keys, observations scattered over a 365-day span so
+    # the sequence/explode densification has real holes to fill. The
+    # explode fan-out is bounded by the span (<=365/key), never by rows.
+    sparse = spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 100_000).alias("user_id"),
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.pmod(F.xxhash64("id"), F.lit(365)).cast("int"))
+        ).alias("ts"),
+        (F.round(F.abs(F.xxhash64("id", F.lit(2)) % 100_000) / 100.0, 2)).alias("value"),
+    )
+    timed(
+        f"gap-fill + ffill ({n_rows/1e6:.0f}M obs, 100k keys, 365-day span)",
+        lambda: forced(gap_fill_plan(sparse)),
+    )
+
+    timed(
+        f"max drawdown ({n_rows/1e6:.0f}M obs, 10k keys)",
+        lambda: forced(drawdown_plan(ev)),
+    )
+
+    timed(
+        f"MAD outlier audit ({n_rows/1e6:.0f}M obs, 10k keys, two median passes)",
+        lambda: forced(mad_outliers_plan(ev)),
+    )
+
+    timed(
+        f"longest streak, gaps-and-islands ({n_rows/1e6:.0f}M obs, 100k keys)",
+        lambda: forced(streaks_plan(sparse)),
+    )
+
+    timed(
+        f"TWAP, integer-unit arithmetic ({n_rows/1e6:.0f}M obs, 10k keys)",
+        lambda: forced(twap_plan(ev)),
+    )
+
+    # co-occurrence pairs: 2.5M baskets x 4 items from a 100k vocabulary
+    # — the same-basket self-join emits 6 pairs/basket (~15M), bounded by
+    # basket size; the apriori cut broadcast-prunes infrequent items.
+    baskets = spark.range(n_rows).select(
+        (F.col("id") / 4).cast("bigint").alias("l_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(100_000)).alias("l_partkey"),
+    )
+    timed(
+        f"co-occurrence pairs ({n_rows/4e6:.1f}M baskets x4, 100k vocab)",
+        lambda: forced(copurchase_plan(baskets)),
+    )
+
     spark.stop()
 
 

@@ -183,3 +183,56 @@ class TestMadOutliers:
         d = _write_events(tmp_path, rows)
         r = REG["q140_mad_outliers"].spark(spark, d).collect()[0]
         assert r.mad == 0.0 and r.n_outliers == 0
+
+
+class TestStreaks:
+    def test_hand_computed_islands(self, spark, tmp_path):
+        # days 1,2,3 then 5,6 then 9 -> streaks 3,2,1; duplicate ticks on
+        # day 2 must not inflate anything (distinct-day reduction).
+        days = [1, 2, 2, 3, 5, 6, 9]
+        rows = [
+            Row(event_id=i, ts=_ts(d), user_id=1, event_type="view",
+                value=1.0, props="{}")
+            for i, d in enumerate(days)
+        ]
+        d = _write_events(tmp_path, rows)
+        r = REG["q141_longest_streak"].spark(spark, d).collect()[0]
+        assert (r.longest_streak, r.n_streaks, r.active_days) == (3, 3, 6)
+
+
+class TestTwap:
+    def test_hand_computed_weights(self, spark, tmp_path):
+        # two ticks: 6h at 10.0 (06:00->12:00), 12h at 20.0 (12:00->24:00)
+        rows = [
+            Row(event_id=1, ts=_ts(1, 6), user_id=1, event_type="view",
+                value=10.0, props="{}"),
+            Row(event_id=2, ts=_ts(1, 12), user_id=1, event_type="view",
+                value=20.0, props="{}"),
+        ]
+        d = _write_events(tmp_path, rows)
+        r = REG["q142_twap"].spark(spark, d).collect()[0]
+        assert r.n_ticks == 2
+        assert r.twap == pytest.approx((10.0 * 6 + 20.0 * 12) / 18)
+
+    def test_single_tick_day_is_its_own_twap(self, spark, tmp_path):
+        rows = [Row(event_id=1, ts=_ts(1, 6), user_id=1, event_type="view",
+                    value=42.5, props="{}")]
+        d = _write_events(tmp_path, rows)
+        r = REG["q142_twap"].spark(spark, d).collect()[0]
+        assert r.twap == pytest.approx(42.5)
+
+
+class TestWeeklyGrowth:
+    def test_lag_nulls_and_ratio(self, spark, tmp_path):
+        # 2024-01-01 and 2024-01-08 are both Mondays: two clean weeks.
+        rows = [
+            Row(event_id=1, ts=_ts(2), user_id=1, event_type="view",
+                value=100.0, props="{}"),
+            Row(event_id=2, ts=_ts(9), user_id=1, event_type="view",
+                value=150.0, props="{}"),
+        ]
+        d = _write_events(tmp_path, rows)
+        out = {r.week_start.day: r for r in REG["q143_weekly_growth"].spark(spark, d).collect()}
+        assert out[1].wow_delta is None and out[1].wow_ratio is None
+        assert out[8].wow_delta == 50.0
+        assert out[8].wow_ratio == pytest.approx(1.5)
