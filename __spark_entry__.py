@@ -73,10 +73,23 @@ def _driver_rows_seen() -> set[str]:
 
 
 def _costs() -> dict[str, float]:
+    """Per-query cost in seconds. Accepts both shapes query_costs.json has
+    carried: flat {name: sec} and driver_sim --json's rich per-query dict
+    ({"total_s": ..., "spark_s": ...}) — a dict-valued entry must never
+    break queries() ordering (it did once: dicts don't compare)."""
     try:
-        return json.loads((_REPO / "scripts" / "query_costs.json").read_text())
+        raw = json.loads((_REPO / "scripts" / "query_costs.json").read_text())
     except (OSError, ValueError):
         return {}
+    out: dict[str, float] = {}
+    for name, v in raw.items():
+        if isinstance(v, (int, float)):
+            out[name] = float(v)
+        elif isinstance(v, dict):
+            sec = v.get("total_s", v.get("spark_s"))
+            if isinstance(sec, (int, float)):
+                out[name] = float(sec)
+    return out
 
 
 # configure once per SparkSession, not once per query (the driver runs

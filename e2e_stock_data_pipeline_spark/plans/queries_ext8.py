@@ -623,3 +623,165 @@ def q143_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_ratio"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q144: integer PageRank over the co-purchase graph (fixed iterations)
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000  # initial rank mass per node, in integer units
+_PR_BASE = 150_000     # floor(0.15 * scale): the damping teleport term
+
+
+def pagerank_plan(li: DataFrame, n_iters: int = _PR_ITERS) -> DataFrame:
+    """lineitem(l_orderkey, l_partkey) -> top items by co-purchase PageRank.
+
+    ALL-INTEGER PageRank: ranks live in 1e-6 units, each step is
+    r'(v) = base + (85 * sum(r(u) DIV deg(u))) DIV 100 over in-neighbors.
+    Truncating integer division behaves identically in Spark (DIV) and
+    DuckDB (//) on the all-positive ranks, so a fixed-iteration unroll is
+    bit-replayable in SQL — the same engine-matches-oracle trick as the
+    bounded min-label-propagation cluster oracle (queries_text2). The
+    floor remainders damp total mass slightly; rankings are what the
+    query contracts, not mass conservation.
+
+    Scale shape: each iteration is one ranks->edges join (ranks are
+    node-dimension-sized — broadcastable well past 1e8 nodes) plus one
+    groupBy(v) reduce on the data-sized edge list. Fixed n_iters bounds
+    the lazy plan depth; at cluster scale you'd checkpoint ranks between
+    iterations, which changes materialization, not semantics.
+    """
+    li = li.select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("v"))
+    half = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(
+        F.col("u").alias("node"), F.lit(_PR_SCALE).cast("bigint").alias("rank")
+    )
+    for _ in range(n_iters):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.u)
+            .select("node", F.expr("rank DIV d").alias("c"))
+            .join(edges, F.col("node") == edges.u)
+            .select("v", "c")
+        )
+        ranks = contrib.groupBy(F.col("v").alias("node")).agg(
+            (F.lit(_PR_BASE) + F.expr("(85 * sum(c)) DIV 100"))
+            .cast("bigint")
+            .alias("rank")
+        )
+    return (
+        ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "part_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q144_pagerank_copurchase",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+    r1 AS (
+      SELECT e.v AS node, 150000 + (85 * SUM(r.rank // d.d)) // 100 AS rank
+      FROM r0 r JOIN deg d ON r.node = d.u JOIN edges e ON e.u = r.node
+      GROUP BY e.v
+    ),
+    r2 AS (
+      SELECT e.v AS node, 150000 + (85 * SUM(r.rank // d.d)) // 100 AS rank
+      FROM r1 r JOIN deg d ON r.node = d.u JOIN edges e ON e.u = r.node
+      GROUP BY e.v
+    ),
+    r3 AS (
+      SELECT e.v AS node, 150000 + (85 * SUM(r.rank // d.d)) // 100 AS rank
+      FROM r2 r JOIN deg d ON r.node = d.u JOIN edges e ON e.u = r.node
+      GROUP BY e.v
+    )
+    SELECT node AS part_id, CAST(rank AS BIGINT) AS pagerank
+    FROM r3 ORDER BY pagerank DESC, part_id LIMIT 100
+    """,
+    doc="Fixed-iteration integer PageRank over the undirected co-purchase "
+    "graph: item centrality for recommendation/curation. Every arithmetic "
+    "step is int64 with truncating division, so the 3-round unroll "
+    "replays bit-for-bit in SQL — the iterative-algorithm oracle pattern "
+    "(match the engine's iteration, don't recompute reachability) "
+    "applied to a numeric fixpoint. Deterministic top-100.",
+    tags=("graph", "iterative", "affinity", "topk"),
+)
+def q144_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_plan(tables.load(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# q145: table profile — per-column stats in ONE scan, unpivoted
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "q145_table_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS DOUBLE) AS min_val,
+           CAST(MAX({c}) AS DOUBLE) AS max_val
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+    doc="ANALYZE-style table profile: row/null/distinct counts plus "
+    "min/max for every measure column, unpivoted to one row per column "
+    "— the stats pass a pipeline runs before choosing clip thresholds, "
+    "and the numbers a table format keeps per file for data skipping "
+    "(maintenance.pruned_scan consumes exactly these). The Spark plan "
+    "computes ALL columns in ONE scan (a single multi-aggregate, then "
+    "an in-memory unpivot of the 1-row result); the oracle's UNION ALL "
+    "re-scans per column — at 100 TB that difference is the whole "
+    "point: profile passes must not multiply scans by column count.",
+    tags=("agg", "profile", "quality", "unpivot"),
+)
+def q145_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(structs).alias("p")).select("p.*")

@@ -27,8 +27,8 @@ sys.path.insert(0, ".")
 from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules  # noqa: E402
 from e2e_stock_data_pipeline_spark.session import get_spark  # noqa: E402
 
-# The top-cost registry queries by the r7 sweep (scripts/query_costs.json)
-# plus the round-8 IVF addition — the engine-side heavy tier.
+# The top-cost registry queries by the r8 sweeps (scripts/query_costs.json)
+# — the engine-side heavy tier (dedup/ANN/graph/affinity/robust-stats).
 EXT_HEAVY = [
     "q105_cluster_size_histogram",
     "q56_dedup_clusters",
@@ -37,6 +37,9 @@ EXT_HEAVY = [
     "q126_incremental_dedup",
     "q123_pq_rerank",
     "q128_ivf_rerank",
+    "q138_copurchase_pairs",
+    "q140_mad_outliers",
+    "q144_pagerank_copurchase",
 ]
 
 

@@ -366,6 +366,7 @@ def main(n_rows: int = 10_000_000) -> None:
         drawdown_plan,
         gap_fill_plan,
         mad_outliers_plan,
+        pagerank_plan,
         streaks_plan,
         twap_plan,
     )
@@ -416,6 +417,11 @@ def main(n_rows: int = 10_000_000) -> None:
     timed(
         f"co-occurrence pairs ({n_rows/4e6:.1f}M baskets x4, 100k vocab)",
         lambda: forced(copurchase_plan(baskets)),
+    )
+
+    timed(
+        f"integer PageRank, 3 rounds ({n_rows/4e6:.1f}M baskets, 100k nodes)",
+        lambda: forced(pagerank_plan(baskets)),
     )
 
     spark.stop()

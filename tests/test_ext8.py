@@ -236,3 +236,42 @@ class TestWeeklyGrowth:
         assert out[1].wow_delta is None and out[1].wow_ratio is None
         assert out[8].wow_delta == 50.0
         assert out[8].wow_ratio == pytest.approx(1.5)
+
+
+class TestPagerank:
+    def test_matches_python_reference_on_toy_graph(self, spark, tmp_path):
+        """Triangle 1-2-3 plus pendant 4 attached to 3: replicate the
+        integer recursion in plain Python and expect bit-equality."""
+        import pandas as pd2
+
+        baskets = [(100, 1), (100, 2), (101, 2), (101, 3), (102, 1), (102, 3),
+                   (103, 3), (103, 4)]
+        d = str(tmp_path)
+        pd2.DataFrame(baskets, columns=["l_orderkey", "l_partkey"]).to_parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        from e2e_stock_data_pipeline_spark.plans.queries_ext8 import (
+            _PR_BASE, _PR_ITERS, _PR_SCALE, pagerank_plan,
+        )
+
+        li = tables.load(spark, d, "lineitem")
+        got = {r.part_id: r.pagerank for r in pagerank_plan(li).collect()}
+
+        edges = set()
+        for ok, grp in pd2.DataFrame(baskets, columns=["o", "p"]).groupby("o"):
+            ps = sorted(grp["p"])
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    edges.add((ps[i], ps[j])); edges.add((ps[j], ps[i]))
+        deg = {}
+        for u, _v in edges:
+            deg[u] = deg.get(u, 0) + 1
+        rank = {u: _PR_SCALE for u in deg}
+        for _ in range(_PR_ITERS):
+            nxt = {u: 0 for u in deg}
+            for u, v in edges:
+                nxt[v] += rank[u] // deg[u]
+            rank = {v: _PR_BASE + (85 * s) // 100 for v, s in nxt.items()}
+        assert got == rank
+        # the hub (node 3: degree 3) must outrank the pendant (node 4)
+        assert got[3] > got[4]
