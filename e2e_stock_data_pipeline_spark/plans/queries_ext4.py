@@ -192,13 +192,14 @@ _BUDGET = 2000  # tokens per language
 @query(
     "q112_token_budget_pack",
     oracle=f"""
-    WITH scored AS (
+    WITH w AS (SELECT lang, doc_id, {_SQL_WS} AS ws FROM documents),
+    scored AS (
       SELECT lang, doc_id,
-             CAST(len({_SQL_WS}) AS BIGINT) AS n_tokens,
-             CAST(len(list_filter({_SQL_WS},
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(ws,
                     w -> w IN {_STOPWORDS!r})) * 1000000
-                  // len({_SQL_WS}) AS BIGINT) AS quality_ppm
-      FROM documents
+                  // len(ws) AS BIGINT) AS quality_ppm
+      FROM w
     ),
     ranked AS (
       SELECT *, SUM(n_tokens) OVER (PARTITION BY lang

@@ -25,13 +25,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
       CAST(length(text) AS INT) AS n_chars_calc,
-      CAST(len({_SQL_WORDS}) AS INT) AS n_tokens_ws,
+      CAST(len(ws) AS INT) AS n_tokens_ws,
       CAST(len(regexp_extract_all(text, '{T.BPE_RE}')) AS INT) AS n_tokens_bpe,
-      CAST(len(list_distinct({_SQL_WORDS})) AS INT) AS n_types,
-      CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_SQL_WORDS}) AS avg_word_len,
-      CAST(len(list_filter({_SQL_WORDS}, x -> x IN {_SQL_STOPLIST})) AS DOUBLE)
-        / len({_SQL_WORDS}) AS stop_ratio
-    FROM documents
+      CAST(len(list_distinct(ws)) AS INT) AS n_types,
+      CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS avg_word_len,
+      CAST(len(list_filter(ws, x -> x IN {_SQL_STOPLIST})) AS DOUBLE)
+        / len(ws) AS stop_ratio
+    FROM (SELECT doc_id, text, {_SQL_WORDS} AS ws FROM documents)
     """,
     doc="Per-document token/char/type counts + ratios (token counting, quality inputs).",
     tags=("text", "ext"),
@@ -53,13 +53,14 @@ def q44_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q45_quality_buckets",
     oracle=f"""
-    WITH scored AS (
+    WITH w AS (SELECT source, {_SQL_WORDS} AS ws FROM documents),
+    scored AS (
       SELECT source,
-        least(CAST(len({_SQL_WORDS}) AS DOUBLE) / 100.0, 1.0)
-        * (CAST(len(list_distinct({_SQL_WORDS})) AS DOUBLE) / len({_SQL_WORDS}))
-        * least((CAST(len(list_filter({_SQL_WORDS}, x -> x IN {_SQL_STOPLIST})) AS DOUBLE)
-                / len({_SQL_WORDS})) * 10.0, 1.0) AS q
-      FROM documents
+        least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+        * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+        * least((CAST(len(list_filter(ws, x -> x IN {_SQL_STOPLIST})) AS DOUBLE)
+                / len(ws)) * 10.0, 1.0) AS q
+      FROM w
     )
     SELECT source,
            COUNT(*) AS n_docs,
@@ -91,11 +92,12 @@ def q45_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q46_lang_heuristic",
     oracle=f"""
-    WITH pred AS (
+    WITH w AS (SELECT lang, {_SQL_WORDS} AS ws FROM documents),
+    pred AS (
       SELECT lang,
-        CASE WHEN CAST(len(list_filter({_SQL_WORDS}, x -> x IN {_SQL_STOPLIST})) AS DOUBLE)
-                  / len({_SQL_WORDS}) >= 0.08 THEN 'en' ELSE 'unk' END AS lang_pred
-      FROM documents
+        CASE WHEN CAST(len(list_filter(ws, x -> x IN {_SQL_STOPLIST})) AS DOUBLE)
+                  / len(ws) >= 0.08 THEN 'en' ELSE 'unk' END AS lang_pred
+      FROM w
     )
     SELECT lang, lang_pred, COUNT(*) AS n
     FROM pred GROUP BY lang, lang_pred
@@ -116,11 +118,12 @@ def q46_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q47_doc_fingerprint",
     oracle=f"""
-    WITH sh AS (
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    sh AS (
       SELECT doc_id,
-             unnest(list_transform(range(1, greatest(len({_SQL_WORDS}), 1)),
-                    i -> {_SQL_WORDS}[i] || ' ' || {_SQL_WORDS}[i+1])) AS bigram
-      FROM documents
+             unnest(list_transform(range(1, greatest(len(ws), 1)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w
     )
     SELECT doc_id,
            MIN(CAST(('0x' || substr(sha256('s42:' || bigram), 1, 15)) AS BIGINT)) AS fingerprint

@@ -45,11 +45,12 @@ def q53_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q54_top_bigrams",
     oracle=f"""
-    WITH sh AS (
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    sh AS (
       SELECT doc_id,
-             unnest(list_transform(range(1, greatest(len({_SQL_WORDS}), 1)),
-                    i -> {_SQL_WORDS}[i] || ' ' || {_SQL_WORDS}[i+1])) AS bigram
-      FROM documents
+             unnest(list_transform(range(1, greatest(len(ws), 1)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w
     )
     SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
     FROM sh
@@ -204,13 +205,14 @@ def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q58_boilerplate_ngrams",
     oracle=f"""
-    WITH sh AS (
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    sh AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len({_SQL_WORDS}) - 3, 1)),
-                      i -> {_SQL_WORDS}[i] || ' ' || {_SQL_WORDS}[i+1] || ' ' || {_SQL_WORDS}[i+2]
-                           || ' ' || {_SQL_WORDS}[i+3] || ' ' || {_SQL_WORDS}[i+4])) AS shingle
-        FROM documents
+               unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
+        FROM w
       ) t
     )
     SELECT shingle, COUNT(*) AS n_docs
