@@ -30,6 +30,17 @@ pipeline runs daily:
 * q143 — week-over-week growth: lag window AFTER aggregation, where
   the low-cardinality series key is safe because the frame is already
   dimension-sized (the deliberate contrast to q127's skew finding).
+* q144 — fixed-iteration integer PageRank over the co-purchase graph:
+  all-int64 recursion with truncating division replays bit-for-bit as
+  unrolled SQL CTEs; operators/graph.py holds the materialized
+  production twin (bit-equality pinned by test).
+* q145 — ANALYZE-style table profile: every column's stats in ONE
+  scan (multi-aggregate + unpivot) vs the oracle's per-column rescans.
+* q146 — SCD type-2 history build: lag-filtered state changes →
+  lead-derived [valid_from, valid_to) intervals, open = current.
+* q147 — sequential pattern mining: sliding event-type trigrams from
+  two lags in one window pass, globally ranked — q54's n-gram miner
+  re-expressed over time-ordered behavior.
 
 All are pure Catalyst (no UDFs), windows partition on the
 high-cardinality user key, joins are key-local or broadcast, and
@@ -629,9 +640,10 @@ def q143_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q144: integer PageRank over the co-purchase graph (fixed iterations)
 # --------------------------------------------------------------------------
 
+from ..operators.graph import PR_BASE as _PR_BASE  # noqa: E402
+from ..operators.graph import PR_SCALE as _PR_SCALE  # noqa: E402
+
 _PR_ITERS = 3
-_PR_SCALE = 1_000_000  # initial rank mass per node, in integer units
-_PR_BASE = 150_000     # floor(0.15 * scale): the damping teleport term
 
 
 def pagerank_plan(li: DataFrame, n_iters: int = _PR_ITERS) -> DataFrame:
@@ -785,3 +797,102 @@ def q145_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(structs).alias("p")).select("p.*")
+
+
+# --------------------------------------------------------------------------
+# q146: SCD2 validity intervals (state-change history build)
+# --------------------------------------------------------------------------
+
+@query(
+    "q146_scd2_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, ts AS valid_from, event_id, event_type
+      FROM o WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+    doc="SCD type-2 history build: collapse each key's event stream to "
+    "state-change rows (lag filter), then derive [valid_from, valid_to) "
+    "intervals with lead — the warehouse pattern that turns an append "
+    "log into a queryable dimension history (the batch construction "
+    "behind pipeline/versioned.py's time travel). Open intervals "
+    "(valid_to NULL) mark current state. Two windows, both keyed on "
+    "the high-cardinality user_id, second one over the already-"
+    "collapsed change rows.",
+    tags=("window", "scd2", "warehouse", "history"),
+)
+def q146_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(wo).alias("prev_type"),
+    )
+    changes = o.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", F.col("ts").alias("valid_from"), "event_id", "event_type")
+    wi = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(wi)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q147: sequential pattern mining — top event-type trigram paths
+# --------------------------------------------------------------------------
+
+@query(
+    "q147_event_trigrams",
+    oracle="""
+    WITH tri AS (
+      SELECT lag(event_type, 2) OVER w AS e1,
+             lag(event_type, 1) OVER w AS e2,
+             event_type AS e3
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+    FROM tri WHERE e1 IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path LIMIT 25
+    """,
+    doc="Sequential pattern mining (n-gram-over-events form): each key's "
+    "ordered stream yields sliding event-type trigrams via two lags in "
+    "ONE window pass — no self-joins, no explode — then a global count "
+    "ranks the paths. The behavioral twin of the text bigram miner "
+    "(q54): same sliding-window-then-count shape, time-ordered instead "
+    "of token-ordered. Deterministic top-25.",
+    tags=("window", "sequence", "funnel", "topk"),
+)
+def q147_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = e.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    return (
+        tri.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(25)
+    )

@@ -275,3 +275,83 @@ class TestPagerank:
         assert got == rank
         # the hub (node 3: degree 3) must outrank the pendant (node 4)
         assert got[3] > got[4]
+
+
+class TestPartitioningInvariance:
+    """The oracle hash-equality already pins one execution; these pin that
+    the answers don't depend on the INPUT's physical layout (the invariance
+    a cluster repartition must not break — the q113/q127 convention)."""
+
+    def _events_parted(self, spark, n):
+        return tables.load(spark, SF, "events").repartition(n, "event_type")
+
+    def test_gap_fill_invariant(self, spark):
+        from e2e_stock_data_pipeline_spark.plans.queries_ext8 import gap_fill_plan
+
+        a = sorted(map(tuple, gap_fill_plan(self._events_parted(spark, 1)).collect()))
+        b = sorted(map(tuple, gap_fill_plan(self._events_parted(spark, 13)).collect()))
+        assert a == b
+
+    def test_twap_invariant(self, spark):
+        from e2e_stock_data_pipeline_spark.plans.queries_ext8 import twap_plan
+
+        a = sorted(map(tuple, twap_plan(self._events_parted(spark, 1)).collect()))
+        b = sorted(map(tuple, twap_plan(self._events_parted(spark, 13)).collect()))
+        assert a == b
+
+    def test_mad_outliers_invariant(self, spark):
+        from e2e_stock_data_pipeline_spark.plans.queries_ext8 import mad_outliers_plan
+
+        a = sorted(map(tuple, mad_outliers_plan(self._events_parted(spark, 1)).collect()))
+        b = sorted(map(tuple, mad_outliers_plan(self._events_parted(spark, 13)).collect()))
+        assert a == b
+
+    def test_pagerank_invariant(self, spark):
+        from e2e_stock_data_pipeline_spark.plans.queries_ext8 import pagerank_plan
+
+        li = tables.load(spark, SF, "lineitem")
+        a = sorted(map(tuple, pagerank_plan(li.coalesce(1)).collect()))
+        b = sorted(map(tuple, pagerank_plan(li.repartition(13, "l_partkey")).collect()))
+        assert a == b
+
+
+class TestScd2:
+    def test_state_runs_collapse_to_intervals(self, spark, tmp_path):
+        # stream: view view click view -> intervals view/click/view,
+        # run-internal rows collapse, last interval open
+        types = ["view", "view", "click", "view"]
+        rows = [
+            Row(event_id=i, ts=_ts(1, 8 + i), user_id=1, event_type=t,
+                value=1.0, props="{}")
+            for i, t in enumerate(types)
+        ]
+        d = _write_events(tmp_path, rows)
+        out = REG["q146_scd2_intervals"].spark(spark, d).orderBy("valid_from").collect()
+        assert [r.event_type for r in out] == ["view", "click", "view"]
+        assert [r.is_current for r in out] == [False, False, True]
+        assert out[0].valid_to == out[1].valid_from
+        assert out[1].valid_to == out[2].valid_from
+        assert out[2].valid_to is None
+
+
+class TestEventTrigrams:
+    def test_hand_computed_paths(self, spark, tmp_path):
+        types = ["a", "b", "a", "b", "a"]  # trigrams: aba, bab, aba
+        rows = [
+            Row(event_id=i, ts=_ts(1, 8 + i), user_id=1, event_type=t,
+                value=1.0, props="{}")
+            for i, t in enumerate(types)
+        ]
+        d = _write_events(tmp_path, rows)
+        out = {r.path: r.n for r in REG["q147_event_trigrams"].spark(spark, d).collect()}
+        assert out == {"a>b>a": 2, "b>a>b": 1}
+
+    def test_streams_do_not_cross_users(self, spark, tmp_path):
+        # two users with 2 events each: no trigram can form
+        rows = [
+            Row(event_id=i, ts=_ts(1, 8 + i), user_id=i % 2, event_type="a",
+                value=1.0, props="{}")
+            for i in range(4)
+        ]
+        d = _write_events(tmp_path, rows)
+        assert REG["q147_event_trigrams"].spark(spark, d).count() == 0

@@ -1262,3 +1262,40 @@ class TestHeavyHitters:
         for theta in (0.0, 1.0, -1.0):
             with pytest.raises(ValueError):
                 heavy_hitters(df, "k", theta)
+
+
+class TestGraphPagerank:
+    def test_operator_bit_equal_to_lazy_unroll(self, spark):
+        """operators/graph.pagerank (materialized per round, production
+        form) must reproduce plans/queries_ext8.pagerank_plan (lazy
+        3-round unroll, oracle form) bit-for-bit at the same round count."""
+        from pyspark.sql import functions as F
+
+        from e2e_stock_data_pipeline_spark.operators.graph import pagerank
+        from e2e_stock_data_pipeline_spark.plans.queries_ext8 import (
+            _PR_ITERS,
+            pagerank_plan,
+        )
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        li = tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+        want = [tuple(r) for r in pagerank_plan(li).collect()]
+
+        d = li.select("l_orderkey", "l_partkey").distinct()
+        a = d.select("l_orderkey", F.col("l_partkey").alias("u"))
+        b = d.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("v"))
+        half = (
+            a.join(b, (a.l_orderkey == b._ok) & (F.col("u") < F.col("v")))
+            .select("u", "v")
+            .distinct()
+        )
+        edges = half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        got = [
+            tuple(r)
+            for r in pagerank(edges, n_iters=_PR_ITERS)
+            .select(F.col("node").alias("part_id"), F.col("rank").alias("pagerank"))
+            .orderBy(F.col("pagerank").desc(), "part_id")
+            .limit(100)
+            .collect()
+        ]
+        assert got == want
