@@ -67,10 +67,53 @@ def _us_schema(schema: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
+# Re-split threshold: a table this large shipped as ONE single-row-group
+# parquet file caps Spark's scan parallelism at one task (a row group is
+# the atomic read unit, and one file : one byte-range under the default
+# maxPartitionBytes), which serializes every downstream stage's first
+# exchange. The engine's own bronze/maintenance layers already size files
+# to the cluster at write time; for driver-provided files we apply the
+# same posture once, splitting into ~50k-row part files in the local
+# rewrite cache (12 parallel scan tasks for sf0.1 lineitem instead of 1).
+# Values are untouched — only the file grouping changes.
+_RESPLIT_MIN_ROWS = 200_000
+_RESPLIT_MIN_BYTES = 8 * 1024 * 1024
+_RESPLIT_TARGET_CHUNK_ROWS = 50_000
+_RESPLIT_TARGET_CHUNK_BYTES = 2 * 1024 * 1024
+_RESPLIT_MAX_FILES = 64
+
+_RESPLIT_PROBE_CACHE: dict[str, int] = {}
+
+
+def _resplit_n_files(src: str) -> int:
+    # Any large SINGLE file is the limiter: with one row group the scan is
+    # one task outright; with many row groups it is still capped at
+    # ceil(file_size / maxPartitionBytes) tasks (~2 for a 6M-row table),
+    # so the file count, not the row-group count, is what must scale. The
+    # byte trigger also catches row-heavy-but-few tables (50k documents
+    # whose scan feeds an expensive explode). Returns 0 for "leave as is".
+    if src not in _RESPLIT_PROBE_CACHE:
+        md = pq.ParquetFile(src).metadata
+        size = os.path.getsize(src)
+        if md.num_rows < _RESPLIT_MIN_ROWS and size < _RESPLIT_MIN_BYTES:
+            _RESPLIT_PROBE_CACHE[src] = 0
+        else:
+            by_rows = -(-md.num_rows // _RESPLIT_TARGET_CHUNK_ROWS)
+            by_bytes = -(-size // _RESPLIT_TARGET_CHUNK_BYTES)
+            _RESPLIT_PROBE_CACHE[src] = min(_RESPLIT_MAX_FILES, max(by_rows, by_bytes, 1))
+    return _RESPLIT_PROBE_CACHE[src]
+
+
 def spark_readable_path(sf_dir: str, name: str) -> str:
-    """Return a path Spark can read, converting ns timestamps to us once."""
+    """Return a path Spark can read: ns timestamps converted to us, and
+    large single-row-group files re-split into part files so scans
+    parallelize. Both rewrites preserve values bit-for-bit vs what DuckDB
+    reads (ns->us is the truncation DuckDB applies natively; re-splitting
+    only re-groups rows into files) and happen once per sf dir."""
     src = path_for(sf_dir, name)
-    if not _needs_ns_downcast(src):
+    ns = _needs_ns_downcast(src)
+    resplit = _resplit_n_files(src)
+    if not ns and not resplit:
         return src
     tag = os.path.basename(os.path.normpath(sf_dir))
     dst = os.path.join(_CACHE_ROOT, tag, f"{name}.parquet")
@@ -78,10 +121,32 @@ def spark_readable_path(sf_dir: str, name: str) -> str:
         return dst
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     tbl = pq.read_table(src)
-    # safe=False: truncate sub-microsecond digits, exactly as DuckDB does
-    # when it reads ns timestamps into its native us representation.
-    tbl = tbl.cast(_us_schema(tbl.schema), safe=False)
-    pq.write_table(tbl, dst, compression="snappy")
+    if ns:
+        # safe=False: truncate sub-microsecond digits, exactly as DuckDB
+        # does when it reads ns timestamps into its native us representation.
+        tbl = tbl.cast(_us_schema(tbl.schema), safe=False)
+    if not resplit:
+        pq.write_table(tbl, dst, compression="snappy")
+        return dst
+    # multi-file layout: write slices to a tmp dir, then atomic rename so
+    # a concurrent reader never sees a half-written directory
+    tmp = f"{dst}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    n = tbl.num_rows
+    per = max(1, -(-n // resplit))
+    for part, start in enumerate(range(0, n, per)):
+        pq.write_table(
+            tbl.slice(start, per),
+            os.path.join(tmp, f"part-{part:05d}.parquet"),
+            compression="snappy",
+        )
+    if os.path.isdir(dst) or os.path.isfile(dst):
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isfile(dst):
+            os.remove(dst)
+    os.replace(tmp, dst)
     return dst
 
 
