@@ -1,0 +1,81 @@
+"""Loader rewrite-cache tests: the re-split path (scan parallelism for
+large single-file tables) and its leave-alone / staleness contracts."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from e2e_stock_data_pipeline_spark.sources import tables
+
+
+@pytest.fixture()
+def cache_root(tmp_path, monkeypatch):
+    root = str(tmp_path / "cache")
+    monkeypatch.setattr(tables, "_CACHE_ROOT", root)
+    # per-path probe caches would leak decisions across tests
+    monkeypatch.setattr(tables, "_RESPLIT_PROBE_CACHE", {})
+    monkeypatch.setattr(tables, "_NS_PROBE_CACHE", {})
+    return root
+
+
+def _write_single_file(dirpath, name, n_rows):
+    os.makedirs(dirpath, exist_ok=True)
+    p = os.path.join(dirpath, f"{name}.parquet")
+    pd.DataFrame({"k": range(n_rows), "v": [i * 0.5 for i in range(n_rows)]}).to_parquet(
+        p, row_group_size=n_rows
+    )
+    return p
+
+
+class TestResplitCache:
+    def test_small_table_passes_through(self, tmp_path, cache_root):
+        src = _write_single_file(str(tmp_path / "sf"), "orders", 10_000)
+        assert tables.spark_readable_path(str(tmp_path / "sf"), "orders") == src
+
+    def test_large_table_resplits_with_values_intact(self, tmp_path, cache_root, spark):
+        sf = str(tmp_path / "sf")
+        n = tables._RESPLIT_MIN_ROWS + 17
+        _write_single_file(sf, "lineitem", n)
+        out = tables.spark_readable_path(sf, "lineitem")
+        assert out != os.path.join(sf, "lineitem.parquet")
+        assert os.path.isdir(out)
+        parts = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+        assert len(parts) > 1
+        # values bit-identical, just re-grouped into files
+        got = pq.read_table(out).to_pandas().sort_values("k").reset_index(drop=True)
+        assert len(got) == n
+        assert got["k"].tolist() == list(range(n))
+        # and Spark's scan now parallelizes across the part files
+        df = spark.read.parquet(out)
+        assert df.rdd.getNumPartitions() == len(parts)
+        assert df.count() == n
+
+    def test_cache_is_reused_until_source_changes(self, tmp_path, cache_root):
+        sf = str(tmp_path / "sf")
+        src = _write_single_file(sf, "lineitem", tables._RESPLIT_MIN_ROWS)
+        out1 = tables.spark_readable_path(sf, "lineitem")
+        mtime1 = os.path.getmtime(out1)
+        out2 = tables.spark_readable_path(sf, "lineitem")
+        assert out2 == out1 and os.path.getmtime(out2) == mtime1
+        # touch the source newer than the cache -> rewrite
+        os.utime(src, (os.path.getmtime(src) + 10, os.path.getmtime(src) + 10))
+        tables._RESPLIT_PROBE_CACHE.clear()
+        out3 = tables.spark_readable_path(sf, "lineitem")
+        assert os.path.getmtime(out3) >= mtime1
+
+    def test_byte_threshold_catches_wide_tables(self, tmp_path, cache_root):
+        # few rows but large payload (the 50k-documents shape)
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+        big = "x" * 4000
+        pd.DataFrame(
+            {"doc_id": range(4000), "text": [big + str(i) for i in range(4000)]}
+        ).to_parquet(os.path.join(sf, "documents.parquet"), row_group_size=4000,
+                     compression=None)
+        assert os.path.getsize(os.path.join(sf, "documents.parquet")) >= tables._RESPLIT_MIN_BYTES
+        out = tables.spark_readable_path(sf, "documents")
+        assert os.path.isdir(out)
