@@ -35,6 +35,11 @@ def main(argv: list[str]) -> int:
     out_path = None
     if "--json" in argv:
         out_path = argv[argv.index("--json") + 1]
+    # --shard K/N: run only queries whose position (driver order) % N == K.
+    # Lets a long sweep (e.g. sf1) split across bounded process windows.
+    shard_k, shard_n = 0, 1
+    if "--shard" in argv:
+        shard_k, shard_n = map(int, argv[argv.index("--shard") + 1].split("/"))
 
     t_start = time.perf_counter()
     import os
@@ -89,6 +94,8 @@ def main(argv: list[str]) -> int:
     cum = t_setup
     # Driver order: dict insertion order, exactly as queries() yields it.
     for i, name in enumerate(qs, 1):
+        if (i - 1) % shard_n != shard_k:
+            continue
         t0 = time.perf_counter()
         err = None
         q_dir = pinned.get(name, sf_dir)
