@@ -564,12 +564,12 @@ def q85_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH user_h AS (
       SELECT user_id, date_trunc('hour', ts) AS b,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(18,0)) AS x
       FROM events GROUP BY 1, 2
     ),
     market_h AS (
       SELECT date_trunc('hour', ts) AS b,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(18,0)) AS y
       FROM events GROUP BY 1
     ),
     joined AS (
@@ -577,34 +577,41 @@ def q85_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     moments AS (
       SELECT user_id,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy
+             CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
       FROM joined GROUP BY user_id
     )
-    SELECT user_id, n AS n_buckets,
+    SELECT user_id, CAST(n AS BIGINT) AS n_buckets,
            CASE WHEN n > 1
-                 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
-                THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 AND CAST(n * sxx - sx * sx AS DECIMAL(38,0)) > 0
+                 AND CAST(n * syy - sy * sy AS DECIMAL(38,0)) > 0
+                THEN CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS DOUBLE)
+                     / (sqrt(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS DOUBLE))
+                        * sqrt(CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS DOUBLE)))
            END AS market_corr
     FROM moments
     """,
     doc="Per-user Pearson correlation of hourly activity against the "
     "whole-market hourly series — the beta/correlation gold feature. "
     "Bucket sums quantize to int64 cents, so every moment (sx, sxx, "
-    "sxy, ...) and both covariance terms are EXACT integers in both "
-    "engines; floats appear only in the final division and sqrts over "
-    "identical operands. At the 100 TB point the same shape runs with "
-    "DECIMAL(38,0) moments (int64 products can overflow there).",
+    "sxy, ...) and both covariance terms are EXACT DECIMAL(38,0) integers "
+    "in both engines; floats appear only in the final division and sqrts "
+    "over identical operands. Moments were int64 until the r8s2 sf1 sweep "
+    "overflowed n*sxx past 2^63 — the failure the original design note "
+    "predicted for 100 TB arrived at 1 GB, hence decimal end-to-end now.",
     tags=("window", "gold", "correlation", "agg"),
 )
 def q88_market_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
-    cents = (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("bigint")
+    # cents as DECIMAL(18,0): int64 moments overflow at sf1 already
+    # (n * sxx crossed 2^63 — found by the r8s2 sf1 sweep, exactly as
+    # the original docstring predicted), so every product and sum below
+    # stays in decimal where both engines are exact to 38 digits.
+    cents = (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("decimal(18,0)")
     user_h = e.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("b")
     ).agg(cents.alias("x"))
@@ -613,21 +620,22 @@ def q88_market_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = user_h.join(market_h, "b").select("user_id", "x", "y")
     m = joined.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    vx = (n * sxx - sx * sx).cast("decimal(38,0)")
+    vy = (n * syy - sy * sy).cast("decimal(38,0)")
+    cov = (n * sxy - sx * sy).cast("decimal(38,0)")
     corr = F.when(
-        (n > 1) & ((n * sxx - sx * sx) > 0) & ((n * syy - sy * sy) > 0),
-        (n * sxy - sx * sy).cast("double")
-        / (
-            F.sqrt((n * sxx - sx * sx).cast("double"))
-            * F.sqrt((n * syy - sy * sy).cast("double"))
-        ),
+        (n > 1) & (vx > 0) & (vy > 0),
+        cov.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
     )
-    return m.select("user_id", n.alias("n_buckets"), corr.alias("market_corr"))
+    return m.select(
+        "user_id", n.cast("bigint").alias("n_buckets"), corr.alias("market_corr")
+    )

@@ -45,12 +45,17 @@ def main(argv: list[str]) -> int:
     import os
 
     par = os.environ.get("DRIVER_SIM_PARALLELISM", "16")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{par}]")
         .config("spark.sql.shuffle.partitions", par)
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # big-sf sweeps (sf1 = 100x the gate) need a real heap; default stays
+    # unset for parity with the driver's own gate process
+    mem = os.environ.get("DRIVER_SIM_MEMORY")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
 
