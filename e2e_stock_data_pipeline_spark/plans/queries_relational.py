@@ -34,19 +34,29 @@ def dec(c):
 # --------------------------------------------------------------------------
 
 
+def _units_double(dec_sum, scale: int):
+    """Decimal sum -> double via exact int64 units: DECIMAL->DOUBLE casts
+    diverge between engines by 1 ULP once the scaled payload crosses 2^53
+    (found at sf1 by the r8s2 sweep on q01's sum_charge); BIGINT->DOUBLE
+    is correctly rounded in both, and the final /10^scale sees identical
+    operands, so the result is bit-identical at any magnitude int64 holds
+    (sf100+ for these sums)."""
+    return (dec_sum * (10**scale)).cast("bigint").cast("double") / float(10**scale)
+
+
 @query(
     "q01_pricing_summary",
     oracle="""
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_price,
+      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -69,13 +79,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
-            (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            _units_double(F.sum(dec("l_quantity")), 4).alias("sum_qty"),
+            _units_double(F.sum(dec("l_extendedprice")), 4).alias("sum_base_price"),
+            _units_double(F.sum(disc_price), 4).alias("sum_disc_price"),
+            _units_double(F.sum(charge), 6).alias("sum_charge"),
+            (_units_double(F.sum(dec("l_quantity")), 4) / cnt).alias("avg_qty"),
+            (_units_double(F.sum(dec("l_extendedprice")), 4) / cnt).alias("avg_price"),
+            (_units_double(F.sum(dec("l_discount")), 4) / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -107,7 +117,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q06_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) * 100000000 AS BIGINT) AS DOUBLE) / 100000000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -128,7 +138,11 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"))
+        .agg(
+            _units_double(F.sum(dec("l_extendedprice") * dec("l_discount")), 8).alias(
+                "revenue"
+            )
+        )
     )
 
 
