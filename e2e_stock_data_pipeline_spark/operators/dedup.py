@@ -173,6 +173,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric Jaccard CONTAINMENT |A ∩ B| / |A| over distinct
+    shingles — the signal symmetric Jaccard misses: a short document
+    pasted inside a much longer one scores near 1.0 here while its
+    symmetric Jaccard stays tiny (|A|/|B|). The quote/excerpt/subset
+    detector a curation pipeline runs alongside near-dup.
+
+    Ordered pairs: (doc_a contained-in doc_b), both directions emitted
+    when both clear ``threshold``. ``max_doc_freq`` is the same viral-
+    shingle posting-list cap as :func:`ngram_jaccard_pairs` (containment
+    is then exact over the capped shingle sets — the intersection AND
+    |A| both use the capped representation).
+    """
+    if max_doc_freq is not None:
+        doc_freq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        shingled = (
+            shingled.join(doc_freq, "shingle")
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    containment = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .select("doc_a", "doc_b", "n_a", "n_common", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def incremental_neardup(
     docs: DataFrame,
     is_new,

@@ -71,6 +71,47 @@ def global_ntile(
     return ranked.withColumn(tile_col, tile).drop("_grank")
 
 
+def salted_group_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[Column],
+    k: int,
+    n_salts: int = 32,
+    salt_col: Column | None = None,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-``k`` rows per group under ``order_cols`` without a data-sized
+    per-group sort — the small-k sibling of :func:`bucketed_group_keep`.
+
+    Classic two-phase partial top-k: rows first rank within
+    (keys..., salt) and only the per-salt top-k survive (every window
+    partition is ~1/n_salts of a group, so an arbitrarily skewed group
+    key never sorts in one task); the true per-group top-k is a subset
+    of those <= k*n_salts survivors, so a second window over the
+    reduced set yields exactly the naive per-group row_number result.
+    ``order_cols`` must be a total order (include a unique tiebreaker)
+    or the result is nondeterministic. ``salt_col`` defaults to a
+    deterministic xxhash64 spread over ``n_salts``; callers may pass
+    their own (e.g. pmod of a row id) — determinism of the RESULT never
+    depends on the salt, only skew-safety does.
+    """
+    if salt_col is None:
+        salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in keys], *order_cols), F.lit(n_salts))
+    pre = Window.partitionBy(*keys, "_salt").orderBy(*order_cols)
+    survivors = (
+        df.withColumn("_salt", salt_col)
+        .withColumn("_prnk", F.row_number().over(pre))
+        .filter(F.col("_prnk") <= k)
+        .drop("_prnk")
+    )
+    final = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(final))
+        .filter(F.col(rank_col) <= k)
+        .drop("_salt")
+    )
+
+
 def bucketed_group_keep(
     df: DataFrame,
     keys: list[str],

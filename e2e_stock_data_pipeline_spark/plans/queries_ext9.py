@@ -1,0 +1,507 @@
+"""Round-8 session-3 [EXT] additions — retrieval and curation shapes
+rounding out the training-data tier:
+
+* q148 reciprocal-rank-fusion hybrid search (BM25 + embedding cosine —
+  the RAG hybrid-retrieval operator);
+* q149 per-group OLS trend slope (exact integer moments, the
+  ``regr_slope`` surface);
+* q150 weighted priority sampling per stratum (deterministic
+  bottom-k/w, the weighted counterpart of q59's uniform split);
+* q151 Jaccard CONTAINMENT pairs (quote/excerpt detection — the
+  asymmetric signal symmetric Jaccard misses);
+* q152 bigram PMI collocations (fixed-point pointwise mutual
+  information).
+
+Cross-engine numeric rules as everywhere else (plans/registry.py):
+exact integer/decimal arithmetic wherever possible, fixed-point
+floor(x * 1e6) of IDENTICAL double expression trees where a logarithm
+is unavoidable, explicit total-order tiebreaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..operators import dedup as D
+from ..operators import ranking as R
+from ..operators import similarity as S
+from ..sources import tables
+from .queries_dedup import _SQL_SHINGLES
+from .queries_similarity import _SQL_Q
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+def _words():
+    return F.split(F.trim(F.col("text")), " +")
+
+
+# --------------------------------------------------------------------------
+# q148: hybrid retrieval with reciprocal-rank fusion — the standard RAG
+# serving shape: a lexical ranking (BM25) and a semantic ranking
+# (embedding cosine vs a query vector) fused by RRF
+# score = sum 1/(60 + rank). Both ranked lists are global top-50s
+# produced with TakeOrderedAndProject (distributed partial top-k — no
+# data-sized single-partition sort); the fusion join touches <= 100
+# rows. 1/(60+rank) is kept exact as the integer 1000000 DIV (60+rank).
+# --------------------------------------------------------------------------
+
+_RRF_TERMS = ("join", "hash", "scan")
+_RRF_K1, _RRF_B = 1.2, 0.75
+_RRF_TOPN, _RRF_KC = 50, 60
+
+
+@query(
+    "q148_rrf_hybrid_search",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(CAST(len(ws) AS BIGINT)) AS BIGINT) AS total_len
+      FROM w
+    ),
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      WHERE word IN {_RRF_TERMS!r}
+      GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY word),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln((CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * {_RRF_K1 + 1})
+               / (CAST(tf.tf AS DOUBLE) + {_RRF_K1} * (1 - {_RRF_B} + {_RRF_B} * (CAST(dl.dl AS DOUBLE) / (CAST(c.total_len AS DOUBLE) / CAST(c.n_docs AS DOUBLE)))))
+               * 1000000
+             ) AS BIGINT) AS term_fp
+      FROM tf
+      JOIN dfreq d ON tf.word = d.word
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN corpus c
+    ),
+    bm25 AS (
+      SELECT doc_id, CAST(SUM(term_fp) AS BIGINT) AS bm25_fp
+      FROM scored GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25_fp DESC, doc_id) AS INT) AS rank_lex
+      FROM bm25 QUALIFY rank_lex <= {_RRF_TOPN}
+    ),
+    e AS (SELECT vec_id, {_SQL_Q} AS q FROM embeddings),
+    n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn FROM e),
+    qv AS (SELECT q, nn FROM n WHERE vec_id = 0),
+    cand AS (
+      SELECT n.vec_id AS doc_id,
+             list_dot_product(n.q, qv.q) / (sqrt(n.nn) * sqrt(qv.nn)) AS cos_sim
+      FROM n CROSS JOIN qv WHERE n.vec_id <> 0
+    ),
+    sem AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS rank_sem
+      FROM cand QUALIFY rank_sem <= {_RRF_TOPN}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.rank_lex, s.rank_sem,
+             CAST(COALESCE(1000000 // ({_RRF_KC} + l.rank_lex), 0)
+                + COALESCE(1000000 // ({_RRF_KC} + s.rank_sem), 0) AS BIGINT) AS rrf_fp
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, rrf_fp
+    FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 20
+    """,
+    doc="Hybrid retrieval with reciprocal-rank fusion: BM25 top-50 (terms "
+    f"{_RRF_TERMS}) and embedding-cosine top-50 (query vector = vec_id 0, "
+    "shared doc/vec id space as q87) fused by RRF with k=60, the "
+    "1/(60+rank) weights kept exact as integer micro-units "
+    "(1000000 DIV (60+rank)). Both lists come from distributed partial "
+    "top-k (TakeOrderedAndProject) — never a data-sized global window; "
+    "rank assignment happens on the constant-50-row survivors. The "
+    "fusion FULL OUTER JOIN touches <= 100 rows.",
+    tags=("text", "search", "similarity", "rrf", "hybrid", "rag", "ext"),
+)
+def q148_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # --- lexical arm: q106's BM25 expression, then distributed top-50 ----
+    d = _t(spark, sf_dir, "documents").withColumn("_ws", _words())
+    dl = d.select("doc_id", F.size("_ws").cast("bigint").alias("dl"))
+    corpus = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("_ws").cast("bigint")).cast("bigint").alias("total_len"),
+    )
+    tok = d.select("doc_id", F.explode("_ws").alias("word"))
+    tf = (
+        tok.filter(F.col("word").isin(*_RRF_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    score = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(_RRF_K1 + 1))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(_RRF_K1)
+            * (F.lit(1) - F.lit(_RRF_B) + F.lit(_RRF_B) * (F.col("dl").cast("double") / avgdl))
+        )
+    )
+    bm25 = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", F.floor(score * 1000000).cast("bigint").alias("term_fp"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_fp").cast("bigint").alias("bm25_fp"))
+    )
+    # top-50 via TakeOrderedAndProject; rank the constant-size survivors
+    lex = (
+        bm25.orderBy(F.col("bm25_fp").desc(), "doc_id")
+        .limit(_RRF_TOPN)
+        .withColumn(
+            "rank_lex",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25_fp").desc(), "doc_id"))
+            .cast("int"),
+        )
+        .select("doc_id", "rank_lex")
+    )
+
+    # --- semantic arm: cosine vs the broadcast query vector --------------
+    e = S.with_quantized_norm(_t(spark, sf_dir, "embeddings"))
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("_q").alias("_qq"), F.col("_nn").alias("_qn")
+        )
+    )
+    cos = S.cosine_q(F.col("_q"), F.col("_qq"), F.col("_nn"), F.col("_qn"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos_sim"))
+    )
+    sem = (
+        cand.orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(_RRF_TOPN)
+        .withColumn(
+            "rank_sem",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), "doc_id"))
+            .cast("int"),
+        )
+        .select("doc_id", "rank_sem")
+    )
+
+    # --- fusion: integer-exact RRF over <= 100 rows ----------------------
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(F.expr(f"1000000 DIV ({_RRF_KC} + rank_lex)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 DIV ({_RRF_KC} + rank_sem)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_fp"),
+    )
+    return fused.orderBy(F.col("rrf_fp").desc(), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# q149: per-nation revenue trend — grouped OLS slope over the daily
+# revenue series, the regr_slope surface computed from exact integer
+# moments: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2). Moments are
+# DECIMAL(38,0) Spark-side / HUGEINT oracle-side (the q88 lesson:
+# bigint moments overflow by sf1), and the final micro-unit division is
+# sign-decomposed so both engines truncate identically.
+# --------------------------------------------------------------------------
+
+_TREND_EPOCH = "1995-01-01"
+
+
+@query(
+    "q149_nation_revenue_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT n.n_name,
+             date_diff('day', DATE '{_TREND_EPOCH}', CAST(o.o_orderdate AS DATE)) AS x,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, x
+    ),
+    m AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy
+      FROM daily GROUP BY n_name
+    ),
+    nd AS (
+      SELECT n_name, CAST(n AS BIGINT) AS n_days,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den
+      FROM m
+    )
+    SELECT n_name, n_days,
+           CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // den)
+                     ELSE (num * 1000000 // den) END AS BIGINT) AS slope_fp
+    FROM nd WHERE n_days >= 2 AND den > 0
+    """,
+    doc="Per-nation OLS trend slope of daily revenue (micro-cents/day): "
+    "the regr_slope(y, x) surface via exact integer moments — x = days "
+    f"since {_TREND_EPOCH}, y = daily revenue in int64 cents, moments "
+    "accumulated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so n*Sxy "
+    "stays exact far past int64 (q88's overflow lesson). The closed "
+    "form slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) emits fixed-point "
+    "micro-units through a sign-decomposed truncating division — "
+    "identical in both engines regardless of their native integer-"
+    "division rounding. Two hash aggregates + two broadcast dim joins; "
+    "no window, no shuffle beyond the group keys.",
+    tags=("agg", "regression", "trend", "gold"),
+)
+def q149_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    daily = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit(_TREND_EPOCH).cast("date")
+            ).alias("x"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("y"))
+    )
+    d38 = "decimal(38,0)"
+    xd, yd = F.col("x").cast(d38), F.col("y").cast(d38)
+    m = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(xd).cast(d38).alias("sx"),
+        F.sum(yd).cast(d38).alias("sy"),
+        F.sum(xd * xd).cast(d38).alias("sxx"),
+        F.sum(xd * yd).cast(d38).alias("sxy"),
+    )
+    nd = m.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    slope = F.when(
+        F.col("num") < 0, -F.expr("((-num) * 1000000) DIV den")
+    ).otherwise(F.expr("(num * 1000000) DIV den"))
+    return nd.filter((F.col("n_days") >= 2) & (F.col("den") > 0)).select(
+        "n_name", "n_days", slope.cast("bigint").alias("slope_fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# q150: weighted priority sampling per stratum — deterministic bottom-k
+# with key hash/weight (Cohen-Kaplan bottom-k / priority sampling with
+# the uniform replaced by a portable hash): heavier docs get smaller
+# keys in expectation, so each source's 10-doc sample is weighted by
+# n_chars yet fully reproducible. The per-group top-k runs SALTED
+# (operators/ranking.salted_group_topk): an arbitrarily skewed source
+# never sorts in one task.
+# --------------------------------------------------------------------------
+
+_WS_SEED = 150
+_WS_SCALE = 1048576  # 2^20: h32 * SCALE stays < 2^52 — exact in both engines
+_WS_K = 10
+
+
+@query(
+    "q150_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id, n_chars,
+             {portable_hash64_sql("doc_id", seed=_WS_SEED)} % 4294967296 AS h32,
+             greatest(n_chars, 1) AS w
+      FROM documents
+    ),
+    k AS (
+      SELECT source, doc_id, n_chars,
+             CAST((h32 * {_WS_SCALE}) // w AS BIGINT) AS key_fp
+      FROM d
+    )
+    SELECT source, doc_id, n_chars, key_fp, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY key_fp, doc_id) AS INT) AS rnk
+      FROM k
+    ) t WHERE rnk <= {_WS_K}
+    """,
+    doc="Weighted priority sample, 10 docs per source: key = "
+    "(h32 * 2^20) DIV weight with weight = n_chars — the deterministic "
+    "bottom-k/w sketch (heavier docs sample proportionally more often), "
+    "the weighted counterpart of q59's uniform stratified split. All "
+    "arithmetic is integer (h32 < 2^32, key < 2^52 — exact everywhere); "
+    "the per-source top-k uses the salted two-phase pattern so a head "
+    "source holding 90% of the corpus still never sorts in one task.",
+    tags=("ext", "curation", "sampling", "weighted"),
+)
+def q150_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h32 = F.pmod(portable_hash64(F.col("doc_id"), seed=_WS_SEED), F.lit(4294967296))
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        h32.alias("h32"),
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("w"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(f"CAST((h32 * {_WS_SCALE}) DIV w AS BIGINT)").alias("key_fp"),
+    )
+    return R.salted_group_topk(
+        keyed, ["source"], [F.col("key_fp"), F.col("doc_id")], k=_WS_K
+    )
+
+
+# --------------------------------------------------------------------------
+# q151: containment pairs — asymmetric Jaccard |A∩B|/|A| over 3-gram
+# shingles with the viral-shingle cap: the quote/excerpt/subset signal.
+# --------------------------------------------------------------------------
+
+_CONT_CAP = 5
+_CONT_THRESHOLD = 0.6
+
+
+@query(
+    "q151_containment_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    capped AS (
+      SELECT doc_id, shingle FROM shingled
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_CONT_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, s.n AS n_a, i.n_common,
+           CAST(i.n_common AS DOUBLE) / CAST(s.n AS DOUBLE) AS containment
+    FROM inter i JOIN sizes s ON i.doc_a = s.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / CAST(s.n AS DOUBLE) >= {_CONT_THRESHOLD}
+    """,
+    doc="Jaccard CONTAINMENT |A∩B|/|A| >= 0.6 over distinct 3-gram "
+    "shingles (capped at doc-freq 5, the q42b viral-shingle guard): "
+    "ordered pairs (contained, container) — a short doc pasted inside a "
+    "long one scores ~1.0 here while its symmetric Jaccard stays tiny. "
+    "Same posting-list join shape as q42b: per-shingle work bounded by "
+    "cap^2 regardless of corpus size; containment is an exact small-int "
+    "division (identical double in both engines).",
+    tags=("dedup", "containment", "jaccard", "ext"),
+)
+def q151_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.exploded_shingles(docs, distinct=True)
+    return D.containment_pairs(
+        sh, threshold=_CONT_THRESHOLD, max_doc_freq=_CONT_CAP
+    )
+
+
+# --------------------------------------------------------------------------
+# q152: bigram PMI collocations — pointwise mutual information
+# ln(P(ab) / (P(a)P(b))) in fixed-point micro-nats, the collocation /
+# multi-word-expression detector (tokenizer-vocab and stopword-phrase
+# curation both start here). Pure count aggregates + two joins keyed on
+# word; corpus totals broadcast; top-25 via distributed partial top-k.
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 10
+
+
+@query(
+    "q152_bigram_pmi",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents),
+    tok AS (SELECT unnest(ws) AS word FROM w),
+    uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY word),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM tok),
+    bg AS (
+      SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w
+    ),
+    bgc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY bigram),
+    btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bg),
+    scored AS (
+      SELECT b.bigram, b.c_ab,
+             CAST(floor(ln((CAST(b.c_ab AS DOUBLE) * CAST(t.n_uni AS DOUBLE) * CAST(t.n_uni AS DOUBLE))
+                            / (CAST(bt.n_bi AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_fp
+      FROM bgc b
+      JOIN uni u1 ON split_part(b.bigram, ' ', 1) = u1.word
+      JOIN uni u2 ON split_part(b.bigram, ' ', 2) = u2.word
+      CROSS JOIN tot t CROSS JOIN btot bt
+      WHERE b.c_ab >= {_PMI_MIN_COUNT}
+    )
+    SELECT bigram, c_ab, pmi_fp FROM scored ORDER BY pmi_fp DESC, bigram LIMIT 25
+    """,
+    doc="Top-25 bigram collocations by PMI = ln(c_ab * N_uni^2 / "
+    "(N_bi * c_a * c_b)) in fixed-point micro-nats (identical double "
+    "tree both engines, q98's bigram construction), min pair count "
+    f"{_PMI_MIN_COUNT}. Count aggregates keyed on word/bigram, corpus "
+    "totals broadcast, unigram join-backs on the word key — no "
+    "all-pairs anywhere; final top-k is TakeOrderedAndProject.",
+    tags=("text", "pmi", "collocation", "ngram", "ext"),
+)
+def q152_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn("_ws", _words())
+    tok = d.select(F.explode("_ws").alias("word"))
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n_uni"))
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_ws) >= 2 THEN transform(sequence(1, size(_ws) - 1), "
+                "i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1))) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("bigram")
+    )
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    btot = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
+    u1 = uni.select(F.col("word").alias("_w1"), F.col("c").alias("_c1"))
+    u2 = uni.select(F.col("word").alias("_w2"), F.col("c").alias("_c2"))
+    pmi = F.floor(
+        F.log(
+            (
+                F.col("c_ab").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+            )
+            / (
+                F.col("n_bi").cast("double")
+                * F.col("_c1").cast("double")
+                * F.col("_c2").cast("double")
+            )
+        )
+        * 1000000
+    ).cast("bigint")
+    return (
+        bgc.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(u1, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("_w1"))
+        .join(u2, F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)) == F.col("_w2"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select("bigram", "c_ab", pmi.alias("pmi_fp"))
+        .orderBy(F.col("pmi_fp").desc(), "bigram")
+        .limit(25)
+    )

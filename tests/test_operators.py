@@ -1299,3 +1299,96 @@ class TestGraphPagerank:
             .collect()
         ]
         assert got == want
+
+
+class TestSaltedGroupTopk:
+    def test_matches_naive_window_on_skewed_groups(self, spark):
+        """90%-head-group skew: the salted two-phase keep must be bit-equal
+        to the naive per-group row_number keep for every group."""
+        from pyspark.sql import Window
+
+        from e2e_stock_data_pipeline_spark.operators.ranking import salted_group_topk
+
+        df = spark.range(20000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("head")).otherwise(
+                (F.col("id") % 7).cast("string")
+            ).alias("g"),
+            (F.xxhash64("id") % 100003).alias("v"),
+            "id",
+        )
+        fast = {
+            (r.g, r.id, r.rnk)
+            for r in salted_group_topk(df, ["g"], [F.col("v"), F.col("id")], k=10).collect()
+        }
+        w = Window.partitionBy("g").orderBy(F.col("v"), F.col("id"))
+        slow = {
+            (r.g, r.id, r.rnk)
+            for r in df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .collect()
+        }
+        assert fast == slow
+
+    def test_k_larger_than_group(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.ranking import salted_group_topk
+
+        df = spark.range(5).select(F.lit("only").alias("g"), F.col("id").alias("v"), "id")
+        rows = salted_group_topk(df, ["g"], [F.col("v"), F.col("id")], k=10).collect()
+        assert sorted(r.rnk for r in rows) == [1, 2, 3, 4, 5]
+
+    def test_no_unsalted_data_sized_sort(self, spark):
+        """The first (data-sized) window must partition on (keys, salt);
+        only the reduced survivor set may window on the bare group key."""
+        from e2e_stock_data_pipeline_spark.operators.ranking import salted_group_topk
+
+        df = spark.range(1000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.xxhash64("id") % 997).alias("v"),
+            "id",
+        )
+        out = salted_group_topk(df, ["g"], [F.col("v"), F.col("id")], k=5)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        specs = [
+            line for line in plan.splitlines() if "windowspecdefinition" in line
+        ]
+        assert len(specs) == 2
+        # plan prints top-down: specs[0] is the final per-group window over
+        # the <= k*n_salts survivors, specs[1] the data-sized salted one
+        assert "_salt" not in specs[0]
+        assert "_salt" in specs[1]
+
+
+class TestContainmentPairs:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_short_doc_inside_long_doc(self, spark):
+        """A doc pasted verbatim inside a longer one: containment(short in
+        long) = 1.0 while the reverse direction stays below threshold."""
+        from e2e_stock_data_pipeline_spark.operators.dedup import (
+            containment_pairs,
+            exploded_shingles,
+        )
+
+        short = "alpha beta gamma delta epsilon"
+        long_ = short + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+        docs = self._docs(spark, [(1, short), (2, long_), (3, "unrelated words only here")])
+        sh = exploded_shingles(docs, distinct=True)
+        got = {(r.doc_a, r.doc_b): r.containment for r in containment_pairs(sh, threshold=0.6).collect()}
+        assert got == {(1, 2): 1.0}
+
+    def test_cap_drops_viral_shingles_consistently(self, spark):
+        """With a doc-freq cap, both |A∩B| and |A| use the capped sets —
+        a shingle present in every doc contributes to neither."""
+        from e2e_stock_data_pipeline_spark.operators.dedup import (
+            containment_pairs,
+            exploded_shingles,
+        )
+
+        viral = "click here now"
+        rows = [(i, f"{viral} unique{i} token{i} word{i}") for i in range(1, 8)]
+        rows.append((100, viral))  # nothing but the viral shingle
+        docs = self._docs(spark, rows)
+        sh = exploded_shingles(docs, distinct=True)
+        out = containment_pairs(sh, threshold=0.1, max_doc_freq=3).collect()
+        assert out == []  # viral shingle capped away; nothing else shared
