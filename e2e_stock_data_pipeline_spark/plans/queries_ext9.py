@@ -505,3 +505,272 @@ def q152_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_fp").desc(), "bigram")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# q153: dedup-aware (leakage-free) train/val/test split — q113's hash
+# split assigned to near-dup CLUSTERS instead of documents, so no two
+# near-duplicates ever land in different splits. The audit columns
+# prove it: candidate edges crossing splits = 0 under the cluster
+# split, > 0 under the naive doc-level split on the same corpus.
+# --------------------------------------------------------------------------
+
+from .queries_text2 import SQL_CLUSTER_LABELS  # noqa: E402
+
+_SPLIT_CASE_SQL = (
+    "CASE WHEN {h} % 100 < 90 THEN 'train' "
+    "WHEN {h} % 100 < 95 THEN 'val' ELSE 'test' END"
+)
+
+
+def _split_col(col: str, seed: int = 42):
+    bucket = portable_hash64(col, seed=seed) % 100
+    return F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+
+
+@query(
+    "q153_cluster_split",
+    oracle=f"""
+    {SQL_CLUSTER_LABELS}
+    , csplit AS (
+      SELECT doc_id, cluster_id,
+             {_SPLIT_CASE_SQL.format(h=portable_hash64_sql("cluster_id", seed=42))} AS split
+      FROM assigned
+    ),
+    per_split AS (
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+      FROM csplit GROUP BY split
+    ),
+    uedges AS (SELECT src AS doc_a, dst AS doc_b FROM edges WHERE src < dst),
+    leak_c AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN x.split <> y.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS leak_edges_cluster
+      FROM uedges e JOIN csplit x ON e.doc_a = x.doc_id JOIN csplit y ON e.doc_b = y.doc_id
+    ),
+    nsplit AS (
+      SELECT doc_id,
+             {_SPLIT_CASE_SQL.format(h=portable_hash64_sql("doc_id", seed=42))} AS split
+      FROM documents
+    ),
+    leak_n AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN x.split <> y.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS leak_edges_naive
+      FROM uedges e JOIN nsplit x ON e.doc_a = x.doc_id JOIN nsplit y ON e.doc_b = y.doc_id
+    )
+    SELECT p.split, p.n_docs, p.n_clusters, lc.leak_edges_cluster, ln2.leak_edges_naive
+    FROM per_split p CROSS JOIN leak_c lc CROSS JOIN leak_n ln2
+    """,
+    doc="Leakage-free split: q113's 90/5/5 hash split keyed on the "
+    "near-dup CLUSTER id (q56's connected components over MinHash-LSH "
+    "candidates) instead of the doc id — a near-duplicate of a training "
+    "doc can never leak into test. Output: per-split doc/cluster counts "
+    "plus the audit scalars — LSH candidate edges crossing splits under "
+    "the cluster split (0 by construction: an edge's endpoints share a "
+    "component) vs under the naive doc-level split (> 0 on this "
+    "corpus). The iterative fixpoint is q56's bounded min-label "
+    "propagation; everything downstream is dimension-sized.",
+    tags=("ext", "curation", "split", "dedup", "clustering"),
+)
+def q153_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.exploded_shingles(docs, distinct=False)
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(sh, num_hashes=6))
+    labels = D.connected_components(docs.select("doc_id"), pairs)
+    csplit = labels.select(
+        "doc_id", "cluster_id", _split_col("cluster_id").alias("split")
+    )
+    per_split = csplit.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )
+
+    def leak(split_frame: DataFrame, out_col: str) -> DataFrame:
+        x = split_frame.select(
+            F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")
+        )
+        y = split_frame.select(
+            F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")
+        )
+        return (
+            pairs.join(x, "doc_a")
+            .join(y, "doc_b")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_sa") != F.col("_sb"), 1).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias(out_col)
+            )
+        )
+
+    nsplit = docs.select("doc_id", _split_col("doc_id").alias("split"))
+    leak_c = leak(csplit.select("doc_id", "split"), "leak_edges_cluster")
+    leak_n = leak(nsplit, "leak_edges_naive")
+    return per_split.crossJoin(F.broadcast(leak_c)).crossJoin(F.broadcast(leak_n))
+
+
+# --------------------------------------------------------------------------
+# q154: cross-split contamination audit — how many distinct 3-gram
+# shingles the naive doc-level split shares between train and test (the
+# number a decontamination pass would have to scrub; q153 is the fix,
+# q99 the per-pair view). One shuffle keyed on shingle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q154_split_contamination",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    split_docs AS (
+      SELECT doc_id,
+             {_SPLIT_CASE_SQL.format(h=portable_hash64_sql("doc_id", seed=42))} AS split
+      FROM documents
+    ),
+    flags AS (
+      SELECT s.shingle,
+             MAX(CASE WHEN sd.split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN sd.split = 'test' THEN 1 ELSE 0 END) AS in_test
+      FROM shingled s JOIN split_docs sd ON s.doc_id = sd.doc_id
+      GROUP BY s.shingle
+    )
+    SELECT CAST(SUM(in_train) AS BIGINT) AS n_train_shingles,
+           CAST(SUM(in_test) AS BIGINT) AS n_test_shingles,
+           CAST(SUM(in_train * in_test) AS BIGINT) AS n_shared,
+           CAST((CAST(SUM(in_train * in_test) AS BIGINT) * 1000000)
+                // NULLIF(CAST(SUM(in_test) AS BIGINT), 0) AS BIGINT) AS shared_ppm_of_test
+    FROM flags
+    """,
+    doc="Contamination audit of the naive doc-level 90/5/5 split: count "
+    "of distinct 3-gram shingles appearing in BOTH train and test "
+    "(plus the test-side ppm) — the headline number an eval-integrity "
+    "report carries. Per-shingle split flags via conditional MAX in one "
+    "shingle-keyed aggregation; final fold is a single row; the ppm is "
+    "integer micro-units (truncating DIV, NULLIF-guarded identically "
+    "in both engines).",
+    tags=("ext", "curation", "contamination", "audit"),
+)
+def q154_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.exploded_shingles(docs, distinct=True)
+    split_docs = docs.select("doc_id", _split_col("doc_id").alias("split"))
+    flags = (
+        sh.join(split_docs, "doc_id")
+        .groupBy("shingle")
+        .agg(
+            F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+            F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_test"),
+        )
+    )
+    return flags.agg(
+        F.sum("in_train").cast("bigint").alias("n_train_shingles"),
+        F.sum("in_test").cast("bigint").alias("n_test_shingles"),
+        F.sum(F.col("in_train") * F.col("in_test")).cast("bigint").alias("n_shared"),
+    ).select(
+        "n_train_shingles",
+        "n_test_shingles",
+        "n_shared",
+        F.expr(
+            "CAST((n_shared * 1000000) DIV NULLIF(n_test_shingles, 0) AS BIGINT)"
+        ).alias("shared_ppm_of_test"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q155: MinHash estimator calibration — for every LSH candidate pair,
+# the sketch's Jaccard estimate (matching signatures / 6) against the
+# exact Jaccard, bucketed by match count: the empirical accuracy table
+# that justifies the sketch's banding thresholds. Exact-verify fans out
+# from the candidate list (the q86 property), per-pair fixed-point
+# jaccard floors BEFORE the integer sum (q114 convention).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q155_minhash_calibration",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS h
+      FROM shingled
+    ),
+    seeds AS (SELECT unnest(range(6)) AS seed),
+    sigs AS (
+      SELECT doc_id, seed,
+             MIN(((seed * 2 + 1) * h + (seed * 7919 + 13)) % 268435399) AS sig
+      FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    match AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_match_sigs
+      FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT m.doc_a, m.doc_b, COUNT(*) AS n_common
+      FROM match m
+      JOIN shingled sa ON sa.doc_id = m.doc_a
+      JOIN shingled sb ON sb.doc_id = m.doc_b AND sb.shingle = sa.shingle
+      GROUP BY m.doc_a, m.doc_b
+    ),
+    jfp AS (
+      SELECT m.n_match_sigs,
+             CAST(floor((CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                         / (x.n + y.n - COALESCE(i.n_common, 0))) * 1000000) AS BIGINT) AS jaccard_fp
+      FROM match m
+      LEFT JOIN inter i ON m.doc_a = i.doc_a AND m.doc_b = i.doc_b
+      JOIN sizes x ON m.doc_a = x.doc_id
+      JOIN sizes y ON m.doc_b = y.doc_id
+    )
+    SELECT n_match_sigs, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(jaccard_fp) AS BIGINT) AS sum_jaccard_fp
+    FROM jfp GROUP BY n_match_sigs
+    """,
+    doc="MinHash sketch calibration: LSH candidate pairs bucketed by how "
+    "many of the 6 signatures matched, with pair count and the exact-"
+    "Jaccard mass (fixed-point, floored per pair before the integer "
+    "sum) per bucket — expected jaccard ~ n_match/6, and this table IS "
+    "that empirical check. Exact verification fans out from the "
+    "candidate list only (q86's scale property); collision-only "
+    "candidates with zero shared shingles stay in the table at "
+    "jaccard 0 via the LEFT join.",
+    tags=("dedup", "minhash", "sketch", "calibration", "ext"),
+)
+def q155_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.exploded_shingles(docs, distinct=True)
+    sigs = D.minhash_signatures(sh, num_hashes=6)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "seed", "sig")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "seed", "sig")
+    match = (
+        a.join(b, ["seed", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_match_sigs"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        match.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sy = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    jfp = F.floor(
+        (nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc)) * 1000000
+    ).cast("bigint")
+    return (
+        match.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sx, "doc_a")
+        .join(sy, "doc_b")
+        .select("n_match_sigs", jfp.alias("jaccard_fp"))
+        .groupBy("n_match_sigs")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("jaccard_fp").cast("bigint").alias("sum_jaccard_fp"),
+        )
+    )
