@@ -463,7 +463,14 @@ _PMI_MIN_COUNT = 10
     tags=("text", "pmi", "collocation", "ngram", "ext"),
 )
 def q152_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").withColumn("_ws", _words())
+    return bigram_pmi_plan(_t(spark, sf_dir, "documents"))
+
+
+def bigram_pmi_plan(docs: DataFrame, min_count: int = _PMI_MIN_COUNT) -> DataFrame:
+    """The q152 plan over any (text,) frame — ONE definition shared by
+    the registered query and the scale smoke (the ext5 convention), so
+    the smoke can never drift to timing a stale copy of the shape."""
+    d = docs.withColumn("_ws", _words())
     tok = d.select(F.explode("_ws").alias("word"))
     uni = tok.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     tot = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n_uni"))
@@ -496,7 +503,7 @@ def q152_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000
     ).cast("bigint")
     return (
-        bgc.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        bgc.filter(F.col("c_ab") >= min_count)
         .join(u1, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("_w1"))
         .join(u2, F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)) == F.col("_w2"))
         .crossJoin(F.broadcast(tot))

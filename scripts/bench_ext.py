@@ -40,6 +40,11 @@ EXT_HEAVY = [
     "q138_copurchase_pairs",
     "q140_mad_outliers",
     "q144_pagerank_copurchase",
+    # round-8 session-3 additions: RRF hybrid retrieval, capped
+    # containment, and the cluster-keyed leakage-free split (CC fixpoint)
+    "q148_rrf_hybrid_search",
+    "q151_containment_pairs",
+    "q153_cluster_split",
 ]
 
 

@@ -443,6 +443,56 @@ def main(n_rows: int = 10_000_000) -> None:
         lambda: forced(pagerank(bedges, n_iters=10)),
     )
 
+    # --- round-8 session-3: retrieval/curation tier at 100x ------------
+    # salted per-group top-k (q150's weighted priority sample): the
+    # 90%-head lang never sorts in one task — every window partition is
+    # (lang, salt), 1/32 of a group; final rank runs on <=k*32 rows.
+    from e2e_stock_data_pipeline_spark.functions.hashing import (  # noqa: E402
+        portable_hash64,
+    )
+    from e2e_stock_data_pipeline_spark.operators.dedup import (  # noqa: E402
+        containment_pairs,
+    )
+    from e2e_stock_data_pipeline_spark.operators.ranking import (  # noqa: E402
+        salted_group_topk,
+    )
+    from e2e_stock_data_pipeline_spark.plans.queries_ext9 import (  # noqa: E402
+        bigram_pmi_plan,
+    )
+
+    h32 = F.pmod(portable_hash64(F.col("doc_id"), seed=150), F.lit(4294967296))
+    keyed = mix_docs.select(
+        "doc_id",
+        "lang",
+        h32.alias("h32"),
+        F.greatest(F.length("text"), F.lit(1)).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("CAST((h32 * 1048576) DIV w AS BIGINT)").alias("key_fp"),
+    )
+    timed(
+        f"salted weighted top-10/group, 90%-head skew ({n_rows/1e6:.0f}M docs, 41 langs)",
+        lambda: forced(
+            salted_group_topk(keyed, ["lang"], [F.col("key_fp"), F.col("doc_id")], k=10)
+        ),
+    )
+
+    # containment pairs under the viral-shingle cap: per-shingle join
+    # work bounded by cap^2 — corpus size only scales the number of
+    # postings, never a single reducer's pair fan-out.
+    timed(
+        f"containment pairs, capped postings ({n_docs/1e3:.0f}k docs, cap 5)",
+        lambda: forced(containment_pairs(sh_all, threshold=0.6, max_doc_freq=5)),
+    )
+
+    # bigram PMI: count aggregates keyed on word/bigram + broadcast
+    # totals — the whole corpus passes one exchange per aggregate.
+    timed(
+        f"bigram PMI collocations ({n_docs*10/1e6:.0f}M word occurrences)",
+        lambda: forced(bigram_pmi_plan(docs, min_count=10)),
+    )
+
     spark.stop()
 
 
