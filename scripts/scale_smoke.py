@@ -488,9 +488,12 @@ def main(n_rows: int = 10_000_000) -> None:
 
     # bigram PMI: count aggregates keyed on word/bigram + broadcast
     # totals — the whole corpus passes one exchange per aggregate.
+    # min_count=2 here: the synthetic 10k-word vocab spreads 2M bigram
+    # occurrences over 100M possible pairs, so the production cut of 10
+    # matches nothing — the smoke wants the join-backs to carry rows.
     timed(
         f"bigram PMI collocations ({n_docs*10/1e6:.0f}M word occurrences)",
-        lambda: forced(bigram_pmi_plan(docs, min_count=10)),
+        lambda: forced(bigram_pmi_plan(docs, min_count=2)),
     )
 
     spark.stop()
