@@ -781,3 +781,167 @@ def q155_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("jaccard_fp").cast("bigint").alias("sum_jaccard_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q156: trailing 7-day distinct users per active day — sliding-window
+# COUNT DISTINCT via the bounded fan-out trick: each (user, day) pair
+# contributes to exactly 7 window-end days, so the explode is 7x the
+# DEDUPED (user, day) set (never 7x raw events) and the distinct count
+# is one shuffle keyed on window day. No window function at all — the
+# shape that scales where a RANGE-frame distinct (unsupported anyway)
+# or per-day self-joins would not.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q156_rolling_distinct_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS w FROM events),
+    contrib AS (
+      SELECT ud.user_id, ud.d + CAST(i.i AS INTEGER) AS w
+      FROM ud CROSS JOIN (SELECT unnest(range(7)) AS i) i
+    )
+    SELECT c.w AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS users_7d
+    FROM contrib c JOIN days dd ON c.w = dd.w
+    GROUP BY c.w
+    """,
+    doc="Trailing 7-day distinct active users, reported for every "
+    "observed day: dedup to (user, day), fan each pair out to the 7 "
+    "window-end days it covers, inner-join to observed days, count "
+    "distinct per day. Fan-out is bounded by the window length over "
+    "the DEDUPED pairs — the sliding-distinct shape with no window "
+    "function and no self-join.",
+    tags=("agg", "distinct", "window", "retention", "gold"),
+)
+def q156_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    days = e.select(F.col("ts").cast("date").alias("w")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("w"))
+    return (
+        contrib.join(days, "w")
+        .groupBy(F.col("w").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q157: seasonal-baseline anomaly report — each (day, hour) event
+# count ranked against the average of its (day-of-week, hour) bucket;
+# top-20 by the integer fixed-point ratio (no float mean, no
+# sf-dependent threshold), day-of-week portable as (epoch_days+4)%7.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q157_seasonal_anomalies",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS d,
+             (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT dow, hr, CAST(SUM(c) AS BIGINT) AS bucket_total,
+             CAST(COUNT(*) AS BIGINT) AS bucket_days
+      FROM hourly GROUP BY dow, hr
+    )
+    SELECT h.d AS day, h.hr, h.c AS n_events, b.bucket_total, b.bucket_days,
+           CAST((h.c * b.bucket_days * 1000000) // b.bucket_total AS BIGINT) AS ratio_fp
+    FROM hourly h JOIN base b ON h.dow = b.dow AND h.hr = b.hr
+    ORDER BY ratio_fp DESC, day, h.hr LIMIT 20
+    """,
+    doc="Seasonal anomaly report: the 20 hourly counts most above their "
+    "(day-of-week, hour) bucket average, ranked by the integer "
+    "micro-unit ratio (c * n_days * 1e6) DIV total — no float mean "
+    "ever materializes, so rank order is exact at any sf (a fixed "
+    "multiplicative threshold goes empty as Poisson noise concentrates "
+    "with volume). Day-of-week is (epoch_days + 4) % 7 in both engines "
+    "because dayofweek() builtins index Sunday differently. Two hash "
+    "aggregates, one broadcast join on the 168-row bucket key, "
+    "distributed partial top-k.",
+    tags=("agg", "anomaly", "seasonal", "monitoring", "gold"),
+)
+def q157_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    hourly = (
+        e.groupBy(
+            d.alias("d"),
+            F.pmod(
+                F.datediff(d, F.lit("1970-01-01").cast("date")) + 4, F.lit(7)
+            ).alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    base = hourly.groupBy("dow", "hr").agg(
+        F.sum("c").cast("bigint").alias("bucket_total"),
+        F.count(F.lit(1)).cast("bigint").alias("bucket_days"),
+    )
+    return (
+        hourly.join(F.broadcast(base), ["dow", "hr"])
+        .select(
+            F.col("d").alias("day"),
+            "hr",
+            F.col("c").alias("n_events"),
+            "bucket_total",
+            "bucket_days",
+            F.expr("CAST((c * bucket_days * 1000000) DIV bucket_total AS BIGINT)").alias(
+                "ratio_fp"
+            ),
+        )
+        .orderBy(F.col("ratio_fp").desc(), "day", "hr")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q158: canonical-document selection per near-dup cluster — the KEEP
+# decision dedup actually ships: one representative per cluster chosen
+# by quality (longest doc, smallest-id tie-break) via max_by/arg_max
+# over a UNIQUE integer ordinal. Completes the dedup story:
+# q41 candidates -> q56 clusters -> q158 survivors.
+# --------------------------------------------------------------------------
+
+_REP_B = 10**12  # ord = n_chars * B - doc_id: unique, int64-safe
+
+
+@query(
+    "q158_cluster_canonicals",
+    oracle=f"""
+    {SQL_CLUSTER_LABELS}
+    SELECT a.cluster_id,
+           arg_max(a.doc_id, d.n_chars * {_REP_B} - a.doc_id) AS rep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MAX(d.n_chars) AS BIGINT) AS rep_n_chars
+    FROM assigned a JOIN documents d ON a.doc_id = d.doc_id
+    GROUP BY a.cluster_id
+    """,
+    doc="Canonical doc per near-dup cluster: arg_max/max_by over the "
+    f"unique ordinal n_chars * {_REP_B} - doc_id (longest doc wins, "
+    "ties to the smallest id — the ordinal's uniqueness is what makes "
+    "max_by deterministic in BOTH engines). Reuses q56's cluster "
+    "fixpoint; selection is one hash aggregate keyed on cluster — no "
+    "per-cluster sort, no window.",
+    tags=("dedup", "clustering", "canonical", "maxby", "ext"),
+)
+def q158_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.exploded_shingles(docs, distinct=False)
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(sh, num_hashes=6))
+    labels = D.connected_components(docs.select("doc_id"), pairs)
+    joined = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return joined.groupBy("cluster_id").agg(
+        F.expr(f"max_by(doc_id, n_chars * {_REP_B} - doc_id)").alias("rep_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.max("n_chars").cast("bigint").alias("rep_n_chars"),
+    )
