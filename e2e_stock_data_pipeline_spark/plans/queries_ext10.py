@@ -1,0 +1,566 @@
+"""Round-8 session-4 additions — monitoring, audit, and robust-statistic
+shapes the earlier tiers did not cover:
+
+* q159 peak interval concurrency (sweep-line over [ts, ts+30min)
+  sessions — the max-concurrent-sessions operator, distributed via the
+  bucketed prefix-sum pattern instead of a data-sized global window);
+* q160 Benford first-digit audit (fraud/data-quality screen over order
+  amounts);
+* q161 int8 embedding quantization with exact reconstruction-error
+  accounting (the storage/serving compression step of an embedding
+  pipeline);
+* q162 per-group weighted median via the two-pass bucket histogram
+  (exact, no per-group data-sized sort — the robust midpoint for the
+  3-value skewed l_returnflag key);
+* q163 Pareto frontier / skyline of parts (price down, size up) — the
+  dominance filter, linear via per-size minima + suffix-min instead of
+  the oracle's quadratic NOT EXISTS;
+* q164 document-frequency drift between corpus halves (the
+  distribution-shift monitor a training-mix owner watches).
+
+Cross-engine numeric rules as everywhere else (plans/registry.py):
+exact integer/decimal arithmetic wherever possible, fixed-point
+floor(x * 1e6) of IDENTICAL double expression trees where a logarithm
+is unavoidable, explicit total-order tiebreaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import QUANT, quantized
+from ..sources import tables
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q159: peak session concurrency per event type — the sweep-line
+# interval-overlap operator. Each event opens a [ts, ts+30min) session;
+# the answer is the maximum number of simultaneously open sessions and
+# the earliest boundary instant attaining it. The classic formulation
+# is a GLOBAL ordered running sum (one task at 100 TB); here the prefix
+# sum is decomposed by hour bucket: net deltas aggregate per (type, ts),
+# per-bucket sums roll up to a dimension-sized histogram whose exclusive
+# prefix supplies each bucket's offset, and the only row-level window is
+# PARTITIONED by (type, hour) — bounded by an hour of boundaries, never
+# the full series. Ends sort before starts implicitly because deltas
+# are pre-summed per instant (half-open intervals).
+# --------------------------------------------------------------------------
+
+_CONC_MINUTES = 30
+
+
+@query(
+    "q159_peak_concurrency",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, ts AS bts, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL {_CONC_MINUTES} MINUTE, -1 FROM events
+    ),
+    net AS (
+      SELECT event_type, bts, CAST(SUM(delta) AS BIGINT) AS nd
+      FROM b GROUP BY event_type, bts
+    ),
+    runs AS (
+      SELECT event_type, bts,
+             SUM(nd) OVER (PARTITION BY event_type ORDER BY bts) AS run
+      FROM net
+    ),
+    peaks AS (
+      SELECT event_type, MAX(run) AS peak FROM runs GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(p.peak AS BIGINT) AS peak_concurrency,
+           MIN(r.bts) AS peak_ts
+    FROM runs r JOIN peaks p
+      ON r.event_type = p.event_type AND r.run = p.peak
+    GROUP BY r.event_type, p.peak
+    """,
+    doc="Peak concurrent 30-minute sessions per event type (sweep-line): "
+    "+1/-1 boundaries net-summed per instant, then a DISTRIBUTED prefix "
+    "sum — per-hour bucket sums form a dimension-sized histogram whose "
+    "exclusive prefix is each bucket's offset, and the running sum "
+    "within a bucket is a window partitioned by (type, hour), never a "
+    "single-task global window. Output: the peak and the earliest "
+    "instant attaining it (exact tie policy: deltas at one instant are "
+    "pre-summed, so touching end/start pairs cancel — half-open "
+    "interval semantics in both engines).",
+    tags=("window", "interval", "sweepline", "monitoring", "gold"),
+)
+def q159_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    starts = e.select("event_type", F.col("ts").alias("bts"), F.lit(1).alias("delta"))
+    ends = e.select(
+        "event_type",
+        F.expr(f"ts + INTERVAL {_CONC_MINUTES} MINUTES").alias("bts"),
+        F.lit(-1).alias("delta"),
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "bts")
+        .agg(F.sum("delta").cast("bigint").alias("nd"))
+        .withColumn("bkt", F.date_trunc("hour", F.col("bts")))
+    )
+    hist = net.groupBy("event_type", "bkt").agg(F.sum("nd").alias("bd"))
+    off = F.coalesce(
+        F.sum("bd").over(
+            Window.partitionBy("event_type")
+            .orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    offsets = hist.select("event_type", "bkt", off.alias("off"))
+    runs = (
+        net.join(F.broadcast(offsets), ["event_type", "bkt"])
+        .withColumn(
+            "run",
+            F.col("off")
+            + F.sum("nd").over(
+                Window.partitionBy("event_type", "bkt")
+                .orderBy("bts")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("event_type", "bts", "run")
+    )
+    peaks = runs.groupBy("event_type").agg(F.max("run").alias("peak"))
+    return (
+        runs.join(F.broadcast(peaks), "event_type")
+        .filter(F.col("run") == F.col("peak"))
+        .groupBy("event_type", F.col("peak").cast("bigint").alias("peak_concurrency"))
+        .agg(F.min("bts").alias("peak_ts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q160: Benford first-digit audit over order amounts — the classic
+# fraud / synthetic-data screen. Counts per leading digit of the int64
+# cent amount, observed share vs Benford's log10(1 + 1/d) expectation,
+# both in integer ppm (the expectation through ONE identical double
+# tree, floored). Pure two-level hash aggregate + a 9-row broadcast.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q160_benford_audit",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cents WHERE c > 0 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM digits)
+    SELECT d.digit, d.n,
+           CAST((d.n * 1000000) // t.total AS BIGINT) AS observed_ppm,
+           CAST(floor(ln(1.0 + 1.0 / CAST(d.digit AS DOUBLE)) / ln(10.0) * 1000000) AS BIGINT) AS benford_ppm,
+           CAST((d.n * 1000000) // t.total
+                - CAST(floor(ln(1.0 + 1.0 / CAST(d.digit AS DOUBLE)) / ln(10.0) * 1000000) AS BIGINT)
+                AS BIGINT) AS dev_ppm
+    FROM digits d CROSS JOIN tot t
+    """,
+    doc="Benford's-law first-digit audit of order amounts: per leading "
+    "digit of the exact int64 cent value — count, observed share in "
+    "integer ppm (truncating DIV), the Benford expectation "
+    "floor(log10(1+1/d) * 1e6) via one identical double tree, and the "
+    "signed deviation. The digit is taken from the decimal string (no "
+    "float log10 on the data path); one hash aggregate plus a 9-row "
+    "broadcast total — nothing data-sized after the scan.",
+    tags=("agg", "quality", "audit", "benford", "gold"),
+)
+def q160_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    digits = (
+        o.select(cents.alias("c"))
+        .filter(F.col("c") > 0)
+        .groupBy(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = digits.agg(F.sum("n").cast("bigint").alias("total"))
+    benford = F.floor(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+        / F.log(F.lit(10.0))
+        * 1000000
+    ).cast("bigint")
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST((n * 1000000) DIV total AS BIGINT)").alias("observed_ppm"),
+            benford.alias("benford_ppm"),
+            (
+                F.expr("CAST((n * 1000000) DIV total AS BIGINT)") - benford
+            ).cast("bigint").alias("dev_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q161: int8 embedding quantization audit — symmetric per-vector int8
+# compression (code = round-toward-zero of q * 127 / max|q|) with exact
+# integer reconstruction-error accounting per label. Every step runs on
+# the q48-convention QUANT-quantized integer vectors, so codes, the
+# reconstruction, and the summed squared error are bit-identical in
+# both engines — no float round() semantics anywhere. The compression
+# ratio a serving tier buys (4 bytes -> 1 byte) priced in exact SSE.
+# --------------------------------------------------------------------------
+
+_SQL_QV = f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+
+
+@query(
+    "q161_int8_quantization",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, {_SQL_QV} AS qv FROM embeddings),
+    el AS (
+      SELECT vec_id, label, unnest(qv) AS qx FROM q
+    ),
+    m AS (
+      SELECT vec_id, CAST(MAX(abs(qx)) AS BIGINT) AS ma FROM el GROUP BY vec_id
+    ),
+    err AS (
+      SELECT el.vec_id, el.label,
+             el.qx - (CASE WHEN el.qx < 0
+                           THEN -(((abs(el.qx) * 127) // m.ma) * m.ma // 127)
+                           ELSE ((el.qx * 127) // m.ma) * m.ma // 127 END) AS e
+      FROM el JOIN m ON el.vec_id = m.vec_id
+      WHERE m.ma > 0
+    ),
+    sse AS (
+      SELECT vec_id, label, CAST(SUM(e * e) AS BIGINT) AS sse
+      FROM err GROUP BY vec_id, label
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(sse) AS BIGINT) AS sum_sse,
+           CAST(MAX(sse) AS BIGINT) AS max_sse
+    FROM sse GROUP BY label
+    """,
+    doc="Int8 quantization audit per label: vectors quantized to integer "
+    f"units (floor(x * {QUANT}), the q48 parity convention), int8 code "
+    "= sign-decomposed (|q| * 127) DIV max|q|, reconstruction = "
+    "(|code| * max|q|) DIV 127 with the sign restored, and SSE of the "
+    "integer residuals summed exactly per vector then per label. "
+    "All-integer arithmetic end to end — both engines agree bit-for-"
+    "bit. Spark side stays in Catalyst array land (transform/aggregate "
+    "— no explode, no shuffle before the per-label aggregate); the "
+    "oracle unnests to rows, an independent formulation of the same "
+    "math.",
+    tags=("ext", "embedding", "quantization", "compression", "audit"),
+)
+def q161_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qv = quantized("embedding")
+    withq = e.select("vec_id", "label", qv.alias("qv")).withColumn(
+        "ma", F.array_max(F.transform(F.col("qv"), lambda x: F.abs(x)))
+    )
+    # integer int8 round-trip residual per element; sign-decomposed DIV
+    # so Spark and DuckDB truncate identically on negatives
+    err_sq_sum = F.expr(
+        "aggregate("
+        "  transform(qv, x -> x - (CASE WHEN x < 0"
+        "    THEN -((((-x) * 127) DIV ma) * ma DIV 127)"
+        "    ELSE (((x * 127) DIV ma) * ma DIV 127) END)),"
+        "  CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+    )
+    sse = (
+        withq.filter(F.col("ma") > 0)
+        .select("vec_id", "label", err_sq_sum.cast("bigint").alias("sse"))
+    )
+    return sse.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("sse").cast("bigint").alias("sum_sse"),
+        F.max("sse").cast("bigint").alias("max_sse"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q162: exact weighted median per return flag — the robust midpoint
+# (price weighted by quantity) over a 3-value group key, i.e. exactly
+# the low-cardinality skew case where Window.partitionBy(flag) would
+# sort a third of the table in one task. Two-pass bucket histogram
+# instead: fixed-width price buckets aggregate weights (dimension-
+# sized), the prefix sum locates each group's boundary bucket, and only
+# boundary-bucket rows pay a row-level window — partitioned by (flag,
+# bucket), bounded by the bucket width. Definition: smallest price p
+# with 2 * cumweight(<= p) >= total weight (all-integer test).
+# --------------------------------------------------------------------------
+
+_WM_BUCKET = 100000  # cents per histogram bucket
+
+
+@query(
+    "q162_weighted_median",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    pp AS (
+      SELECT l_returnflag, pc, CAST(SUM(w) AS BIGINT) AS w
+      FROM r GROUP BY l_returnflag, pc
+    ),
+    c AS (
+      SELECT l_returnflag, pc, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY pc) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM pp
+    )
+    SELECT l_returnflag,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN pc END) AS BIGINT) AS median_cents
+    FROM c GROUP BY l_returnflag
+    """,
+    doc="Exact quantity-weighted median price per return flag: smallest "
+    "price with 2*cumweight >= total (all-integer, no interpolation "
+    "ambiguity). The flag key has 3 values — a per-group sort window "
+    "would put ~a third of the table in one task — so the engine runs "
+    "the two-pass bucket histogram: weights aggregate per (flag, "
+    "100k-cent bucket), the dimension-sized histogram's prefix sum "
+    "finds each flag's boundary bucket and the weight already below "
+    "it, and ONLY boundary-bucket rows run a cumulative window "
+    "(partitioned by flag+bucket, bounded by bucket width). The "
+    "oracle is the direct one-window formulation — independent path, "
+    "identical integers.",
+    tags=("agg", "median", "robust", "skew", "twopass", "gold"),
+)
+def q162_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("pc"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    rb = r.withColumn("bkt", F.expr(f"pc DIV {_WM_BUCKET}"))
+    hist = rb.groupBy("l_returnflag", "bkt").agg(F.sum("w").alias("bw"))
+    wspec = Window.partitionBy("l_returnflag").orderBy("bkt")
+    cum = hist.select(
+        "l_returnflag",
+        "bkt",
+        F.coalesce(
+            F.sum("bw").over(wspec.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("below"),
+        F.sum("bw")
+        .over(wspec.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("through"),
+        F.sum("bw")
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("tw"),
+    )
+    boundary = cum.filter(
+        (2 * F.col("through") >= F.col("tw")) & (2 * F.col("below") < F.col("tw"))
+    ).select("l_returnflag", "bkt", "below", "tw")
+    # second pass: only boundary-bucket rows, cumulative weight within,
+    # offset by the histogram's weight below the bucket
+    inb = (
+        rb.join(F.broadcast(boundary), ["l_returnflag", "bkt"])
+        .groupBy("l_returnflag", "bkt", "below", "tw", "pc")
+        .agg(F.sum("w").alias("w"))
+    )
+    run = inb.withColumn(
+        "cw",
+        F.col("below")
+        + F.sum("w").over(
+            Window.partitionBy("l_returnflag", "bkt")
+            .orderBy("pc")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        run.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("tw").cast("bigint").alias("total_weight"),
+            F.min("pc").cast("bigint").alias("median_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q163: Pareto frontier (skyline) of parts — cheapest price for each
+# level of size: a part survives iff nothing is simultaneously >= on
+# size and <= on price with one strict. The oracle states dominance
+# directly (quadratic NOT EXISTS — fine at gate sf); the engine is
+# linear: per-size minimum price (the size domain is dimension-sized),
+# suffix-min over strictly larger sizes, survive iff cheapest at your
+# size AND strictly cheaper than everything larger. Frontier points
+# aggregate surviving parts.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q163_pareto_frontier",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_size,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+      FROM part
+    ),
+    sky AS (
+      SELECT a.p_size, a.pc FROM p a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.p_size >= a.p_size AND b.pc <= a.pc
+          AND (b.p_size > a.p_size OR b.pc < a.pc)
+      )
+    )
+    SELECT p_size, pc AS price_cents, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM sky GROUP BY p_size, pc
+    """,
+    doc="Pareto frontier of parts (maximize size, minimize price): a part "
+    "is on the skyline iff no part is >= in size and <= in price with "
+    "one strict. Engine path is LINEAR in the data: min price per size "
+    "(size is a bounded dimension), suffix-min over strictly larger "
+    "sizes via a dimension-sized window, survivors = rows matching "
+    "their size's min and strictly under the larger-size suffix-min. "
+    "The oracle is the textbook quadratic NOT EXISTS — an independent "
+    "statement of dominance the linear plan must reproduce exactly. "
+    "Prices compared as exact int64 cents.",
+    tags=("skyline", "pareto", "dominance", "gold"),
+)
+def q163_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_size",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("pc"),
+    )
+    per_size = p.groupBy("p_size").agg(
+        F.min("pc").alias("minp"), F.count(F.lit(1)).alias("_n")
+    )
+    # suffix-min of min-price over strictly larger sizes (dimension-sized)
+    suf = per_size.select(
+        "p_size",
+        "minp",
+        F.min("minp")
+        .over(
+            Window.orderBy(F.col("p_size").desc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("suf_larger"),
+    )
+    frontier_sizes = suf.filter(
+        (F.col("suf_larger").isNull()) | (F.col("minp") < F.col("suf_larger"))
+    ).select("p_size", "minp")
+    return (
+        p.join(F.broadcast(frontier_sizes), "p_size")
+        .filter(F.col("pc") == F.col("minp"))
+        .groupBy("p_size", F.col("pc").alias("price_cents"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q164: document-frequency drift between corpus halves — the
+# distribution-shift monitor: words whose document-frequency rate (ppm
+# of docs containing the word) moved most between the doc_id-even and
+# doc_id-odd halves. Conditional-sum flags in one word-keyed aggregate,
+# corpus sizes broadcast, top-25 by absolute ppm delta. The shape a
+# training-mix owner runs when a new crawl snapshot lands.
+# --------------------------------------------------------------------------
+
+_DRIFT_MIN_DF = 5
+
+
+@query(
+    "q164_df_drift",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS word
+      FROM documents
+    ),
+    halves AS (
+      SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM documents
+    ),
+    dfx AS (
+      SELECT word,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS df_b
+      FROM w GROUP BY word
+    ),
+    rated AS (
+      SELECT d.word, d.df_a, d.df_b,
+             CAST((d.df_a * 1000000) // h.n_a AS BIGINT) AS rate_a_ppm,
+             CAST((d.df_b * 1000000) // h.n_b AS BIGINT) AS rate_b_ppm
+      FROM dfx d CROSS JOIN halves h
+      WHERE d.df_a + d.df_b >= {_DRIFT_MIN_DF}
+    )
+    SELECT word, df_a, df_b, rate_a_ppm, rate_b_ppm,
+           CAST(abs(rate_a_ppm - rate_b_ppm) AS BIGINT) AS drift_ppm
+    FROM rated
+    ORDER BY drift_ppm DESC, word LIMIT 25
+    """,
+    doc="Top-25 words by document-frequency drift between the doc_id-even "
+    "and doc_id-odd corpus halves: per-word distinct-doc flags "
+    "conditional-summed in ONE word-keyed aggregate, half sizes "
+    "broadcast, rates in integer ppm (truncating DIV), ranked by "
+    f"absolute delta (min combined df {_DRIFT_MIN_DF}). Distributed "
+    "partial top-k; nothing but the word-keyed shuffle is data-sized.",
+    tags=("text", "drift", "monitoring", "ext"),
+)
+def q164_df_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("word"))
+        .distinct()
+    )
+    halves = docs.agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    dfx = w.groupBy("word").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("df_a"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("df_b"),
+    )
+    rated = (
+        dfx.filter(F.col("df_a") + F.col("df_b") >= _DRIFT_MIN_DF)
+        .crossJoin(F.broadcast(halves))
+        .select(
+            "word",
+            "df_a",
+            "df_b",
+            F.expr("CAST((df_a * 1000000) DIV n_a AS BIGINT)").alias("rate_a_ppm"),
+            F.expr("CAST((df_b * 1000000) DIV n_b AS BIGINT)").alias("rate_b_ppm"),
+        )
+    )
+    return (
+        rated.select(
+            "word",
+            "df_a",
+            "df_b",
+            "rate_a_ppm",
+            "rate_b_ppm",
+            F.abs(F.col("rate_a_ppm") - F.col("rate_b_ppm"))
+            .cast("bigint")
+            .alias("drift_ppm"),
+        )
+        .orderBy(F.col("drift_ppm").desc(), "word")
+        .limit(25)
+    )
