@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import QUANT, quantized
 from ..sources import tables
+from .queries_dedup import _SQL_SHINGLES as _SQL_SHINGLES_X
 from .registry import query
 
 
@@ -94,11 +95,17 @@ _CONC_MINUTES = 30
     tags=("window", "interval", "sweepline", "monitoring", "gold"),
 )
 def q159_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    return peak_concurrency_plan(_t(spark, sf_dir, "events"))
+
+
+def peak_concurrency_plan(e: DataFrame, minutes: int = _CONC_MINUTES) -> DataFrame:
+    """The q159 plan over any (event_type, ts) frame — ONE definition
+    shared by the registered query and the scale smoke (the ext5
+    convention), so the smoke can never drift to timing a stale copy."""
     starts = e.select("event_type", F.col("ts").alias("bts"), F.lit(1).alias("delta"))
     ends = e.select(
         "event_type",
-        F.expr(f"ts + INTERVAL {_CONC_MINUTES} MINUTES").alias("bts"),
+        F.expr(f"ts + INTERVAL {minutes} MINUTES").alias("bts"),
         F.lit(-1).alias("delta"),
     )
     net = (
@@ -130,12 +137,16 @@ def q159_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "bts", "run")
     )
-    peaks = runs.groupBy("event_type").agg(F.max("run").alias("peak"))
-    return (
-        runs.join(F.broadcast(peaks), "event_type")
-        .filter(F.col("run") == F.col("peak"))
-        .groupBy("event_type", F.col("peak").cast("bigint").alias("peak_concurrency"))
-        .agg(F.min("bts").alias("peak_ts"))
+    # single-pass argmax: min over (-run, bts) structs picks the highest
+    # run and, among ties, the EARLIEST instant — no second traversal of
+    # the runs subtree (a peaks+join-back formulation executes it twice)
+    m = runs.groupBy("event_type").agg(
+        F.min(F.struct((-F.col("run")).alias("nrun"), F.col("bts"))).alias("m")
+    )
+    return m.select(
+        "event_type",
+        (-F.col("m.nrun")).cast("bigint").alias("peak_concurrency"),
+        F.col("m.bts").alias("peak_ts"),
     )
 
 
@@ -346,11 +357,21 @@ def q162_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pc"),
         F.col("l_quantity").cast("bigint").alias("w"),
     )
-    rb = r.withColumn("bkt", F.expr(f"pc DIV {_WM_BUCKET}"))
-    hist = rb.groupBy("l_returnflag", "bkt").agg(F.sum("w").alias("bw"))
-    wspec = Window.partitionBy("l_returnflag").orderBy("bkt")
+    return weighted_median_plan(r, "l_returnflag")
+
+
+def weighted_median_plan(
+    r: DataFrame, group_col: str, bucket: int = _WM_BUCKET
+) -> DataFrame:
+    """The q162 two-pass bucket-histogram weighted median over any
+    (group_col, pc, w) frame — shared by the registered query and the
+    scale smoke. `pc` must be a non-negative bigint value, `w` a
+    positive bigint weight."""
+    rb = r.withColumn("bkt", F.expr(f"pc DIV {bucket}"))
+    hist = rb.groupBy(group_col, "bkt").agg(F.sum("w").alias("bw"))
+    wspec = Window.partitionBy(group_col).orderBy("bkt")
     cum = hist.select(
-        "l_returnflag",
+        group_col,
         "bkt",
         F.coalesce(
             F.sum("bw").over(wspec.rowsBetween(Window.unboundedPreceding, -1)),
@@ -360,31 +381,31 @@ def q162_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wspec.rowsBetween(Window.unboundedPreceding, 0))
         .alias("through"),
         F.sum("bw")
-        .over(Window.partitionBy("l_returnflag"))
+        .over(Window.partitionBy(group_col))
         .alias("tw"),
     )
     boundary = cum.filter(
         (2 * F.col("through") >= F.col("tw")) & (2 * F.col("below") < F.col("tw"))
-    ).select("l_returnflag", "bkt", "below", "tw")
+    ).select(group_col, "bkt", "below", "tw")
     # second pass: only boundary-bucket rows, cumulative weight within,
     # offset by the histogram's weight below the bucket
     inb = (
-        rb.join(F.broadcast(boundary), ["l_returnflag", "bkt"])
-        .groupBy("l_returnflag", "bkt", "below", "tw", "pc")
+        rb.join(F.broadcast(boundary), [group_col, "bkt"])
+        .groupBy(group_col, "bkt", "below", "tw", "pc")
         .agg(F.sum("w").alias("w"))
     )
     run = inb.withColumn(
         "cw",
         F.col("below")
         + F.sum("w").over(
-            Window.partitionBy("l_returnflag", "bkt")
+            Window.partitionBy(group_col, "bkt")
             .orderBy("pc")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
     return (
         run.filter(2 * F.col("cw") >= F.col("tw"))
-        .groupBy("l_returnflag")
+        .groupBy(group_col)
         .agg(
             F.max("tw").cast("bigint").alias("total_weight"),
             F.min("pc").cast("bigint").alias("median_cents"),
@@ -563,4 +584,191 @@ def q164_df_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("drift_ppm").desc(), "word")
         .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# q165: calendar gap-fill with LINEAR interpolation — q135's densify
+# step, but interior holes take the straight line between the previous
+# and next observed close instead of repeating the last one (the repair
+# a returns/volatility series wants: ffill manufactures zero-return
+# days, interpolation spreads the move). All arithmetic is integer
+# fixed-point: values in DECIMAL(18,4)*10000 units, the slope step a
+# sign-decomposed truncating DIV — identical in both engines. Every
+# window partitions on the high-cardinality user key.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q165_gap_fill_interp",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS r
+      FROM events
+    ),
+    obs AS (SELECT user_id, day, v_fp AS obs_fp FROM daily WHERE r = 1),
+    span AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM obs GROUP BY user_id),
+    cal AS (SELECT user_id,
+                   CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM span),
+    j AS (SELECT c.user_id, c.day, o.obs_fp
+          FROM cal c LEFT JOIN obs o ON o.user_id = c.user_id AND o.day = c.day),
+    nb AS (
+      SELECT user_id, day, obs_fp,
+             last_value(obs_fp IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN obs_fp IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(obs_fp IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN obs_fp IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, day,
+           CAST(CASE WHEN obs_fp IS NOT NULL THEN obs_fp
+                ELSE pv + (CASE WHEN (nv - pv) * (day - pd) < 0
+                           THEN -((-((nv - pv) * (day - pd))) // (nd - pd))
+                           ELSE ((nv - pv) * (day - pd)) // (nd - pd) END)
+                END AS BIGINT) AS value_fp,
+           (obs_fp IS NULL) AS is_filled
+    FROM nb
+    """,
+    doc="Daily resample + LINEAR interpolation: per key, close-of-day "
+    "value (last tick wins), densified to the key's min..max calendar, "
+    "interior holes take prev + (next-prev)*(day-prev_day) DIV "
+    "(next_day-prev_day) in exact DECIMAL(18,4)-derived fixed-point "
+    "units with a sign-decomposed truncating division (identical "
+    "integers both engines; span endpoints are always observed, so "
+    "every hole has both neighbors). Explode fan-out is bounded by the "
+    "date span; all four neighbor windows and the fill join partition "
+    "on the high-cardinality user key — one shuffle family, no skewed "
+    "sort.",
+    tags=("window", "timeseries", "gapfill", "interpolation", "gold"),
+)
+def q165_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily_w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        e.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            (F.col("value").cast("decimal(18,4)") * 10000)
+            .cast("bigint")
+            .alias("v_fp"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("r", F.row_number().over(daily_w))
+        .filter(F.col("r") == 1)
+        .select("user_id", "day", F.col("v_fp").alias("obs_fp"))
+    )
+    cal = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    j = cal.join(obs, ["user_id", "day"], "left")
+    back = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("obs_fp").isNotNull(), F.col("day"))
+    nb = j.select(
+        "user_id",
+        "day",
+        "obs_fp",
+        F.last("obs_fp", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("obs_fp", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    # sign-decomposed truncating integer division (den >= 2 on every
+    # hole: both neighbors observed, at least one day between them)
+    step = F.expr(
+        "CASE WHEN (nv - pv) * datediff(`day`, pd) < 0"
+        " THEN -((-((nv - pv) * datediff(`day`, pd))) DIV datediff(nd, pd))"
+        " ELSE ((nv - pv) * datediff(`day`, pd)) DIV datediff(nd, pd) END"
+    )
+    return nb.select(
+        "user_id",
+        "day",
+        F.when(F.col("obs_fp").isNotNull(), F.col("obs_fp"))
+        .otherwise(F.col("pv") + step)
+        .cast("bigint")
+        .alias("value_fp"),
+        F.col("obs_fp").isNull().alias("is_filled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q166: vocabulary growth curve — distinct 3-gram shingles introduced
+# per ingestion decile (doc_id order) and the cumulative total: the
+# saturation diagnostic that tells a corpus owner whether the next 10%
+# of crawl still buys new content. One aggregate keyed on shingle
+# (min doc_id), a broadcast of the max id, and a 10-row window.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q166_vocab_growth",
+    oracle=f"""
+    WITH {_SQL_SHINGLES_X},
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM shingled GROUP BY shingle),
+    mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    perd AS (
+      SELECT CAST((f.first_doc * 10) // m.n AS INT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_new_shingles
+      FROM firsts f CROSS JOIN mx m
+      GROUP BY 1
+    )
+    SELECT decile, n_new_shingles,
+           CAST(SUM(n_new_shingles) OVER (ORDER BY decile) AS BIGINT) AS cum_shingles
+    FROM perd
+    """,
+    doc="Vocabulary growth by ingestion decile: each distinct 3-gram "
+    "shingle is charged to the decile of the FIRST doc_id containing "
+    "it ((first_doc * 10) DIV (max_id + 1)); output is new-shingle "
+    "count per decile plus the cumulative curve. The shingle explode "
+    "feeds ONE min-aggregate keyed on shingle (map-side combinable), "
+    "the corpus size is a broadcast scalar, and the cumulative window "
+    "runs over 10 rows. The q42 shingle construction (3-token windows "
+    "over the trimmed split) on both sides.",
+    tags=("text", "vocabulary", "saturation", "curation", "ext"),
+)
+def q166_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exploded_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, distinct=True)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    mx = docs.agg((F.max("doc_id") + 1).alias("n"))
+    perd = (
+        firsts.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("CAST((first_doc * 10) DIV n AS INT)").alias("decile"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_shingles"))
+    )
+    return perd.select(
+        "decile",
+        "n_new_shingles",
+        F.sum("n_new_shingles")
+        .over(
+            Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("cum_shingles"),
     )

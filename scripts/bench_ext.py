@@ -45,6 +45,11 @@ EXT_HEAVY = [
     "q148_rrf_hybrid_search",
     "q151_containment_pairs",
     "q153_cluster_split",
+    # round-8 session-4 additions: canonical selection rides the CC
+    # fixpoint (second-costliest sweep query); the sweep-line peak is
+    # the new bucketed-prefix-sum shape worth tracking round-over-round
+    "q158_cluster_canonicals",
+    "q159_peak_concurrency",
 ]
 
 

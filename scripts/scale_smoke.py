@@ -496,6 +496,44 @@ def main(n_rows: int = 10_000_000) -> None:
         lambda: forced(bigram_pmi_plan(docs, min_count=2)),
     )
 
+    # --- round-8 session-4: sweep-line + robust-statistic tier at 100x --
+    # peak interval concurrency (q159): the classic formulation is ONE
+    # global ordered running sum; the production plan decomposes it into
+    # an hour-bucket histogram prefix (dimension-sized) + windows
+    # partitioned by (type, hour). Boundaries spread over ~30 days so
+    # the largest window partition is ~an hour of one type's events.
+    from e2e_stock_data_pipeline_spark.plans.queries_ext10 import (  # noqa: E402
+        peak_concurrency_plan,
+        weighted_median_plan,
+    )
+
+    conc_ev = spark.range(n_rows).select(
+        F.concat(F.lit("t"), (F.col("id") % 5)).alias("event_type"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + F.col("id") * 259_000
+            + (F.xxhash64("id") % 997)
+        ).alias("ts"),
+    )
+    timed(
+        f"peak session concurrency, sweep-line ({n_rows/1e6:.0f}M events, 5 types, ~30 days)",
+        lambda: forced(peak_concurrency_plan(conc_ev)),
+    )
+
+    # weighted median (q162) on a THREE-value group key — the shape
+    # where Window.partitionBy(group) would sort a third of the table
+    # in one task; the two-pass bucket histogram's only row-level
+    # window is (group, bucket), ~1/100th of a group.
+    wm = spark.range(n_rows).select(
+        F.concat(F.lit("g"), (F.col("id") % 3)).alias("g"),
+        F.pmod(F.xxhash64("id"), F.lit(10_000_000)).alias("pc"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(50)) + 1).alias("w"),
+    )
+    timed(
+        f"two-pass weighted median, 3 groups ({n_rows/1e6:.0f}M rows, 100 buckets/group)",
+        lambda: forced(weighted_median_plan(wm, "g")),
+    )
+
     spark.stop()
 
 

@@ -256,3 +256,77 @@ class TestDfDrift:
         out = {r.word: r for r in REG["q164_df_drift"].spark(spark, d).collect()}
         assert (out["echo"].df_a, out["echo"].df_b) == (5, 5)
         assert out["echo"].drift_ppm == 0
+
+
+class TestGapFillInterp:
+    def test_linear_interior_holes(self, spark, tmp_path):
+        # observed 10.00 on day 1 and 16.00 on day 4: holes get the line
+        rows = [
+            Row(event_id=1, ts=dt.datetime(2024, 1, 1, 10, 0), user_id=1,
+                event_type="view", value=10.0, props="{}"),
+            Row(event_id=2, ts=dt.datetime(2024, 1, 4, 10, 0), user_id=1,
+                event_type="view", value=16.0, props="{}"),
+        ]
+        d = _write(tmp_path, "events", rows)
+        out = {
+            r.day.day: (r.value_fp, r.is_filled)
+            for r in REG["q165_gap_fill_interp"].spark(spark, d).collect()
+        }
+        assert out == {
+            1: (100000, False),
+            2: (120000, True),
+            3: (140000, True),
+            4: (160000, False),
+        }
+
+    def test_truncating_step_and_negative_slope(self, spark, tmp_path):
+        # 10.01 -> 10.00 over 2 days: num = -100, step = -(100 DIV 2) = -50
+        rows = [
+            Row(event_id=1, ts=dt.datetime(2024, 1, 1, 10, 0), user_id=1,
+                event_type="view", value=10.01, props="{}"),
+            Row(event_id=2, ts=dt.datetime(2024, 1, 3, 10, 0), user_id=1,
+                event_type="view", value=10.00, props="{}"),
+        ]
+        d = _write(tmp_path, "events", rows)
+        out = {
+            r.day.day: r.value_fp
+            for r in REG["q165_gap_fill_interp"].spark(spark, d).collect()
+        }
+        assert out == {1: 100100, 2: 100050, 3: 100000}
+
+    def test_last_tick_of_day_wins(self, spark, tmp_path):
+        rows = [
+            Row(event_id=1, ts=dt.datetime(2024, 1, 1, 9, 0), user_id=1,
+                event_type="view", value=5.0, props="{}"),
+            Row(event_id=2, ts=dt.datetime(2024, 1, 1, 17, 0), user_id=1,
+                event_type="view", value=7.0, props="{}"),
+        ]
+        d = _write(tmp_path, "events", rows)
+        [r] = REG["q165_gap_fill_interp"].spark(spark, d).collect()
+        assert (r.value_fp, r.is_filled) == (70000, False)
+
+
+class TestVocabGrowth:
+    def test_shingle_charged_to_first_decile(self, spark, tmp_path):
+        # 10 docs = 10 deciles; doc 5 repeats doc 0's text, so decile 5
+        # introduces nothing and is absent from the per-decile rows
+        rows = [_doc(i, f"a{i} b{i} c{i}") for i in range(10)]
+        rows[5] = _doc(5, "a0 b0 c0")
+        d = _write(tmp_path, "documents", rows)
+        out = {
+            r.decile: (r.n_new_shingles, r.cum_shingles)
+            for r in REG["q166_vocab_growth"].spark(spark, d).collect()
+        }
+        assert 5 not in out
+        assert out[0] == (1, 1)
+        assert out[9] == (1, 9)
+        assert len(out) == 9
+
+    def test_cumulative_is_total_distinct(self, spark, tmp_path):
+        rows = [_doc(i, "w1 w2 w3 w4") for i in range(10)]  # 2 shingles, all shared
+        d = _write(tmp_path, "documents", rows)
+        out = sorted(
+            (r.decile, r.n_new_shingles, r.cum_shingles)
+            for r in REG["q166_vocab_growth"].spark(spark, d).collect()
+        )
+        assert out == [(0, 2, 2)]
