@@ -534,6 +534,22 @@ def main(n_rows: int = 10_000_000) -> None:
         lambda: forced(weighted_median_plan(wm, "g")),
     )
 
+    # generalized exact quantiles (q168's plan): SIX percentiles from
+    # ONE histogram pass — the boundary buckets differ per p but the
+    # row-level windows still only touch boundary-bucket rows.
+    from e2e_stock_data_pipeline_spark.plans.queries_ext11 import (  # noqa: E402
+        exact_group_quantiles_plan,
+    )
+
+    timed(
+        f"exact p1/p37/p50/p90/p99/p100, 3 groups ({n_rows/1e6:.0f}M rows)",
+        lambda: forced(
+            exact_group_quantiles_plan(
+                wm, "g", (1, 37, 50, 90, 99, 100), bucket=100_000
+            )
+        ),
+    )
+
     spark.stop()
 
 
