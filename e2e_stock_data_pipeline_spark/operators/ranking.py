@@ -71,6 +71,27 @@ def global_ntile(
     return ranked.withColumn(tile_col, tile).drop("_grank")
 
 
+def _sort_child(c: Column) -> Column:
+    """Return the value expression under a sort-ordered Column.
+
+    ``F.col("v").desc()`` wraps the column in a SortOrder expression —
+    orderable, but not evaluable: feeding it to xxhash64 fails analysis.
+    For hashing we only need the VALUE (salt spread is direction-
+    independent), so unwrap SortOrder children and pass plain columns
+    through untouched.
+    """
+    try:
+        node = c._jc.node()  # classic Spark 4: Column wraps a ColumnNode
+        if node.getClass().getSimpleName() == "SortOrder":
+            from pyspark.sql import SparkSession
+
+            jvm = SparkSession.getActiveSession()._jvm
+            return Column(jvm.org.apache.spark.sql.Column(node.child()))
+    except Exception:
+        pass  # non-classic backends / API drift: hash the column as given
+    return c
+
+
 def salted_group_topk(
     df: DataFrame,
     keys: list[str],
@@ -93,10 +114,16 @@ def salted_group_topk(
     or the result is nondeterministic. ``salt_col`` defaults to a
     deterministic xxhash64 spread over ``n_salts``; callers may pass
     their own (e.g. pmod of a row id) — determinism of the RESULT never
-    depends on the salt, only skew-safety does.
+    depends on the salt, only skew-safety does. Sort-ordered Columns
+    (``F.col("v").desc()``) are fine in ``order_cols``: the default salt
+    strips the SortOrder wrapper before hashing (xxhash64 over a raw
+    SortOrder fails analysis).
     """
     if salt_col is None:
-        salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in keys], *order_cols), F.lit(n_salts))
+        salt_col = F.pmod(
+            F.xxhash64(*[F.col(c) for c in keys], *[_sort_child(c) for c in order_cols]),
+            F.lit(n_salts),
+        )
     pre = Window.partitionBy(*keys, "_salt").orderBy(*order_cols)
     survivors = (
         df.withColumn("_salt", salt_col)

@@ -462,9 +462,7 @@ def q163_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pc"),
     )
-    per_size = p.groupBy("p_size").agg(
-        F.min("pc").alias("minp"), F.count(F.lit(1)).alias("_n")
-    )
+    per_size = p.groupBy("p_size").agg(F.min("pc").alias("minp"))
     # suffix-min of min-price over strictly larger sizes (dimension-sized)
     suf = per_size.select(
         "p_size",
@@ -754,7 +752,10 @@ def q166_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exploded_shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs, distinct=True)
+    # distinct=False: MIN(doc_id) over the shingle multiset equals MIN
+    # over its set, so the per-doc dedup shuffle is pure cost here (the
+    # oracle's DISTINCT feeds COUNT(*) of firsts, also multiset-invariant).
+    sh = exploded_shingles(docs, distinct=False)
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     mx = docs.agg((F.max("doc_id") + 1).alias("n"))
     perd = (

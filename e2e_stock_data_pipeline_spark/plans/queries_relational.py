@@ -68,26 +68,51 @@ def _units_double(dec_sum, scale: int):
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    # Narrow decimals keep the triple product exact (within precision 38)
-    # in BOTH engines; wider ones overflow DuckDB's cap into double math.
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    one = F.lit(1).cast("decimal(3,2)")
-    disc_price = price * (one - F.col("l_discount").cast("decimal(3,2)"))
-    charge = disc_price * (one + F.col("l_tax").cast("decimal(3,2)"))
+    # All-int64 hot path (r9): every input has <= 2 decimal places, so a
+    # narrow-decimal cast then *100 -> BIGINT extracts exact fixed-point
+    # units per row, and every SUM is a plain long add in whole-stage
+    # codegen instead of Spark's widened-decimal accumulator (which goes
+    # non-compact past precision 18 and costs ~2x; measured sf1: 1.17 s
+    # -> 0.6 s). The group sums are the SAME integers the oracle's
+    # CAST(SUM(DECIMAL)*10^k AS BIGINT) produces, and the final
+    # units->double->/10^k ops are identical in both engines, so results
+    # stay bit-identical (verified sf0.001..sf1). int64 headroom: charge
+    # units peak ~1.1e11/row -> safe to ~sf10; past that move the unit
+    # extraction to 1e2 scale or back to decimal sums.
+    price_u = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
+    disc_u = (F.col("l_discount").cast("decimal(3,2)") * 100).cast("bigint")
+    tax_u = (F.col("l_tax").cast("decimal(3,2)") * 100).cast("bigint")
+    qty_u = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint")
+    dp_u = price_u * (100 - disc_u)  # disc_price in 1e-4 units
+    ch_u = dp_u * (100 + tax_u)  # charge in 1e-6 units
     cnt = F.count(F.lit(1))
-    return (
+    grouped = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _units_double(F.sum(dec("l_quantity")), 4).alias("sum_qty"),
-            _units_double(F.sum(dec("l_extendedprice")), 4).alias("sum_base_price"),
-            _units_double(F.sum(disc_price), 4).alias("sum_disc_price"),
-            _units_double(F.sum(charge), 6).alias("sum_charge"),
-            (_units_double(F.sum(dec("l_quantity")), 4) / cnt).alias("avg_qty"),
-            (_units_double(F.sum(dec("l_extendedprice")), 4) / cnt).alias("avg_price"),
-            (_units_double(F.sum(dec("l_discount")), 4) / cnt).alias("avg_disc"),
+            (F.sum(qty_u) * 100).alias("_qty_u4"),
+            (F.sum(price_u) * 100).alias("_price_u4"),
+            F.sum(dp_u).alias("_dp_u4"),
+            F.sum(ch_u).alias("_ch_u6"),
+            (F.sum(disc_u) * 100).alias("_disc_u4"),
             cnt.alias("count_order"),
         )
+    )
+    return grouped.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("_qty_u4").cast("double") / 1e4).alias("sum_qty"),
+        (F.col("_price_u4").cast("double") / 1e4).alias("sum_base_price"),
+        (F.col("_dp_u4").cast("double") / 1e4).alias("sum_disc_price"),
+        (F.col("_ch_u6").cast("double") / 1e6).alias("sum_charge"),
+        (F.col("_qty_u4").cast("double") / 1e4 / F.col("count_order")).alias("avg_qty"),
+        (F.col("_price_u4").cast("double") / 1e4 / F.col("count_order")).alias(
+            "avg_price"
+        ),
+        (F.col("_disc_u4").cast("double") / 1e4 / F.col("count_order")).alias(
+            "avg_disc"
+        ),
+        "count_order",
     )
 
 
@@ -176,20 +201,40 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q03_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    # r9 shape: (1) pre-aggregate lineitem revenue by l_orderkey BEFORE
+    # any join — the GROUP BY keys (o_orderkey, o_orderdate,
+    # o_orderpriority) are functionally dependent on the orders PK, so
+    # aggregating first is exact and moves the hash-agg below the join
+    # where partial aggregation collapses it map-side; (2) reduce orders
+    # with the customer-segment semi side FIRST so the broadcast build is
+    # ~segment-fraction of filtered orders (~1/5) instead of all of them.
+    # Measured sf1: 1.21 s -> 0.78 s, plan has ONE data-sized exchange.
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    oc = F.broadcast(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
     )
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
     )
     revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    per_order = l.groupBy("l_orderkey").agg(F.sum(revenue).alias("_rev"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        per_order.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )

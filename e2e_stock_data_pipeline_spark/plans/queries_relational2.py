@@ -145,7 +145,9 @@ def q35_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned_sf_dir="/root/testdata/sf0.01",
 )
 def q36_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # load_raw: lineage must report the DELIVERED file, not the engine's
+    # internal re-split cache layout.
+    o = tables.load_raw(spark, sf_dir, "orders")
     base = F.regexp_extract(F.col("_metadata.file_path"), "([^/]+)$", 1)
     return o.select(base.alias("source_file")).groupBy("source_file").agg(
         F.count(F.lit(1)).alias("n")

@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Static conf, must be set before the first session in the JVM.
+        # Default 100 thrashes on any multi-query workload: the registry's
+        # headline set alone generates >100 codegen units (whole-stage
+        # bodies, unsafe projections, orderings, predicates all share this
+        # LRU), so every repeated run re-runs Janino + HotSpot on freshly
+        # evicted classes — measured 15-20 s of compiler-thread time per
+        # bench pass that never amortizes. 10k entries holds the whole
+        # 171-query registry compiled.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
+from e2e_stock_data_pipeline_spark.session import DEFAULT_CPUS
+
 TABLE_NAMES = (
     "region",
     "nation",
@@ -67,20 +69,32 @@ def _us_schema(schema: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
-# Re-split threshold: a table this large shipped as ONE single-row-group
-# parquet file caps Spark's scan parallelism at one task (a row group is
-# the atomic read unit, and one file : one byte-range under the default
+# Re-split policy: a table shipped as ONE single-row-group parquet file
+# caps Spark's scan parallelism at one task (a row group is the atomic
+# read unit, and one file : one byte-range under the default
 # maxPartitionBytes), which serializes every downstream stage's first
 # exchange. The engine's own bronze/maintenance layers already size files
 # to the cluster at write time; for driver-provided files we apply the
-# same posture once, splitting into ~50k-row part files in the local
-# rewrite cache (12 parallel scan tasks for sf0.1 lineitem instead of 1).
-# Values are untouched — only the file grouping changes.
+# same posture once in the local rewrite cache. Values are untouched —
+# only the file grouping changes.
+#
+# Two triggers:
+#  * volume: big by rows or bytes (lineitem) — split into ~50k-row /
+#    ~2 MB chunks so the scan stage gets dozens of tasks;
+#  * width: ANY non-trivial table (>= 2k rows) is split to at least
+#    cluster width. Bytes wildly understate compute for these — sf1
+#    `documents` is 4 MB / 50k rows but its scan stage feeds a shingle
+#    explode doing ~10M sha256s, and `embeddings` feeds 768-wide dot
+#    products; DuckDB parallelizes inside a row group (morsels), Spark
+#    cannot, so a single-file layout runs those stages 1-task. Measured
+#    r9: q41 minhash 7.2 s -> well under half on 32 files at sf1.
 _RESPLIT_MIN_ROWS = 200_000
 _RESPLIT_MIN_BYTES = 8 * 1024 * 1024
 _RESPLIT_TARGET_CHUNK_ROWS = 50_000
 _RESPLIT_TARGET_CHUNK_BYTES = 2 * 1024 * 1024
 _RESPLIT_MAX_FILES = 64
+_RESPLIT_WIDTH_MIN_ROWS = 2_000  # below this, scheduling beats parallelism
+_RESPLIT_WIDTH_CHUNK_ROWS = 256  # never make files smaller than this
 
 _RESPLIT_PROBE_CACHE: dict[str, int] = {}
 
@@ -89,19 +103,58 @@ def _resplit_n_files(src: str) -> int:
     # Any large SINGLE file is the limiter: with one row group the scan is
     # one task outright; with many row groups it is still capped at
     # ceil(file_size / maxPartitionBytes) tasks (~2 for a 6M-row table),
-    # so the file count, not the row-group count, is what must scale. The
-    # byte trigger also catches row-heavy-but-few tables (50k documents
-    # whose scan feeds an expensive explode). Returns 0 for "leave as is".
+    # so the file count, not the row-group count, is what must scale.
+    # Returns 0 for "leave as is".
     if src not in _RESPLIT_PROBE_CACHE:
         md = pq.ParquetFile(src).metadata
         size = os.path.getsize(src)
-        if md.num_rows < _RESPLIT_MIN_ROWS and size < _RESPLIT_MIN_BYTES:
+        if md.num_rows < _RESPLIT_WIDTH_MIN_ROWS and size < _RESPLIT_MIN_BYTES:
             _RESPLIT_PROBE_CACHE[src] = 0
         else:
             by_rows = -(-md.num_rows // _RESPLIT_TARGET_CHUNK_ROWS)
             by_bytes = -(-size // _RESPLIT_TARGET_CHUNK_BYTES)
-            _RESPLIT_PROBE_CACHE[src] = min(_RESPLIT_MAX_FILES, max(by_rows, by_bytes, 1))
+            by_width = min(DEFAULT_CPUS, md.num_rows // _RESPLIT_WIDTH_CHUNK_ROWS)
+            _RESPLIT_PROBE_CACHE[src] = min(
+                _RESPLIT_MAX_FILES, max(by_rows, by_bytes, by_width, 1)
+            )
     return _RESPLIT_PROBE_CACHE[src]
+
+
+def raw_readable_path(sf_dir: str, name: str) -> str:
+    """Like spark_readable_path but WITHOUT the re-split rewrite: the
+    original one-file-per-table layout, only the ns->us timestamp fix
+    applied when Spark cannot read the source at all. For consumers whose
+    semantics depend on the delivered file identity (file-lineage columns:
+    the re-split cache is an engine-internal detail and must not leak into
+    _metadata.file_path results)."""
+    src = path_for(sf_dir, name)
+    if not _needs_ns_downcast(src):
+        return src
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(_CACHE_ROOT, tag, "raw", f"{name}.parquet")
+    if os.path.exists(dst) and os.path.getmtime(dst) >= os.path.getmtime(src):
+        return dst
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    tbl = pq.read_table(src)
+    pq.write_table(
+        tbl.cast(_us_schema(tbl.schema), safe=False), dst, compression="snappy"
+    )
+    return dst
+
+
+def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table from its original single-file layout (see
+    raw_readable_path); scan parallelism is capped by that layout, so
+    this is only for file-lineage-sensitive consumers."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = raw_readable_path(sf_dir, name)
+    key = (spark.sparkContext.applicationId, path)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _DF_CACHE[key] = df
+    return df
 
 
 def spark_readable_path(sf_dir: str, name: str) -> str:
@@ -118,7 +171,19 @@ def spark_readable_path(sf_dir: str, name: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     dst = os.path.join(_CACHE_ROOT, tag, f"{name}.parquet")
     if os.path.exists(dst) and os.path.getmtime(dst) >= os.path.getmtime(src):
-        return dst
+        # layout check: a cache written under an older split policy (or a
+        # single file where the policy now wants a directory of parts) is
+        # rebuilt, not reused — the whole point is the file COUNT.
+        if os.path.isdir(dst):
+            n_parts = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+            # expected part count under the CURRENT policy (slicing by
+            # per = ceil(rows/resplit) can land under resplit itself)
+            rows = pq.ParquetFile(src).metadata.num_rows
+            per = max(1, -(-rows // max(resplit, 1)))
+            if resplit and n_parts == -(-rows // per):
+                return dst
+        elif not resplit:
+            return dst
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     tbl = pq.read_table(src)
     if ns:
