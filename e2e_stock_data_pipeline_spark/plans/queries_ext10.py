@@ -645,55 +645,63 @@ def q164_df_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(next_day-prev_day) in exact DECIMAL(18,4)-derived fixed-point "
     "units with a sign-decomposed truncating division (identical "
     "integers both engines; span endpoints are always observed, so "
-    "every hole has both neighbors). Explode fan-out is bounded by the "
-    "date span; all four neighbor windows and the fill join partition "
-    "on the high-cardinality user key — one shuffle family, no skewed "
-    "sort.",
+    "every hole has both neighbors). Engine-side the oracle's densify-"
+    "join-window shape is fused: daily close is a max_by hash "
+    "aggregate, neighbors come from one lead() window over the "
+    "observation frame, and each gap explodes with its own endpoints "
+    "attached — no calendar join, no ignore-nulls pass over the "
+    "span-sized frame; explode fan-out stays bounded by the date span.",
     tags=("window", "timeseries", "gapfill", "interpolation", "gold"),
 )
 def q165_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fused single-window formulation (r9): the oracle's densify-then-
+    # neighbor shape (calendar explode -> left join -> two ignore-nulls
+    # window passes over the SPAN-sized frame) is equivalent to lead()
+    # neighbors over the OBSERVATION-sized frame followed by a per-gap
+    # explode that carries its own (prev, next) endpoints. Same
+    # integers, strictly less work: the daily close becomes a hash
+    # aggregate (max_by on the (ts, event_id) tiebreak struct — partial
+    # map-side combine, no sort over raw events), the span groupBy and
+    # calendar join disappear, and the only window is one lead() sort
+    # over distinct (user, day) observations.
     e = _t(spark, sf_dir, "events")
-    daily_w = Window.partitionBy("user_id", "day").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    obs = (
-        e.select(
-            "user_id",
-            F.col("ts").cast("date").alias("day"),
-            (F.col("value").cast("decimal(18,4)") * 10000)
-            .cast("bigint")
-            .alias("v_fp"),
-            "ts",
-            "event_id",
-        )
-        .withColumn("r", F.row_number().over(daily_w))
-        .filter(F.col("r") == 1)
-        .select("user_id", "day", F.col("v_fp").alias("obs_fp"))
-    )
-    cal = (
-        obs.groupBy("user_id")
-        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-        .select(
-            "user_id",
-            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day"),
-        )
-    )
-    j = cal.join(obs, ["user_id", "day"], "left")
-    back = Window.partitionBy("user_id").orderBy("day").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    fwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
-        0, Window.unboundedFollowing
-    )
-    obs_day = F.when(F.col("obs_fp").isNotNull(), F.col("day"))
-    nb = j.select(
+    # one exchange serves everything: sort within user partitions by
+    # (day, tie); the last row of each day IS the daily close (max
+    # (ts, event_id)), detected with lead(day) — and the second lead()
+    # window reuses the same partitioning and an ordering the sorted,
+    # filtered frame already satisfies, so Catalyst elides its sort
+    base = e.select(
         "user_id",
-        "day",
-        "obs_fp",
-        F.last("obs_fp", ignorenulls=True).over(back).alias("pv"),
-        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
-        F.first("obs_fp", ignorenulls=True).over(fwd).alias("nv"),
-        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+        F.col("ts").cast("date").alias("day"),
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint").alias("v_fp"),
+        F.struct("ts", "event_id").alias("tie"),
+    )
+    w_full = Window.partitionBy("user_id").orderBy("day", F.col("tie").asc())
+    closes = base.withColumn("nxt_day", F.lead("day").over(w_full)).filter(
+        (F.col("nxt_day").isNull()) | (F.col("nxt_day") != F.col("day"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    nb = closes.select(
+        "user_id",
+        F.col("day").alias("pd"),
+        F.col("v_fp").alias("pv"),
+        F.lead("v_fp").over(w).alias("nv"),
+        F.lead("day").over(w).alias("nd"),
+    )
+    # each observation owns the half-open run [pd, nd); the last
+    # observation (nd null) owns just itself — union covers the user's
+    # min..max calendar exactly once per day
+    runs = nb.select(
+        "user_id",
+        "pd",
+        "pv",
+        "nv",
+        "nd",
+        F.explode(
+            F.sequence(
+                "pd", F.coalesce(F.date_sub("nd", 1), "pd"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
     )
     # sign-decomposed truncating integer division (den >= 2 on every
     # hole: both neighbors observed, at least one day between them)
@@ -702,14 +710,14 @@ def q165_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN -((-((nv - pv) * datediff(`day`, pd))) DIV datediff(nd, pd))"
         " ELSE ((nv - pv) * datediff(`day`, pd)) DIV datediff(nd, pd) END"
     )
-    return nb.select(
+    return runs.select(
         "user_id",
         "day",
-        F.when(F.col("obs_fp").isNotNull(), F.col("obs_fp"))
+        F.when(F.col("day") == F.col("pd"), F.col("pv"))
         .otherwise(F.col("pv") + step)
         .cast("bigint")
         .alias("value_fp"),
-        F.col("obs_fp").isNull().alias("is_filled"),
+        (F.col("day") != F.col("pd")).alias("is_filled"),
     )
 
 
