@@ -92,5 +92,6 @@ def load_all_query_modules() -> dict[str, QuerySpec]:
     from . import queries_ext9  # noqa: F401
     from . import queries_ext10  # noqa: F401
     from . import queries_ext11  # noqa: F401
+    from . import queries_ext12  # noqa: F401
 
     return REGISTRY
