@@ -160,29 +160,37 @@ _KB = 10**12  # orientation key = degree * _KB + node_id (unique, int64-safe)
     tags=("graph", "triangle", "join", "ext"),
 )
 def q170_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Pair generation via per-order part arrays: ONE shuffle of the
+    # fact table builds each order's sorted distinct part list (the
+    # order-line fan-out is bounded, so the array and its C(L,2)
+    # in-memory expansion are tiny), replacing the textbook
+    # distinct -> self-join shape that shuffles the fact table three
+    # times (distinct, both join sides). sort_array makes pa < pb by
+    # construction; array_distinct subsumes the (orderkey, partkey)
+    # distinct.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_distinct(F.sort_array(F.collect_list("l_partkey"))).alias("ps")
     )
-    # apriori cut (result-preserving: a pair in >=2 orders implies each
-    # endpoint is in >=2 orders) keeps the self-join small
-    freq = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= 2)
-        .select("l_partkey")
-    )
-    lf = li.join(freq, "l_partkey")
-    a = lf.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = lf.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("pr")
+    ).select("pr.pa", "pr.pb")
     edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
+        # the census reads this tiny frame from six branches (degree,
+        # orientation, wedge pair, closing edge, edge/node counts);
+        # materialize it once instead of re-running the fact-table
+        # pipeline per branch (graph.py's localCheckpoint pattern)
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("pa").alias("x"))
