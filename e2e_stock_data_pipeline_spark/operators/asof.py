@@ -124,3 +124,64 @@ def asof_join(
         F.col("_matched_t").alias(f"asof_{right_time}"),
         *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in value_cols],
     )
+
+
+def asof_join_filtered(
+    source: DataFrame,
+    on: str,
+    time_col: str,
+    left_filter,
+    right_filter,
+    left_cols: list[str],
+    value_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Same-source as-of join: backward as-of between two DISJOINT
+    filtered views of ONE DataFrame (e.g. purchases vs views of the
+    same event stream) without materializing the union of two scans.
+
+    ``asof_join`` is source-agnostic: it unions two inputs, which for
+    the common "both sides are filters of the same table" case scans
+    and shuffles the table twice. Here the union is a tag expression
+    on a single scan — rows matching ``right_filter`` act as the right
+    side, rows matching ``left_filter`` as the left, everything else is
+    dropped before the one key-shuffle + sort. Same window fill as
+    asof_join (ties: a right row at equal time matches, tag-desc
+    ordering), bit-identical results (pinned by test against
+    asof_join on the same inputs).
+
+    ``left_filter`` and ``right_filter`` must be disjoint predicates —
+    a row satisfying both would act only as a right row here, whereas
+    asof_join's union would duplicate it on both sides.
+
+    Output: ``left_cols`` + ``asof_<time_col>`` + ``asof_<c>`` for each
+    value col. ``how`` is "inner" or "left".
+    """
+    tag = F.when(right_filter, F.lit(1)).when(left_filter, F.lit(0))
+    b = source.withColumn("_asof_tag", tag).filter(F.col("_asof_tag").isNotNull())
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(time_col), F.col("_asof_tag").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_r = F.col("_asof_tag") == 1
+    filled = b.select(
+        "*",
+        F.last(F.when(is_r, F.col(time_col)), ignorenulls=True)
+        .over(w)
+        .alias(f"asof_{time_col}"),
+        *[
+            F.last(F.when(is_r, F.col(c)), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.filter(~is_r)
+    if how == "inner":
+        out = out.filter(F.col(f"asof_{time_col}").isNotNull())
+    elif how != "left":
+        raise ValueError(f"unsupported how={how!r}")
+    return out.select(
+        *left_cols,
+        f"asof_{time_col}",
+        *[f"asof_{c}" for c in value_cols],
+    )

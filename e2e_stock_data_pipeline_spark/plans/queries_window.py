@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join, asof_join_filtered
 from ..operators.windows import keep_last
 from ..sources import tables
 from .registry import query
@@ -181,12 +181,30 @@ def q25_top3_purchases_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q26_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
-    purchases = e.filter(F.col("event_type") == "purchase")
-    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
-    return asof_join(
-        purchases, views, on="user_id", left_time="ts", right_time="ts", value_cols=["value"]
-    ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    # both sides are disjoint filters of the SAME stream: the
+    # same-source as-of variant scans events once and pushes the union
+    # into a tag expression — one scan, one key-shuffle, one sort
+    # (bit-equal to asof_join on the two filtered frames; pinned by
+    # tests/test_operators.py)
+    return asof_join_filtered(
+        e,
+        on="user_id",
+        time_col="ts",
+        left_filter=F.col("event_type") == "purchase",
+        right_filter=F.col("event_type") == "view",
+        left_cols=["event_id", "user_id", "ts", "value"],
+        value_cols=["value"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "asof_ts",
+        F.col("asof_value").alias("asof_value"),
+    )
 
 
 @query(

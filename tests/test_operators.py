@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from e2e_stock_data_pipeline_spark.sources import tables
 
-from e2e_stock_data_pipeline_spark.operators.asof import asof_join
+from e2e_stock_data_pipeline_spark.operators.asof import asof_join, asof_join_filtered
 from e2e_stock_data_pipeline_spark.operators.dedup import (
     exploded_shingles,
     simhash16,
@@ -61,6 +61,67 @@ class TestAsofJoin:
                         value_cols=["val"], how="left")
         got = {r.pid: r.asof_val for r in out.collect()}
         assert got == {"p1": 1.0, "p2": 2.0, "p3": None, "p4": None}
+
+
+class TestAsofJoinFiltered:
+    """Same-source variant must be bit-equal to asof_join on the two
+    filtered frames (disjoint predicates, one scan)."""
+
+    def source(self, spark):
+        rows = [
+            ("A", ts(10), "L", 10.0, 1),
+            ("A", ts(10), "R", 1.0, 2),  # right at SAME time: <= matches
+            ("A", ts(15), "R", 2.0, 3),
+            ("A", ts(20), "L", 20.0, 4),
+            ("B", ts(5), "L", 30.0, 5),
+            ("B", ts(6), "R", 3.0, 6),   # right AFTER left: no match
+            ("C", ts(9), "L", 40.0, 7),  # no right rows for C
+        ]
+        return spark.createDataFrame(rows, ["k", "t", "side", "v", "rid"])
+
+    def _both(self, spark, how):
+        import pyspark.sql.functions as F
+
+        src = self.source(spark)
+        filt = asof_join_filtered(
+            src,
+            on="k",
+            time_col="t",
+            left_filter=F.col("side") == "L",
+            right_filter=F.col("side") == "R",
+            left_cols=["k", "t", "v", "rid"],
+            value_cols=["v"],
+            how=how,
+        )
+        left = src.filter(F.col("side") == "L").select("k", "t", "v", "rid")
+        right = src.filter(F.col("side") == "R").select(
+            "k", F.col("t").alias("rt"), F.col("v").alias("rv")
+        )
+        ref = asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            value_cols=["rv"], how=how,
+        ).select(
+            "k", "t", "v", "rid",
+            F.col("asof_rt").alias("asof_t"),
+            F.col("asof_rv").alias("asof_v"),
+        )
+        return filt, ref
+
+    def test_inner_matches_asof_join(self, spark):
+        filt, ref = self._both(spark, "inner")
+        got = sorted(tuple(r) for r in filt.collect())
+        want = sorted(tuple(r) for r in ref.collect())
+        assert got == want
+        assert len(got) == 2  # A's two left rows match; B late, C empty
+
+    def test_left_matches_asof_join(self, spark):
+        filt, ref = self._both(spark, "left")
+        got = sorted((r.rid, r.asof_t, r.asof_v) for r in filt.collect())
+        want = sorted(
+            (r.rid, r.asof_t, r.asof_v) for r in ref.collect()
+        )
+        assert got == want
+        assert len(got) == 4  # every left row kept
 
 
 class TestKeepLast:
