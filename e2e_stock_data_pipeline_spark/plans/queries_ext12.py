@@ -116,51 +116,11 @@ def q169_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KB = 10**12  # orientation key = degree * _KB + node_id (unique, int64-safe)
 
 
-@query(
-    "q170_triangle_census",
-    oracle=f"""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2
-    ),
-    e AS (SELECT pa, pb FROM pairs WHERE n >= 2),
-    deg AS (
-      SELECT x, CAST(COUNT(*) AS BIGINT) AS d
-      FROM (SELECT pa AS x FROM e UNION ALL SELECT pb AS x FROM e)
-      GROUP BY x
-    ),
-    tri AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS t
-      FROM e e1
-      JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
-      JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
-    )
-    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
-           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
-           CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
-           t AS n_triangles,
-           CAST(CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0
-                THEN (3 * t * {_P6}) // (SELECT SUM(d * (d - 1) // 2) FROM deg)
-                END AS BIGINT) AS transitivity_fp
-    FROM tri
-    """,
-    doc="Global triangle census of the co-purchase graph (q138's edge "
-    "set: part pairs sharing >= 2 orders). Engine side orients every "
-    "edge from its lower (degree, id) endpoint to the higher and joins "
-    "oriented out-edges pairwise (compact-forward): each triangle is "
-    "emitted exactly once from its unique out-degree-2 vertex, and "
-    "wedge fan-out is bounded by ORIENTED out-degree — O(m^1.5) total "
-    "work even on a skewed degree distribution, vs the oracle's "
-    "textbook a<b<c three-way self-join. Transitivity = 3*triangles / "
-    "wedges in parts-per-million (positive integers, truncating "
-    "division agrees across engines).",
-    tags=("graph", "triangle", "join", "ext"),
-)
-def q170_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+def triangle_census_plan(li: DataFrame) -> DataFrame:
+    """(l_orderkey, l_partkey) basket rows -> one-row triangle census.
+
+    Module-level so scripts/scale_smoke.py times the EXACT plan the
+    registered query runs (the ext5 ema_plan pattern)."""
     # Pair generation via per-order part arrays: ONE shuffle of the
     # fact table builds each order's sorted distinct part list (the
     # order-line fan-out is bounded, so the array and its C(L,2)
@@ -245,6 +205,55 @@ def q170_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("transitivity_fp"),
         )
+    )
+
+
+@query(
+    "q170_triangle_census",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT pa, pb FROM pairs WHERE n >= 2),
+    deg AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT pa AS x FROM e UNION ALL SELECT pb AS x FROM e)
+      GROUP BY x
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t
+      FROM e e1
+      JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+      JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+           t AS n_triangles,
+           CAST(CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0
+                THEN (3 * t * {_P6}) // (SELECT SUM(d * (d - 1) // 2) FROM deg)
+                END AS BIGINT) AS transitivity_fp
+    FROM tri
+    """,
+    doc="Global triangle census of the co-purchase graph (q138's edge "
+    "set: part pairs sharing >= 2 orders). Engine side orients every "
+    "edge from its lower (degree, id) endpoint to the higher and joins "
+    "oriented out-edges pairwise (compact-forward): each triangle is "
+    "emitted exactly once from its unique out-degree-2 vertex, and "
+    "wedge fan-out is bounded by ORIENTED out-degree — O(m^1.5) total "
+    "work even on a skewed degree distribution, vs the oracle's "
+    "textbook a<b<c three-way self-join. Transitivity = 3*triangles / "
+    "wedges in parts-per-million (positive integers, truncating "
+    "division agrees across engines).",
+    tags=("graph", "triangle", "join", "ext"),
+)
+def q170_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_census_plan(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     )
 
 
@@ -477,66 +486,10 @@ def q173_dwell_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "q174_cusum_alarms",
-    oracle="""
-    WITH x AS (
-      SELECT user_id, ts, event_id,
-             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x_fp
-      FROM events
-    ),
-    m AS (
-      SELECT user_id, ts, event_id, x_fp,
-             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
-             SUM(x_fp) OVER (PARTITION BY user_id)
-               // COUNT(*) OVER (PARTITION BY user_id) AS mean_fp
-      FROM x
-    ),
-    d AS (
-      SELECT user_id, ts, event_id, n, mean_fp,
-             x_fp - mean_fp AS dev,
-             SUM(ABS(x_fp - mean_fp)) OVER (PARTITION BY user_id) // n AS mad_fp
-      FROM m
-    ),
-    p AS (
-      SELECT user_id, ts, event_id, n, mean_fp, mad_fp,
-             SUM(dev) OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS pref
-      FROM d
-    ),
-    s AS (
-      SELECT user_id, ts, n, mean_fp, mad_fp,
-             pref - LEAST(0, MIN(pref) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
-      FROM p
-    )
-    SELECT user_id,
-           MAX(n) AS n_events,
-           MAX(mean_fp) AS mean_fp,
-           MAX(mad_fp) AS mad_fp,
-           CAST(MAX(cusum) AS BIGINT) AS max_cusum_fp,
-           CAST(COALESCE(SUM(CASE WHEN cusum > 6 * mad_fp THEN 1 END), 0)
-                AS BIGINT) AS n_alarms,
-           MIN(CASE WHEN cusum > 6 * mad_fp THEN ts END) AS first_alarm_ts
-    FROM s GROUP BY user_id
-    """,
-    doc="CUSUM changepoint detection per user: the sequential "
-    "S_t = max(0, S_(t-1) + (x_t - mean)) recursion rewritten in its "
-    "closed prefix form S_t = P_t - min(0, running_min(P_t)) — so the "
-    "'iterative' detector is pure windows, no loop, no UDF. Reference "
-    "mean and the MAD-style threshold (6 * mean absolute deviation) "
-    "come from frame-free window aggregates on the SAME user "
-    "partitioning, so the whole query is one exchange: shuffle on "
-    "user_id, one sort, stacked window passes. Output: per-user "
-    "alarm count, max statistic, first alarm time. All-positive "
-    "integer divisions; prefix sums stay int64.",
-    tags=("window", "timeseries", "changepoint", "monitoring", "ext"),
-)
-def q174_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+def cusum_alarms_plan(e: DataFrame) -> DataFrame:
+    """events(user_id, ts, event_id, value) -> per-user CUSUM alarm
+    summary. Module-level so scripts/scale_smoke.py times the EXACT
+    plan the registered query runs."""
     x = e.select(
         "user_id",
         "ts",
@@ -600,3 +553,66 @@ def q174_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_alarms"),
         F.min(F.when(alarm, F.col("ts"))).alias("first_alarm_ts"),
     )
+
+
+@query(
+    "q174_cusum_alarms",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x_fp
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, event_id, x_fp,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             CAST(SUM(x_fp) OVER (PARTITION BY user_id)
+                  // COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS mean_fp
+      FROM x
+    ),
+    d AS (
+      SELECT user_id, ts, event_id, n, mean_fp,
+             x_fp - mean_fp AS dev,
+             CAST(SUM(ABS(x_fp - mean_fp)) OVER (PARTITION BY user_id) // n
+                  AS BIGINT) AS mad_fp
+      FROM m
+    ),
+    p AS (
+      SELECT user_id, ts, event_id, n, mean_fp, mad_fp,
+             SUM(dev) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pref
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, ts, n, mean_fp, mad_fp,
+             pref - LEAST(0, MIN(pref) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+      FROM p
+    )
+    SELECT user_id,
+           MAX(n) AS n_events,
+           MAX(mean_fp) AS mean_fp,
+           MAX(mad_fp) AS mad_fp,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum_fp,
+           CAST(COALESCE(SUM(CASE WHEN cusum > 6 * mad_fp THEN 1 END), 0)
+                AS BIGINT) AS n_alarms,
+           MIN(CASE WHEN cusum > 6 * mad_fp THEN ts END) AS first_alarm_ts
+    FROM s GROUP BY user_id
+    """,
+    doc="CUSUM changepoint detection per user: the sequential "
+    "S_t = max(0, S_(t-1) + (x_t - mean)) recursion rewritten in its "
+    "closed prefix form S_t = P_t - min(0, running_min(P_t)) — so the "
+    "'iterative' detector is pure windows, no loop, no UDF. Reference "
+    "mean and the MAD-style threshold (6 * mean absolute deviation) "
+    "come from frame-free window aggregates on the SAME user "
+    "partitioning, so the whole query is one exchange: shuffle on "
+    "user_id, one sort, stacked window passes. Output: per-user "
+    "alarm count, max statistic, first alarm time. All-positive "
+    "integer divisions; prefix sums stay int64.",
+    tags=("window", "timeseries", "changepoint", "monitoring", "ext"),
+)
+def q174_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_alarms_plan(_t(spark, sf_dir, "events"))

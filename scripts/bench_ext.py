@@ -50,6 +50,10 @@ EXT_HEAVY = [
     # the new bucketed-prefix-sum shape worth tracking round-over-round
     "q158_cluster_canonicals",
     "q159_peak_concurrency",
+    # round-9 session-5 addition: the degree-oriented triangle census is
+    # the round's heaviest genuine-work shape (basket-array pair
+    # generation + compact-forward wedge join)
+    "q170_triangle_census",
 ]
 
 

@@ -550,6 +550,55 @@ def main(n_rows: int = 10_000_000) -> None:
         ),
     )
 
+    # --- round-9 session-5: graph census + changepoint tier at 100x ----
+    # triangle census (q170): pair generation is ONE shuffle building
+    # per-basket part arrays (bounded fan-out), and the compact-forward
+    # wedge join runs on the degree-ORIENTED edge list — the worst
+    # vertex contributes O(out-degree^2) wedges with out-degree bounded
+    # by sqrt(m)-ish under orientation, not its raw (possibly huge)
+    # degree. The synthetic catalog gives ~7 parts/basket over a 50k
+    # part vocabulary with a popularity head, so the pair aggregate and
+    # the survivor edge list stay graph-sized, never basket^2.
+    from e2e_stock_data_pipeline_spark.plans.queries_ext12 import (  # noqa: E402
+        cusum_alarms_plan,
+        triangle_census_plan,
+    )
+
+    tri_li = spark.range(n_rows).select(
+        (F.col("id") % (n_rows // 7)).alias("l_orderkey"),
+        # popularity-skewed part pick: ~square-ish distribution so the
+        # co-purchase graph has a dense head — the case orientation
+        # exists for
+        F.pmod(
+            F.xxhash64("id") % 224 * (F.xxhash64("id", F.lit(3)) % 224),
+            F.lit(50_000),
+        ).alias("l_partkey"),
+    )
+    timed(
+        f"triangle census, degree-oriented ({n_rows/7e6:.1f}M baskets, 50k parts)",
+        lambda: forced(triangle_census_plan(tri_li)),
+    )
+
+    # CUSUM alarms (q174): the sequential recursion as stacked windows
+    # over ONE user-keyed exchange — per-user partitions are ~1k rows
+    # even at 10M, and nothing global is ever ordered.
+    cusum_ev = spark.range(n_rows).select(
+        (F.col("id") % 10_000).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 997
+        ).alias("ts"),
+        F.col("id").alias("event_id"),
+        (
+            F.pmod(F.xxhash64("id"), F.lit(1000)) / 100.0
+            + F.when((F.col("id") % 10_000 < 100) & (F.col("id") > n_rows // 2), 500.0)
+            .otherwise(0.0)
+        ).alias("value"),
+    )
+    timed(
+        f"CUSUM changepoint alarms ({n_rows/1e6:.0f}M events, 10k users, 1%% shifted)",
+        lambda: forced(cusum_alarms_plan(cusum_ev)),
+    )
+
     spark.stop()
 
 
