@@ -158,7 +158,13 @@ def asof_join_filtered(
     value col. ``how`` is "inner" or "left".
     """
     tag = F.when(right_filter, F.lit(1)).when(left_filter, F.lit(0))
-    b = source.withColumn("_asof_tag", tag).filter(F.col("_asof_tag").isNotNull())
+    # explicit disjunction BEFORE the computed tag: a filter on the CASE
+    # expression can't push to the parquet scan, the raw predicate can
+    b = (
+        source.filter(left_filter | right_filter)
+        .withColumn("_asof_tag", tag)
+        .filter(F.col("_asof_tag").isNotNull())
+    )
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(time_col), F.col("_asof_tag").desc())
