@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.graph import triangle_census_plan
 from ..sources import tables
 from .queries_ext11 import exact_group_quantiles_plan
 from .registry import query
@@ -112,100 +113,6 @@ def q169_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q170: triangle census of the co-purchase graph (degree-oriented)
 # --------------------------------------------------------------------------
-
-_KB = 10**12  # orientation key = degree * _KB + node_id (unique, int64-safe)
-
-
-def triangle_census_plan(li: DataFrame) -> DataFrame:
-    """(l_orderkey, l_partkey) basket rows -> one-row triangle census.
-
-    Module-level so scripts/scale_smoke.py times the EXACT plan the
-    registered query runs (the ext5 ema_plan pattern)."""
-    # Pair generation via per-order part arrays: ONE shuffle of the
-    # fact table builds each order's sorted distinct part list (the
-    # order-line fan-out is bounded, so the array and its C(L,2)
-    # in-memory expansion are tiny), replacing the textbook
-    # distinct -> self-join shape that shuffles the fact table three
-    # times (distinct, both join sides). sort_array makes pa < pb by
-    # construction; array_distinct subsumes the (orderkey, partkey)
-    # distinct.
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_distinct(F.sort_array(F.collect_list("l_partkey"))).alias("ps")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) ->"
-                " transform(slice(ps, i + 2, size(ps)),"
-                " y -> struct(x AS pa, y AS pb))))"
-            )
-        ).alias("pr")
-    ).select("pr.pa", "pr.pb")
-    edges = (
-        pairs.groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
-        # the census reads this tiny frame from six branches (degree,
-        # orientation, wedge pair, closing edge, edge/node counts);
-        # materialize it once instead of re-running the fact-table
-        # pipeline per branch (graph.py's localCheckpoint pattern)
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        edges.select(F.col("pa").alias("x"))
-        .unionAll(edges.select(F.col("pb").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
-    ek = (
-        edges.join(deg.select(F.col("x").alias("pa"), F.col("d").alias("da")), "pa")
-        .join(deg.select(F.col("x").alias("pb"), F.col("d").alias("db")), "pb")
-        .select(
-            "pa",
-            "pb",
-            (F.col("da") * _KB + F.col("pa")).alias("ka"),
-            (F.col("db") * _KB + F.col("pb")).alias("kb"),
-        )
-    )
-    oriented = ek.select(
-        F.when(F.col("ka") < F.col("kb"), F.col("pa")).otherwise(F.col("pb")).alias("src"),
-        F.when(F.col("ka") < F.col("kb"), F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-        F.greatest("ka", "kb").alias("kd"),
-    )
-    o1 = oriented.select(
-        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("kd").alias("kv")
-    )
-    o2 = oriented.select(
-        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("kd").alias("kw")
-    )
-    wedges = o1.join(o2, "u").filter(F.col("kv") < F.col("kw"))
-    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["v", "w"]).agg(
-        F.count(F.lit(1)).cast("bigint").alias("t")
-    )
-    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    nw = deg.agg(
-        F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("n_wedges")
-    )
-    return (
-        tri.crossJoin(F.broadcast(nn))
-        .crossJoin(F.broadcast(ne))
-        .crossJoin(F.broadcast(nw))
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            F.col("t").alias("n_triangles"),
-            F.when(
-                F.col("n_wedges") > 0,
-                F.expr(f"(3 * t * {_P6}) DIV n_wedges"),
-            )
-            .cast("bigint")
-            .alias("transitivity_fp"),
-        )
-    )
 
 
 @query(

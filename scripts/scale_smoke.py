@@ -559,9 +559,11 @@ def main(n_rows: int = 10_000_000) -> None:
     # degree. The synthetic catalog gives ~7 parts/basket over a 50k
     # part vocabulary with a popularity head, so the pair aggregate and
     # the survivor edge list stay graph-sized, never basket^2.
+    from e2e_stock_data_pipeline_spark.operators.graph import (  # noqa: E402
+        triangle_census_plan,
+    )
     from e2e_stock_data_pipeline_spark.plans.queries_ext12 import (  # noqa: E402
         cusum_alarms_plan,
-        triangle_census_plan,
     )
 
     tri_li = spark.range(n_rows).select(
