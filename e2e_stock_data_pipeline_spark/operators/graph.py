@@ -69,19 +69,19 @@ _TRI_KB = 10**12  # orientation key = degree * _TRI_KB + node_id (int64-safe)
 _TRI_P6 = 1_000_000  # parts-per-million fixed point
 
 
-def triangle_census_plan(li: DataFrame) -> DataFrame:
-    """(l_orderkey, l_partkey) basket rows -> one-row triangle census.
+def copurchase_edges_plan(li: DataFrame, min_support: int = 2) -> DataFrame:
+    """(l_orderkey, l_partkey) basket rows -> undirected co-purchase
+    edge list (pa < pb, pairs sharing >= min_support baskets),
+    materialized ONCE (localCheckpoint) because every consumer reads it
+    from several branches.
 
-    Module-level so scripts/scale_smoke.py times the EXACT plan the
-    registered query runs (the ext5 ema_plan pattern)."""
-    # Pair generation via per-order part arrays: ONE shuffle of the
-    # fact table builds each order's sorted distinct part list (the
-    # order-line fan-out is bounded, so the array and its C(L,2)
-    # in-memory expansion are tiny), replacing the textbook
-    # distinct -> self-join shape that shuffles the fact table three
-    # times (distinct, both join sides). sort_array makes pa < pb by
-    # construction; array_distinct subsumes the (orderkey, partkey)
-    # distinct.
+    Pair generation via per-order part arrays: ONE shuffle of the fact
+    table builds each order's sorted distinct part list (order-line
+    fan-out is bounded, so the array and its C(L,2) in-memory expansion
+    are tiny), replacing the textbook distinct -> self-join shape that
+    shuffles the fact table three times (distinct, both join sides).
+    sort_array makes pa < pb by construction; array_distinct subsumes
+    the (orderkey, partkey) distinct."""
     baskets = li.groupBy("l_orderkey").agg(
         F.array_distinct(F.sort_array(F.collect_list("l_partkey"))).alias("ps")
     )
@@ -94,23 +94,32 @@ def triangle_census_plan(li: DataFrame) -> DataFrame:
             )
         ).alias("pr")
     ).select("pr.pa", "pr.pb")
-    edges = (
+    return (
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
+        .filter(F.col("n") >= min_support)
         .select("pa", "pb")
-        # the census reads this tiny frame from six branches (degree,
-        # orientation, wedge pair, closing edge, edge/node counts);
-        # materialize it once instead of re-running the fact-table
-        # pipeline per branch (graph.py's localCheckpoint pattern)
         .localCheckpoint(eager=True)
     )
-    deg = (
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """Undirected degree per node from a (pa, pb) edge list."""
+    return (
         edges.select(F.col("pa").alias("x"))
         .unionAll(edges.select(F.col("pb").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
+
+
+def triangle_census_plan(li: DataFrame) -> DataFrame:
+    """(l_orderkey, l_partkey) basket rows -> one-row triangle census.
+
+    Module-level so scripts/scale_smoke.py times the EXACT plan the
+    registered query runs (the ext5 ema_plan pattern)."""
+    edges = copurchase_edges_plan(li)
+    deg = node_degrees(edges)
     ek = (
         edges.join(deg.select(F.col("x").alias("pa"), F.col("d").alias("da")), "pa")
         .join(deg.select(F.col("x").alias("pb"), F.col("d").alias("db")), "pb")

@@ -93,5 +93,6 @@ def load_all_query_modules() -> dict[str, QuerySpec]:
     from . import queries_ext10  # noqa: F401
     from . import queries_ext11  # noqa: F401
     from . import queries_ext12  # noqa: F401
+    from . import queries_ext13  # noqa: F401
 
     return REGISTRY
