@@ -1,0 +1,205 @@
+"""Round-9 [EXT] tier, part 4: per-key regression and embedding
+outliers.
+
+* q182 — per-user OLS trend slope over (days-since-first-event,
+  value): the closed-form n*Sxy - Sx*Sy over n*Sxx - Sx^2 entirely in
+  int64 (scaled by 1000, sign-decomposed truncating division), one
+  aggregate per user after a broadcast of per-user epoch days — the
+  per-key feature extraction ("is this user's spend trending up")
+  that a fleet of per-key sklearn fits cannot do at 100 TB.
+* q183 — embedding outliers per label: distance to the label centroid
+  where the centroid coordinate is the sign-decomposed integer
+  DIV-mean of QUANT-quantized coordinates — all arithmetic lands in
+  int64 (|q| <= 1e4, diff^2 <= 4e8, x64 dims <= 2.6e10), no float
+  summation-order hazard. Top-25 by (distance desc, vec_id): the
+  mislabeled/at-odds sample surfacing step of embedding-space QA.
+
+House rules: identical aliases both engines, every division
+sign-decomposed or guarded, explode fan-out bounded by the fixed
+64-dim width, windows only on dimension-sized frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import QUANT
+from ..sources import tables
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q182: per-user OLS trend slope (closed form, int64)
+# --------------------------------------------------------------------------
+
+_S = 1000  # slope scale: fixed-point value units per day, in thousandths
+
+
+def _sdiv(num: str, den: str) -> str:
+    """Sign-decomposed truncating integer division (both engines)."""
+    return (
+        f"CASE WHEN {den} = 0 THEN NULL"
+        f" WHEN {num} < 0 THEN -((-({num})) DIV ({den}))"
+        f" ELSE ({num}) DIV ({den}) END"
+    )
+
+
+def _sdiv_duck(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {den} = 0 THEN NULL"
+        f" WHEN {num} < 0 THEN -((-({num})) // ({den}))"
+        f" ELSE ({num}) // ({den}) END"
+    )
+
+
+@query(
+    "q182_per_key_trend",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+      FROM events
+    ),
+    f AS (SELECT user_id, MIN(day) AS d0 FROM x GROUP BY user_id),
+    p AS (
+      SELECT x.user_id,
+             CAST(date_diff('day', f.d0, x.day) AS BIGINT) AS xd, x.y
+      FROM x JOIN f ON x.user_id = f.user_id
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xd) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(xd * y) AS BIGINT) AS sxy,
+             CAST(SUM(xd * xd) AS BIGINT) AS sxx
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST({_sdiv_duck(f"{_S} * (n * sxy - sx * sy)", "n * sxx - sx * sx")}
+                AS BIGINT) AS slope_fp
+    FROM s
+    """,
+    doc="Per-user OLS trend slope of event value over days since the "
+    "user's first event, in closed form: (n*Sxy - Sx*Sy) / "
+    f"(n*Sxx - Sx^2), scaled by {_S} and sign-decomposed so the "
+    "truncating division agrees across engines; users active on a "
+    "single day get NULL (zero variance guard — NULL in both engines, "
+    "never a divide error). One aggregate per user plus a first-day "
+    "join, everything keyed on the high-cardinality user — the "
+    "per-key trend feature a 100 TB pipeline extracts without a "
+    "per-key model fit.",
+    tags=("agg", "regression", "window", "ext"),
+)
+def q182_per_key_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    x = e.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint").alias("y"),
+    )
+    f = x.groupBy("user_id").agg(F.min("day").alias("d0"))
+    p = x.join(f, "user_id").select(
+        "user_id",
+        F.expr("CAST(datediff(day, d0) AS BIGINT)").alias("xd"),
+        "y",
+    )
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xd").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("xd") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).cast("bigint").alias("sxx"),
+    )
+    return s.select(
+        "user_id",
+        "n",
+        F.expr(_sdiv(f"{_S} * (n * sxy - sx * sy)", "n * sxx - sx * sx"))
+        .cast("bigint")
+        .alias("slope_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q183: embedding outliers vs the label centroid (all-int64)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q183_embedding_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, d,
+             CAST(floor(CAST(v AS DOUBLE) * {QUANT}) AS BIGINT) AS qv
+      FROM (
+        SELECT vec_id, label,
+               unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings
+      )
+    ),
+    c AS (
+      SELECT label, d,
+             CAST(SUM(qv) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY label, d
+    ),
+    cd AS (
+      SELECT label, d,
+             CAST({_sdiv_duck("s", "n")} AS BIGINT) AS cv
+      FROM c
+    )
+    SELECT q.vec_id, q.label,
+           CAST(SUM((q.qv - cd.cv) * (q.qv - cd.cv)) AS BIGINT) AS dist2
+    FROM q JOIN cd ON q.label = cd.label AND q.d = cd.d
+    GROUP BY q.vec_id, q.label
+    ORDER BY dist2 DESC, vec_id
+    LIMIT 25
+    """,
+    doc="Embedding-space outliers: top-25 vectors by squared distance "
+    "to their LABEL's centroid, where the centroid coordinate is the "
+    "sign-decomposed integer DIV-mean of QUANT-quantized coordinates "
+    "— float summation order never enters, so both engines agree to "
+    "the unit (|q| <= 1e4 keeps every term in int64: diff^2 <= 4e8, "
+    "x 64 dims <= 2.6e10). Plan: posexplode to (vec, dim) rows, one "
+    "(label, dim) aggregate for centroids (dimension-sized: "
+    "labels x 64), broadcast back, one (vec) aggregate for distances "
+    "— the mislabeled-sample surfacing step of embedding QA, with "
+    "explode fan-out bounded by the fixed vector width.",
+    tags=("embedding", "similarity", "agg", "topk", "ext"),
+)
+def q183_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("d0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("v").cast("double") * QUANT).cast("bigint").alias("qv"),
+    )
+    c = q.groupBy("label", "d").agg(
+        F.sum("qv").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cd = c.select(
+        "label", "d", F.expr(_sdiv("s", "n")).cast("bigint").alias("cv")
+    )
+    return (
+        q.join(F.broadcast(cd), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv")))
+            .cast("bigint")
+            .alias("dist2")
+        )
+        .orderBy(F.col("dist2").desc(), "vec_id")
+        .limit(25)
+    )
