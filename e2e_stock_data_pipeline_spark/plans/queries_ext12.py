@@ -100,7 +100,6 @@ def q169_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = seq.groupBy(
         F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    norm = Window.partitionBy("from_type")
     return tc.select(
         "from_type",
         "to_type",
