@@ -137,3 +137,81 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM detector — the deployment twin of q174_cusum_alarms:
+# the BATCH query calibrates (reference mean, alarm threshold) over
+# history; this operator carries the sequential S_t = max(0, S_{t-1} +
+# (x_t - mean)) recursion per key across micro-batches. State is three
+# int64s per key, so the operator scales with key cardinality, not
+# event volume. Fixed-point conversion happens Catalyst-side (the same
+# DECIMAL cast the batch query uses), so stream and batch agree to the
+# unit; rows are ordered by (ts, event_id) inside each group to pin
+# the recursion order (tests/test_streaming.py replays the literal
+# recursion for equality).
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cusum_fp", T.LongType()),
+        T.StructField("max_cusum_fp", T.LongType()),
+        T.StructField("n_alarms", T.LongType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.LongType()),
+        T.StructField("mx", T.LongType()),
+        T.StructField("alarms", T.LongType()),
+    ]
+)
+
+
+def _make_cusum_update(mean_fp: int, h_fp: int):
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        s, mx, alarms = state.get if state.exists else (0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        for x in batch["x_fp"].astype("int64"):
+            s = max(0, s + (int(x) - mean_fp))
+            mx = max(mx, s)
+            if s > h_fp:
+                alarms += 1
+        state.update((s, mx, alarms))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "cusum_fp": [s],
+                "max_cusum_fp": [mx],
+                "n_alarms": [alarms],
+            }
+        )
+
+    return update
+
+
+def streaming_cusum(events: DataFrame, mean_fp: int, h_fp: int) -> DataFrame:
+    """Per-key streaming CUSUM against a calibrated reference mean and
+    threshold (both in DECIMAL(18,4)*10000 fixed-point units, e.g. from
+    q174's batch calibration). Emits the updated detector row per key
+    per micro-batch (outputMode=update)."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint").alias("x_fp"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _make_cusum_update(mean_fp, h_fp),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

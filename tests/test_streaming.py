@@ -172,6 +172,77 @@ class TestStatefulOperator:
         assert got == expect
 
 
+class TestStreamingCusum:
+    def test_matches_literal_recursion_across_restart(self, spark, sf_dir, tmp_path):
+        """The deployment twin of q174: batch calibrates (mean, h), the
+        stream carries the recursion. Two micro-batches with a restart
+        between them must land exactly where one pass of the literal
+        Python recursion lands (state survives the checkpoint)."""
+        from e2e_stock_data_pipeline_spark.streaming.stateful import streaming_cusum
+        import pyspark.sql.functions as F
+
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+        events = (
+            tables.load(spark, sf_dir, "events")
+            .orderBy("ts", "event_id")
+            .limit(400)
+        )
+        rows = events.select(
+            "user_id", "ts", "event_id",
+            (F.col("value").cast("decimal(18,4)") * 10000)
+            .cast("bigint").alias("x_fp"),
+        ).collect()
+        mean_fp, h_fp = 1_000_000, 2_000_000
+
+        # literal recursion in (ts, event_id) order per user
+        expect = {}
+        for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+            s, mx, alarms = expect.get(r.user_id, (0, 0, 0))
+            s = max(0, s + (r.x_fp - mean_fp))
+            mx = max(mx, s)
+            if s > h_fp:
+                alarms += 1
+            expect[r.user_id] = (s, mx, alarms)
+
+        # split time-ordered halves into two files; run, restart, run
+        n = events.count()
+        first = events.limit(n // 2)
+        second = events.subtract(first)
+
+        out = str(tmp_path / "out")
+
+        def run_once():
+            stream = bronze.read_file_stream(spark, src, EVENTS_SCHEMA, "parquet")
+
+            def sink(bdf, bid):
+                bdf.withColumn("batch_id", F.lit(bid)).write.mode(
+                    "append"
+                ).parquet(out)
+
+            q = (
+                streaming_cusum(stream, mean_fp, h_fp)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        _write_chunk(first, src)
+        run_once()
+        _write_chunk(second, src)
+        run_once()  # restarts from the checkpoint; state must survive
+
+        # final state per user = the emission from the highest batch id
+        got = {}
+        for r in sorted(
+            spark.read.parquet(out).collect(), key=lambda r: r.batch_id
+        ):
+            got[r.user_id] = (r.cusum_fp, r.max_cusum_fp, r.n_alarms)
+        assert got == expect
+
+
 class TestForeachBatchUpsert:
     def test_stream_merge_keeps_latest(self, spark, tmp_path):
         from e2e_stock_data_pipeline_spark.streaming.foreach_batch import stream_merge_upsert
