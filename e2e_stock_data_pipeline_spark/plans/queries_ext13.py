@@ -47,6 +47,35 @@ _P6 = 1_000_000
 # --------------------------------------------------------------------------
 
 
+def frequent_triples_plan(li: DataFrame) -> DataFrame:
+    """(l_orderkey, l_partkey) basket rows -> deterministic top-25
+    triples. Module-level so scripts/scale_smoke.py times the EXACT
+    plan the registered query runs."""
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_distinct(F.sort_array(F.collect_list("l_partkey"))).alias("ps")
+    )
+    # 0-based lambda indices; slice() is 1-based: elements after x (at
+    # 0-based i) start at 1-based i+2, elements after y (at 0-based
+    # i+1+j) start at 1-based i+j+3
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), (y, j) ->"
+                " transform(slice(ps, i + j + 3, size(ps)),"
+                " z -> struct(x AS pa, y AS pb, z AS pc))))))"
+            )
+        ).alias("tr")
+    ).select("tr.pa", "tr.pb", "tr.pc")
+    return (
+        triples.groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "pa", "pb", "pc")
+        .limit(25)
+    )
+
+
 @query(
     "q175_frequent_triples",
     # DuckDB's own list-lambda expansion (1-based indices), NOT a
@@ -85,29 +114,8 @@ _P6 = 1_000_000
     tags=("join", "affinity", "apriori", "topk", "ext"),
 )
 def q175_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_distinct(F.sort_array(F.collect_list("l_partkey"))).alias("ps")
-    )
-    # 0-based lambda indices; slice() is 1-based: elements after x (at
-    # 0-based i) start at 1-based i+2, elements after y (at 0-based
-    # i+1+j) start at 1-based i+j+3
-    triples = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(flatten(transform(ps, (x, i) ->"
-                " transform(slice(ps, i + 2, size(ps)), (y, j) ->"
-                " transform(slice(ps, i + j + 3, size(ps)),"
-                " z -> struct(x AS pa, y AS pb, z AS pc))))))"
-            )
-        ).alias("tr")
-    ).select("tr.pa", "tr.pb", "tr.pc")
-    return (
-        triples.groupBy("pa", "pb", "pc")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .orderBy(F.col("n_orders").desc(), "pa", "pb", "pc")
-        .limit(25)
+    return frequent_triples_plan(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     )
 
 

@@ -40,6 +40,54 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def linear_attribution_plan(e: DataFrame) -> DataFrame:
+    """events -> per-user linear-attribution summary. Module-level so
+    scripts/scale_smoke.py times the EXACT plan the registered query
+    runs."""
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint").alias("pv_fp"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_ts").desc(), F.col("click_id").desc()
+    )
+    credit = j.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "pv_fp",
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("k"),
+        F.row_number().over(wr).alias("rn"),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.expr(
+            "CAST(pv_fp DIV k + CASE WHEN rn = 1"
+            " THEN pv_fp - k * (pv_fp DIV k) ELSE 0 END AS BIGINT)"
+        ).alias("credit_fp"),
+    )
+    return credit.groupBy("user_id").agg(
+        F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.sum("credit_fp").cast("bigint").alias("credited_fp"),
+    )
+
+
 @query(
     "q179_linear_attribution",
     oracle="""
@@ -89,49 +137,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tags=("join", "interval", "attribution", "ext"),
 )
 def q179_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        "user_id",
-        F.col("ts").alias("c_ts"),
-    )
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-        (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint").alias("pv_fp"),
-    )
-    j = p.join(
-        c,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-    )
-    wp = Window.partitionBy("purchase_id")
-    wr = Window.partitionBy("purchase_id").orderBy(
-        F.col("c_ts").desc(), F.col("click_id").desc()
-    )
-    credit = j.select(
-        "user_id",
-        "click_id",
-        "purchase_id",
-        "pv_fp",
-        F.count(F.lit(1)).over(wp).cast("bigint").alias("k"),
-        F.row_number().over(wr).alias("rn"),
-    ).select(
-        "user_id",
-        "click_id",
-        "purchase_id",
-        F.expr(
-            "CAST(pv_fp DIV k + CASE WHEN rn = 1"
-            " THEN pv_fp - k * (pv_fp DIV k) ELSE 0 END AS BIGINT)"
-        ).alias("credit_fp"),
-    )
-    return credit.groupBy("user_id").agg(
-        F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
-        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
-        F.sum("credit_fp").cast("bigint").alias("credited_fp"),
-    )
+    return linear_attribution_plan(_t(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------

@@ -601,6 +601,44 @@ def main(n_rows: int = 10_000_000) -> None:
         lambda: forced(cusum_alarms_plan(cusum_ev)),
     )
 
+    # --- round-9 session-5b/5c: itemset + attribution tier at 100x -----
+    # frequent triples (q175): the C(L,3) expansion is in-array (one
+    # fact shuffle); ~7 parts/basket -> 35 triples/basket -> 50M triple
+    # rows through one count aggregate. The textbook 3-way self-join is
+    # infeasible at this size (146s in DuckDB at 1/100th the rows).
+    from e2e_stock_data_pipeline_spark.plans.queries_ext13 import (  # noqa: E402
+        frequent_triples_plan,
+    )
+    from e2e_stock_data_pipeline_spark.plans.queries_ext14 import (  # noqa: E402
+        linear_attribution_plan,
+    )
+
+    timed(
+        f"frequent triples, in-array apriori ({n_rows/7e6:.1f}M baskets)",
+        lambda: forced(frequent_triples_plan(tri_li)),
+    )
+
+    # linear attribution (q179): the interval join's fan-out is capped
+    # by the 1-hour band — each user's clicks land within minutes of
+    # their purchases here, so per-purchase credit lists stay small no
+    # matter how long the stream runs.
+    attr_ev = spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 50_000).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 997_000
+        ).alias("ts"),
+        F.when(F.col("id") % 10 == 0, "purchase").otherwise("click").alias(
+            "event_type"
+        ),
+        (F.pmod(F.xxhash64("id"), F.lit(100_000)) / 100.0 + 0.01).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    timed(
+        f"linear attribution, 1h band ({n_rows/1e6:.0f}M events, 50k users)",
+        lambda: forced(linear_attribution_plan(attr_ev)),
+    )
+
     spark.stop()
 
 
