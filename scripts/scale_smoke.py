@@ -622,13 +622,15 @@ def main(n_rows: int = 10_000_000) -> None:
     # by the 1-hour band — each user's clicks land within minutes of
     # their purchases here, so per-purchase credit lists stay small no
     # matter how long the stream runs.
+    # block-keyed users: 200 consecutive ids per user, ~1s apart, so a
+    # purchase sees its user's recent clicks inside the hour band
     attr_ev = spark.range(n_rows).select(
         F.col("id").alias("event_id"),
-        (F.col("id") % 50_000).alias("user_id"),
+        F.expr("id DIV 200").alias("user_id"),
         F.timestamp_micros(
             F.lit(1_700_000_000_000_000) + F.col("id") * 997_000
         ).alias("ts"),
-        F.when(F.col("id") % 10 == 0, "purchase").otherwise("click").alias(
+        F.when(F.col("id") % 10 == 9, "purchase").otherwise("click").alias(
             "event_type"
         ),
         (F.pmod(F.xxhash64("id"), F.lit(100_000)) / 100.0 + 0.01).alias("value"),
