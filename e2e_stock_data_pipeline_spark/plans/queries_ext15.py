@@ -203,3 +203,152 @@ def q183_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dist2").desc(), "vec_id")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# q184: EXACT set-similarity self-join via prefix filtering (AllPairs/
+# PPJoin family) over 3-gram shingle sets — every doc pair with
+# shingle Jaccard >= 0.8, ZERO false negatives, no LSH, no posting
+# cap. Shingles (not words) are the token unit: this corpus has a
+# 31-word vocabulary, so word prefixes cannot discriminate, but its
+# 3-gram shingle space is ~16k-strong and near-dup pairs are rare —
+# the same reason the MinHash tier (q41/q56) shingles first.
+# --------------------------------------------------------------------------
+
+_PP_T_NUM, _PP_T_DEN = 4, 5  # Jaccard threshold 0.8 as an exact rational
+
+
+@query(
+    "q184_set_similarity_join",
+    oracle=f"""
+    WITH wsplit AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sset
+      FROM wsplit
+    ),
+    tok AS (SELECT doc_id, unnest(sset) AS shingle FROM w),
+    df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS dfreq
+           FROM tok GROUP BY shingle),
+    ordered AS (
+      SELECT t.doc_id,
+             list(t.shingle ORDER BY d.dfreq, t.shingle) AS toks,
+             CAST(COUNT(*) AS BIGINT) AS l
+      FROM tok t JOIN df d ON t.shingle = d.shingle
+      GROUP BY t.doc_id
+    ),
+    pre AS (
+      SELECT doc_id,
+             unnest(toks[1:CAST(l - ((({_PP_T_NUM} * l) + {_PP_T_DEN} - 1)
+                                     // {_PP_T_DEN}) + 1 AS INT)]) AS shingle
+      FROM ordered
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(wa.sset, wb.sset)) AS BIGINT) AS n_common,
+           CAST((1000000 * len(list_intersect(wa.sset, wb.sset)))
+                // (len(wa.sset) + len(wb.sset)
+                    - len(list_intersect(wa.sset, wb.sset))) AS BIGINT)
+             AS jaccard_fp
+    FROM cand c
+    JOIN w wa ON wa.doc_id = c.doc_a
+    JOIN w wb ON wb.doc_id = c.doc_b
+    WHERE {_PP_T_DEN} * len(list_intersect(wa.sset, wb.sset))
+          >= {_PP_T_NUM} * (len(wa.sset) + len(wb.sset)
+                            - len(list_intersect(wa.sset, wb.sset)))
+    ORDER BY jaccard_fp DESC, doc_a, doc_b
+    """,
+    doc="EXACT 3-gram-shingle Jaccard self-join at threshold 0.8 via "
+    "prefix filtering (the AllPairs/PPJoin family): shingles order "
+    "globally by (document frequency, shingle) — realized as a "
+    "lexicographic struct sort, NO global window — and only each "
+    "doc's first l - ceil(0.8*l) + 1 rarest shingles are indexed. The "
+    "filter is LOSSLESS: for any pair with J >= t, the first "
+    "globally-ordered shared shingle sits inside BOTH prefixes, so "
+    "unlike the LSH tier (q41) this join has zero false negatives, "
+    "while candidate fan-out stays at prefix-posting scale (rare "
+    "shingles carry the postings; boilerplate shingles rarely make a "
+    "prefix). Verification compares 5*common >= 4*union in exact "
+    "integers — never the truncated fp value. The exact membership "
+    "decision for dedup when 'probably deduplicated' is not enough.",
+    tags=("dedup", "jaccard", "join", "text", "ext"),
+)
+def q184_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(CASE WHEN size(split(trim(text), ' +')) >= 3"
+            " THEN transform(sequence(0, size(split(trim(text), ' +')) - 3),"
+            " i -> concat_ws(' ', split(trim(text), ' +')[i],"
+            " split(trim(text), ' +')[i + 1], split(trim(text), ' +')[i + 2]))"
+            " ELSE CAST(array() AS ARRAY<STRING>) END)"
+        ).alias("sset"),
+    )
+    tok = w.select("doc_id", F.explode("sset").alias("shingle"))
+    df = tok.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dfreq")
+    )
+    # per-doc global-rarity order via struct sort: (dfreq, shingle) asc
+    ordered = (
+        tok.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dfreq, shingle))),"
+                " s -> s.shingle)"
+            ).alias("toks"),
+            F.count(F.lit(1)).cast("bigint").alias("l"),
+        )
+    )
+    plen = F.expr(
+        f"CAST(l - ((({_PP_T_NUM} * l) + {_PP_T_DEN} - 1)"
+        f" DIV {_PP_T_DEN}) + 1 AS INT)"
+    )
+    pre = ordered.select(
+        "doc_id", F.explode(F.slice(F.col("toks"), F.lit(1), plen)).alias("shingle")
+    )
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb"))
+    verified = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("bigint").alias("n_common"),
+            F.size("sa").cast("bigint").alias("la"),
+            F.size("sb").cast("bigint").alias("lb"),
+        )
+    )
+    return (
+        verified.filter(
+            _PP_T_DEN * F.col("n_common")
+            >= _PP_T_NUM * (F.col("la") + F.col("lb") - F.col("n_common"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.expr(
+                "CAST((1000000 * n_common) DIV (la + lb - n_common) AS BIGINT)"
+            ).alias("jaccard_fp"),
+        )
+        .orderBy(F.col("jaccard_fp").desc(), "doc_a", "doc_b")
+    )

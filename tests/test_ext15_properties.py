@@ -1,0 +1,88 @@
+"""Properties of the exact set-similarity join (q184): losslessness of
+the prefix filter vs brute-force all-pairs on random template corpora,
+and the exact threshold boundary."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pandas as pd
+
+from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules
+
+REG = load_all_query_modules()
+
+
+def _write_docs(tmp_path, texts):
+    pd.DataFrame(
+        [
+            dict(doc_id=i + 1, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate(texts)
+        ]
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def _shingles(text):
+    ws = text.strip().split()
+    return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} if len(ws) >= 3 else set()
+
+
+def _brute(texts, t_num=4, t_den=5):
+    out = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(enumerate(texts, 1), 2):
+        sa, sb = _shingles(ta), _shingles(tb)
+        if not sa or not sb:
+            continue
+        i = len(sa & sb)
+        u = len(sa | sb)
+        if t_den * i >= t_num * u:
+            out[(ia, ib)] = (i, 1_000_000 * i // u)
+    return out
+
+
+class TestPrefixFilterLossless:
+    def test_random_template_corpus(self, spark, tmp_path):
+        """Mutated copies of a few templates: brute-force all-pairs and
+        the prefix-filtered join must agree EXACTLY (no false
+        negatives from the filter, no false positives from the
+        verify)."""
+        rng = random.Random(21)
+        vocab = [f"w{i}" for i in range(40)]
+        templates = [
+            " ".join(rng.choices(vocab, k=30)) for _ in range(4)
+        ]
+        texts = []
+        for t in templates:
+            ws = t.split()
+            for _ in range(5):  # 5 mutated copies per template
+                mutated = list(ws)
+                for _ in range(rng.randint(0, 2)):
+                    mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+                texts.append(" ".join(mutated))
+        d = _write_docs(tmp_path, texts)
+        got = {
+            (r.doc_a, r.doc_b): (r.n_common, r.jaccard_fp)
+            for r in REG["q184_set_similarity_join"].spark(spark, d).collect()
+        }
+        assert got == _brute(texts)
+        assert len(got) > 0  # the corpus must actually contain near-dups
+
+    def test_exact_threshold_boundary_included(self, spark, tmp_path):
+        # doc_a: shingles {abc, bcd, cde, def} (4); doc_b shares 4 of 5
+        # -> i=4, union=5, J=0.8 exactly: 5*4 >= 4*5 must include it
+        a = "a b c d e f"          # shingles: abc bcd cde def (4)
+        b = "a b c d e f g"        # shingles: + efg            (5)
+        d = _write_docs(tmp_path, [a, b])
+        [r] = REG["q184_set_similarity_join"].spark(spark, d).collect()
+        assert (r.doc_a, r.doc_b) == (1, 2)
+        assert r.n_common == 4
+        assert r.jaccard_fp == 800_000
+
+    def test_below_threshold_excluded(self, spark, tmp_path):
+        a = "a b c d e f"            # 4 shingles
+        b = "a b c d x y z"          # shingles: abc bcd, then cdx dxy xyz
+        d = _write_docs(tmp_path, [a, b])
+        # i=2 (abc, bcd), union=7 -> J=2/7 < 0.8
+        assert REG["q184_set_similarity_join"].spark(spark, d).collect() == []
