@@ -54,6 +54,10 @@ EXT_HEAVY = [
     # the round's heaviest genuine-work shape (basket-array pair
     # generation + compact-forward wedge join)
     "q170_triangle_census",
+    # round-9 session-6 addition: the exact prefix-filtered similarity
+    # join — the heaviest text shape (at sf1 Spark answers in 19s where
+    # single-node DuckDB needs 362s on the identical algorithm)
+    "q184_set_similarity_join",
 ]
 
 
