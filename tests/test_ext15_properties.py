@@ -86,3 +86,53 @@ class TestPrefixFilterLossless:
         d = _write_docs(tmp_path, [a, b])
         # i=2 (abc, bcd), union=7 -> J=2/7 < 0.8
         assert REG["q184_set_similarity_join"].spark(spark, d).collect() == []
+
+
+class TestGiniDecomposition:
+    def test_matches_brute_force_pairwise_sum(self, spark, tmp_path):
+        import random
+
+        import pandas as pd
+
+        rng = random.Random(17)
+        orders, cust = [], []
+        expect = {}
+        for si, seg in enumerate(["SEG_A", "SEG_B"]):
+            cust.append(dict(c_custkey=si + 1, c_name="x", c_nationkey=1,
+                             c_acctbal=0.0, c_mktsegment=seg))
+            vals = [round(rng.uniform(10.0, 5000.0), 2) for _ in range(120)]
+            for j, v in enumerate(vals):
+                orders.append(dict(
+                    o_orderkey=si * 1000 + j, o_custkey=si + 1,
+                    o_orderstatus="F", o_totalprice=v,
+                    o_orderdate=pd.Timestamp("2024-01-01"),
+                    o_orderpriority="1",
+                ))
+            cents = [int(round(v * 100)) for v in vals]
+            p = sum(abs(a - b) for i, a in enumerate(cents) for b in cents[i + 1:])
+            n, s = len(cents), sum(cents)
+            expect[seg] = (n, s, p, (2 * p) // ((n * (s // 1000)) // 1000))
+        pd.DataFrame(orders).to_parquet(f"{tmp_path}/orders.parquet",
+                                        coerce_timestamps="us")
+        pd.DataFrame(cust).to_parquet(f"{tmp_path}/customer.parquet")
+        got = {
+            r.segment: (r.n_orders, r.total_cents, r.pairsum, r.gini_ppm)
+            for r in REG["q185_gini_concentration"].spark(spark, str(tmp_path)).collect()
+        }
+        assert got == expect
+
+    def test_equal_values_give_zero_gini(self, spark, tmp_path):
+        import pandas as pd
+
+        cust = [dict(c_custkey=1, c_name="x", c_nationkey=1, c_acctbal=0.0,
+                     c_mktsegment="SEG")]
+        orders = [dict(o_orderkey=i, o_custkey=1, o_orderstatus="F",
+                       o_totalprice=100.0,
+                       o_orderdate=pd.Timestamp("2024-01-01"),
+                       o_orderpriority="1") for i in range(10)]
+        pd.DataFrame(orders).to_parquet(f"{tmp_path}/orders.parquet",
+                                        coerce_timestamps="us")
+        pd.DataFrame(cust).to_parquet(f"{tmp_path}/customer.parquet")
+        [r] = REG["q185_gini_concentration"].spark(spark, str(tmp_path)).collect()
+        assert r.pairsum == 0
+        assert r.gini_ppm == 0
