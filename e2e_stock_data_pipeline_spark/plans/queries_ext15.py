@@ -493,3 +493,96 @@ def q185_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV 1000) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q186: band self-join via bucket decomposition — all supplier pairs
+# with account balances within $10, found WITHOUT a quadratic
+# comparison: bucket width == band width, so a qualifying pair's
+# buckets differ by at most 1, and two bounded joins (same-bucket +
+# adjacent-bucket) cover every pair exactly once under the
+# (value, key) ordering rule. The oracle is the textbook quadratic
+# theta join — correct, and exactly what cannot run at 100 TB.
+# --------------------------------------------------------------------------
+
+_BAND_CENTS = 1000  # $10 band == bucket width
+_BAL_SHIFT = 100_000  # cents; lifts TPC-H's [-999.99, 9999.99] to >= 0
+
+
+@query(
+    "q186_balance_band_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT s_suppkey AS k, s_nationkey AS nat,
+             CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               + {_BAL_SHIFT} AS v
+      FROM supplier
+    ),
+    pairs AS (
+      SELECT a.k AS ka, b.k AS kb, a.nat AS na, b.nat AS nb,
+             CAST(abs(a.v - b.v) AS BIGINT) AS gap
+      FROM s a JOIN s b ON a.k < b.k
+      WHERE abs(a.v - b.v) <= {_BAND_CENTS}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN na = nb THEN 1 END), 0) AS BIGINT)
+             AS n_same_nation,
+           CAST(COALESCE(SUM(CASE WHEN gap = 0 THEN 1 END), 0) AS BIGINT)
+             AS n_exact_ties,
+           CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_cents,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_cents
+    FROM pairs
+    """,
+    doc="Band self-join: every supplier pair whose account balances "
+    "sit within $10 of each other, via bucket decomposition — bucket "
+    "width equals the band, so qualifying pairs land in the SAME or "
+    "ADJACENT buckets and two bounded joins (same-bucket with a "
+    "(value, key) ordering rule; next-bucket with the band filter) "
+    "enumerate each pair exactly once. Work scales with "
+    "sum(bucket_size * band_density), never suppliers^2 — the oracle "
+    "IS the quadratic theta join, correct here and impossible at "
+    "100 TB. Balances shift by $1000 into non-negative cents so the "
+    "bucket index is a plain truncating DIV in both engines "
+    "(negative-operand DIV vs // would diverge). Output: pair count, "
+    "same-nation and exact-tie counts, gap sum/max.",
+    tags=("join", "band", "theta", "ext"),
+)
+def q186_balance_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    s = sup.select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_nationkey").alias("nat"),
+        (
+            (F.col("s_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+            + _BAL_SHIFT
+        ).alias("v"),
+    ).withColumn("b", F.expr(f"v DIV {_BAND_CENTS}"))
+    lo = s.select(
+        F.col("k").alias("ka"), F.col("nat").alias("na"),
+        F.col("v").alias("va"), F.col("b").alias("ba"),
+    )
+    hi = s.select(
+        F.col("k").alias("kb"), F.col("nat").alias("nb"),
+        F.col("v").alias("vb"), F.col("b").alias("bb"),
+    )
+    same = lo.join(hi, F.col("ba") == F.col("bb")).filter(
+        (F.col("va") < F.col("vb"))
+        | ((F.col("va") == F.col("vb")) & (F.col("ka") < F.col("kb")))
+    )
+    adj = lo.join(hi, F.col("bb") == F.col("ba") + 1).filter(
+        F.col("vb") - F.col("va") <= _BAND_CENTS
+    )
+    pairs = same.unionByName(adj).select(
+        "na", "nb", (F.col("vb") - F.col("va")).cast("bigint").alias("gap")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum(F.when(F.col("na") == F.col("nb"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_same_nation"),
+        F.coalesce(F.sum(F.when(F.col("gap") == 0, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_ties"),
+        F.coalesce(F.sum("gap"), F.lit(0)).cast("bigint").alias("sum_gap_cents"),
+        F.max("gap").cast("bigint").alias("max_gap_cents"),
+    )

@@ -136,3 +136,53 @@ class TestGiniDecomposition:
         [r] = REG["q185_gini_concentration"].spark(spark, str(tmp_path)).collect()
         assert r.pairsum == 0
         assert r.gini_ppm == 0
+
+
+class TestBandJoinDecomposition:
+    def _write_sup(self, tmp_path, bals):
+        import pandas as pd
+
+        pd.DataFrame(
+            [
+                dict(s_suppkey=i + 1, s_name="s", s_nationkey=1, s_acctbal=b)
+                for i, b in enumerate(bals)
+            ]
+        ).to_parquet(f"{tmp_path}/supplier.parquet")
+        return str(tmp_path)
+
+    def test_matches_brute_force_with_boundary(self, spark, tmp_path):
+        # includes a cross-bucket pair, an exact-$10 boundary pair, an
+        # exact tie, and negative balances
+        bals = [-5.0, 4.99, 5.0, 15.0, 100.0, 100.0, 250.0]
+        d = self._write_sup(tmp_path, bals)
+        [r] = REG["q186_balance_band_pairs"].spark(spark, d).collect()
+        cents = [int(round(b * 100)) for b in bals]
+        pairs = [
+            (a, b)
+            for i, a in enumerate(cents)
+            for b in cents[i + 1:]
+            if abs(a - b) <= 1000
+        ]
+        assert r.n_pairs == len(pairs)
+        assert r.n_exact_ties == sum(1 for a, b in pairs if a == b)
+        assert r.sum_gap_cents == sum(abs(a - b) for a, b in pairs)
+        assert r.max_gap_cents == max(abs(a - b) for a, b in pairs)
+        # the $5.00 vs $15.00 boundary pair must be included (gap 1000)
+        assert r.max_gap_cents == 1000
+
+    def test_random_matches_brute_force(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(13)
+        bals = [round(rng.uniform(-999.0, 9999.0), 2) for _ in range(150)]
+        d = self._write_sup(tmp_path, bals)
+        [r] = REG["q186_balance_band_pairs"].spark(spark, d).collect()
+        cents = [int(round(b * 100)) for b in bals]
+        gaps = [
+            abs(a - b)
+            for i, a in enumerate(cents)
+            for b in cents[i + 1:]
+            if abs(a - b) <= 1000
+        ]
+        assert r.n_pairs == len(gaps)
+        assert r.sum_gap_cents == sum(gaps)
