@@ -412,7 +412,7 @@ _G_BUCKET = 1_000_000  # cents per bucket (10k dollars)
       FROM w GROUP BY segment
     )
     SELECT segment, n_orders, total_cents, pairsum,
-           CAST((2 * pairsum) // ((n_orders * (total_cents // 1000)) // 1000)
+           CAST(pairsum // NULLIF((n_orders * (total_cents // 1000)) // 1000, 0)
                 AS BIGINT) AS gini_ppm
     FROM agg
     """,
@@ -424,10 +424,13 @@ _G_BUCKET = 1_000_000  # cents per bucket (10k dollars)
     "bucket) — each task sees 1/55th of a segment, where the naive "
     "rank formulation would sort 20% of the table in one task). "
     "Validated against the brute-force pairwise sum in tests. "
-    "gini_ppm = (2*pairsum) DIV ((n * (total DIV 1000)) DIV 1000) — "
-    "the denominator's staged integer scaling keeps every term in "
-    "int64 at sf1 and is applied IDENTICALLY in both engines. Cents "
-    "units (DECIMAL(18,2)) keep the pairwise sum itself under 2^63.",
+    "Gini = sum_{i<j}|x_i-x_j| / (n * total): the mean absolute "
+    "difference over ordered pairs is 2*pairsum/n^2 and G = MAD/(2*mean), "
+    "so the 2s cancel. gini_ppm = pairsum DIV ((n * (total DIV 1000)) "
+    "DIV 1000) — the denominator's staged integer scaling keeps every "
+    "term in int64 at sf1, is NULLIF-guarded (NULL when n*total < 1e6 "
+    "cents), and is applied IDENTICALLY in both engines. Cents units "
+    "(DECIMAL(18,2)) keep the pairwise sum itself under 2^63.",
     tags=("agg", "inequality", "twopass", "robust", "ext"),
 )
 def q185_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,8 +492,8 @@ def q185_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         "pairsum",
         F.expr(
-            "CAST((2 * pairsum) DIV ((n_orders * (total_cents DIV 1000))"
-            " DIV 1000) AS BIGINT)"
+            "CAST(pairsum DIV NULLIF((n_orders * (total_cents DIV 1000))"
+            " DIV 1000, 0) AS BIGINT)"
         ).alias("gini_ppm"),
     )
 

@@ -111,7 +111,7 @@ class TestGiniDecomposition:
             cents = [int(round(v * 100)) for v in vals]
             p = sum(abs(a - b) for i, a in enumerate(cents) for b in cents[i + 1:])
             n, s = len(cents), sum(cents)
-            expect[seg] = (n, s, p, (2 * p) // ((n * (s // 1000)) // 1000))
+            expect[seg] = (n, s, p, p // ((n * (s // 1000)) // 1000))
         pd.DataFrame(orders).to_parquet(f"{tmp_path}/orders.parquet",
                                         coerce_timestamps="us")
         pd.DataFrame(cust).to_parquet(f"{tmp_path}/customer.parquet")
@@ -136,6 +136,43 @@ class TestGiniDecomposition:
         [r] = REG["q185_gini_concentration"].spark(spark, str(tmp_path)).collect()
         assert r.pairsum == 0
         assert r.gini_ppm == 0
+
+    def test_two_point_distribution_gives_half(self, spark, tmp_path):
+        # {0, X}: Gini is exactly 0.5 (one order holds ALL the value).
+        # This is the case the round-9 formula got wrong (reported 1.0 —
+        # the relative mean absolute difference, i.e. 2x Gini).
+        import pandas as pd
+
+        cust = [dict(c_custkey=1, c_name="x", c_nationkey=1, c_acctbal=0.0,
+                     c_mktsegment="SEG")]
+        orders = [dict(o_orderkey=i, o_custkey=1, o_orderstatus="F",
+                       o_totalprice=v,
+                       o_orderdate=pd.Timestamp("2024-01-01"),
+                       o_orderpriority="1")
+                  for i, v in enumerate([0.0, 50000.0])]
+        pd.DataFrame(orders).to_parquet(f"{tmp_path}/orders.parquet",
+                                        coerce_timestamps="us")
+        pd.DataFrame(cust).to_parquet(f"{tmp_path}/customer.parquet")
+        [r] = REG["q185_gini_concentration"].spark(spark, str(tmp_path)).collect()
+        assert r.pairsum == 5_000_000
+        assert r.gini_ppm == 500_000
+
+    def test_tiny_total_yields_null_not_div_zero(self, spark, tmp_path):
+        # n*total < 1e6 cents: staged denominator is 0 -> NULLIF guard
+        # must return NULL, not raise.
+        import pandas as pd
+
+        cust = [dict(c_custkey=1, c_name="x", c_nationkey=1, c_acctbal=0.0,
+                     c_mktsegment="SEG")]
+        orders = [dict(o_orderkey=i, o_custkey=1, o_orderstatus="F",
+                       o_totalprice=1.0,
+                       o_orderdate=pd.Timestamp("2024-01-01"),
+                       o_orderpriority="1") for i in range(3)]
+        pd.DataFrame(orders).to_parquet(f"{tmp_path}/orders.parquet",
+                                        coerce_timestamps="us")
+        pd.DataFrame(cust).to_parquet(f"{tmp_path}/customer.parquet")
+        [r] = REG["q185_gini_concentration"].spark(spark, str(tmp_path)).collect()
+        assert r.gini_ppm is None
 
 
 class TestBandJoinDecomposition:
