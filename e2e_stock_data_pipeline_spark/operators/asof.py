@@ -20,7 +20,9 @@ Algorithm (backward as-of, ties include equality):
 
 Equivalent to DuckDB `ASOF JOIN ... ON l.key = r.key AND l.t >= r.t`
 (when right (key, t) pairs are unique, which callers should ensure —
-otherwise the *latest-sorted* right row wins deterministically).
+otherwise the right row with the GREATEST (value_cols...) tuple wins,
+pinned by a final ordering key on the value columns themselves so the
+winner never depends on partition/task order).
 """
 
 from __future__ import annotations
@@ -85,9 +87,21 @@ def asof_join(
         F.lit(None).cast(left.select(F.struct(*lcols)).schema[0].dataType).alias("_asof_payload"),
     )
 
+    # final ordering keys: among right rows sharing (key, t) — where rtime
+    # offers no extra discrimination — the value columns themselves break
+    # the tie, so last() deterministically fills with the greatest
+    # (value_cols...) tuple instead of whichever row the task order
+    # happened to place last. Left rows all carry nulls there (nulls sort
+    # first, and their relative order cannot change any fill: a left row's
+    # frame sees every equal-t right row either way).
     w = (
         Window.partitionBy("_asof_key")
-        .orderBy(F.col("_asof_t"), F.col(tag).desc(), F.col(rtime))
+        .orderBy(
+            F.col("_asof_t"),
+            F.col(tag).desc(),
+            F.col(rtime),
+            *[F.col(f"_r_{c}") for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = rhs.unionByName(lhs).select(
@@ -165,9 +179,20 @@ def asof_join_filtered(
         .withColumn("_asof_tag", tag)
         .filter(F.col("_asof_tag").isNotNull())
     )
+    # value columns as final ordering keys: multiple RIGHT rows sharing
+    # (key, time) — possible over raw event data — would otherwise fill
+    # left rows with whichever one the task order placed last; ordering
+    # by the values pins the greatest (value_cols...) tuple. Left rows'
+    # relative order is irrelevant: every equal-time right row sorts
+    # before them (tag desc) and left rows contribute only nulls to the
+    # ignorenulls last().
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(time_col), F.col("_asof_tag").desc())
+        .orderBy(
+            F.col(time_col),
+            F.col("_asof_tag").desc(),
+            *[F.col(c) for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_r = F.col("_asof_tag") == 1

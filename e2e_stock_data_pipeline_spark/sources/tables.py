@@ -190,6 +190,16 @@ def spark_readable_path(sf_dir: str, name: str) -> str:
         # safe=False: truncate sub-microsecond digits, exactly as DuckDB
         # does when it reads ns timestamps into its native us representation.
         tbl = tbl.cast(_us_schema(tbl.schema), safe=False)
+    # clear a stale cache whose LAYOUT no longer matches the current
+    # policy (a part-file directory where a single file is now wanted,
+    # or vice versa) before writing the rebuilt one: pq.write_table
+    # cannot overwrite a directory and os.replace cannot replace one.
+    if os.path.isdir(dst) or os.path.isfile(dst):
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isfile(dst):
+            os.remove(dst)
     if not resplit:
         pq.write_table(tbl, dst, compression="snappy")
         return dst
@@ -205,12 +215,6 @@ def spark_readable_path(sf_dir: str, name: str) -> str:
             os.path.join(tmp, f"part-{part:05d}.parquet"),
             compression="snappy",
         )
-    if os.path.isdir(dst) or os.path.isfile(dst):
-        import shutil
-
-        shutil.rmtree(dst, ignore_errors=True)
-        if os.path.isfile(dst):
-            os.remove(dst)
     os.replace(tmp, dst)
     return dst
 

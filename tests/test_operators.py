@@ -62,6 +62,23 @@ class TestAsofJoin:
         got = {r.pid: r.asof_val for r in out.collect()}
         assert got == {"p1": 1.0, "p2": 2.0, "p3": None, "p4": None}
 
+    def test_duplicate_right_times_resolve_deterministically(self, spark):
+        """Multiple right rows sharing (key, time): the greatest value
+        tuple must win, independent of input partitioning/order."""
+        left = spark.createDataFrame([("A", ts(12), "p1")], ["k", "t", "pid"])
+        dup_rows = [("A", ts(10), v) for v in (5.0, 9.0, 1.0, 7.0)]
+        for arrange in (
+            lambda df: df,
+            lambda df: df.repartition(7),
+            lambda df: df.orderBy(F.col("val").desc()).coalesce(1),
+        ):
+            right = arrange(spark.createDataFrame(dup_rows, ["k", "rt", "val"]))
+            [r] = asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                value_cols=["val"], how="inner",
+            ).collect()
+            assert (r.asof_rt, r.asof_val) == (ts(10), 9.0)
+
 
 class TestAsofJoinFiltered:
     """Same-source variant must be bit-equal to asof_join on the two
@@ -122,6 +139,31 @@ class TestAsofJoinFiltered:
         )
         assert got == want
         assert len(got) == 4  # every left row kept
+
+    def test_duplicate_right_times_resolve_deterministically(self, spark):
+        """Right-side duplicates at one (key, time) instant — possible
+        over raw event data (the q26 shape) — must fill with the
+        greatest value tuple regardless of partitioning."""
+        rows = [("A", ts(12), "L", 0.0, 1)] + [
+            ("A", ts(10), "R", v, 10 + i) for i, v in enumerate((5.0, 9.0, 1.0, 7.0))
+        ]
+        for arrange in (
+            lambda df: df,
+            lambda df: df.repartition(7),
+            lambda df: df.orderBy(F.col("v").desc()).coalesce(1),
+        ):
+            src = arrange(spark.createDataFrame(rows, ["k", "t", "side", "v", "rid"]))
+            [r] = asof_join_filtered(
+                src,
+                on="k",
+                time_col="t",
+                left_filter=F.col("side") == "L",
+                right_filter=F.col("side") == "R",
+                left_cols=["k", "t", "rid"],
+                value_cols=["v"],
+                how="inner",
+            ).collect()
+            assert (r.asof_t, r.asof_v) == (ts(10), 9.0)
 
 
 class TestKeepLast:
@@ -1389,6 +1431,49 @@ class TestSaltedGroupTopk:
             .collect()
         }
         assert fast == slow
+
+    def test_desc_order_cols_match_naive_window(self, spark):
+        """Pin the SortOrder-unwrap path in the default salt: with
+        F.col(...).desc() in order_cols, the salted keep must still be
+        bit-equal to the naive window. If the private-node unwrap in
+        _sort_child drifts on a future Spark, xxhash64 over the raw
+        SortOrder fails analysis and this test fails loudly instead of
+        the regression going unnoticed."""
+        from pyspark.sql import Window
+
+        from e2e_stock_data_pipeline_spark.operators.ranking import salted_group_topk
+
+        df = spark.range(20000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("head")).otherwise(
+                (F.col("id") % 7).cast("string")
+            ).alias("g"),
+            (F.xxhash64("id") % 100003).alias("v"),
+            "id",
+        )
+        order = [F.col("v").desc(), F.col("id").desc()]
+        fast = {
+            (r.g, r.id, r.rnk)
+            for r in salted_group_topk(df, ["g"], order, k=10).collect()
+        }
+        w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").desc())
+        slow = {
+            (r.g, r.id, r.rnk)
+            for r in df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .collect()
+        }
+        assert fast == slow
+
+    def test_sort_child_unwraps_to_evaluable_column(self, spark):
+        """_sort_child(F.col('v').desc()) must yield a column xxhash64 can
+        evaluate (a raw SortOrder cannot be hashed)."""
+        from e2e_stock_data_pipeline_spark.operators.ranking import _sort_child
+
+        df = spark.range(3).select(F.col("id").alias("v"))
+        unwrapped = _sort_child(F.col("v").desc())
+        hashes = [r[0] for r in df.select(F.xxhash64(unwrapped)).collect()]
+        plain = [r[0] for r in df.select(F.xxhash64(F.col("v"))).collect()]
+        assert hashes == plain
 
     def test_k_larger_than_group(self, spark):
         from e2e_stock_data_pipeline_spark.operators.ranking import salted_group_topk

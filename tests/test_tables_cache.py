@@ -86,6 +86,31 @@ class TestResplitCache:
         out3 = tables.spark_readable_path(sf, "lineitem")
         assert os.path.getmtime(out3) >= mtime1
 
+    def test_single_file_rebuild_clears_stale_directory(self, tmp_path, cache_root):
+        # Policy wants a SINGLE cache file (ns-downcast rewrite, row count
+        # below every split trigger) but a stale part-file DIRECTORY from an
+        # older split policy sits at dst: the rebuild must clear it, not
+        # fail in pq.write_table(tbl, <existing directory>).
+        import pyarrow as pa
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+        df = pd.DataFrame(
+            {"k": range(10),
+             "ts": pd.date_range("2024-01-01", periods=10, freq="s")}
+        )
+        tbl = pa.Table.from_pandas(df)  # ns timestamps -> forces a rewrite
+        pq.write_table(tbl, os.path.join(sf, "events.parquet"))
+        dst = os.path.join(cache_root, "sf", "events.parquet")
+        os.makedirs(dst, exist_ok=True)
+        pq.write_table(tbl.slice(0, 5), os.path.join(dst, "part-00000.parquet"))
+        out = tables.spark_readable_path(sf, "events")
+        assert out == dst
+        assert os.path.isfile(out)
+        got = pq.read_table(out)
+        assert got.num_rows == 10
+        assert got.schema.field("ts").type == pa.timestamp("us")
+
     def test_byte_threshold_catches_wide_tables(self, tmp_path, cache_root):
         # few rows but large payload (the 50k-documents shape)
         sf = str(tmp_path / "sf")
