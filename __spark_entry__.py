@@ -12,6 +12,7 @@ this module only adapts the registry to the driver's shape.
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 from pathlib import Path
 
@@ -33,43 +34,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate records at most ~50 rows per round (both r1
 # and r2 produced exactly 50), so dict ORDER decides which queries earn
-# evidence. Policy: queries that have never received a driver row (across all
-# CORRECTNESS_r*.json in the repo) run FIRST, cheapest-first within each group
-# (measured at sf0.01 by scripts/driver_sim.py -> scripts/query_costs.json),
-# so each round's capped run maximizes NEW coverage and the union over rounds
-# converges to the full registry.
+# evidence. Policy: queries that have never received a green driver row
+# (across all CORRECTNESS_r*.json in the repo) run FIRST, cheapest-first
+# within the group (measured at sf0.01 by scripts/driver_sim.py ->
+# scripts/query_costs.json), so each round's capped run maximizes NEW
+# coverage. Once every query holds a green row, FRESHNESS rotates: seen
+# queries are ordered by the round of their LAST green row (stalest
+# first), so the 50-row budget cycles through the whole registry every
+# ~4 rounds instead of re-checking the same cheap head forever — a
+# silent regression in any query surfaces within one rotation cycle.
 _DEFAULT_COST = 0.5  # queries added after the last cost sweep run early
 
 
-def _driver_rows_seen() -> set[str]:
-    """Query names holding a GREEN row in any prior round's CORRECTNESS file.
+def _last_green_round() -> dict[str, int]:
+    """Round number of the most recent GREEN driver row per query name.
 
     Error / non-matching rows (e.g. a stale ``err: no_oracle`` recorded before
-    the query gained an oracle) do NOT count as seen, so those queries re-run
-    first and can re-earn a green row in a later round. A row counts as green
-    only with positive hash evidence: if the ``hash_match`` key is present it
-    must be True (None = hash never computed, so the query re-runs until it
-    earns a hash-verified row); the key being absent entirely means an older
-    driver format that recorded only rows+schema, which we accept as checked.
+    the query gained an oracle) do NOT count: those queries stay absent from
+    the map (never-seen) and re-run first until they earn a green row. A row
+    counts as green only with positive hash evidence: if the ``hash_match``
+    key is present it must be True (None = hash never computed, so the query
+    re-runs until it earns a hash-verified row); the key being absent entirely
+    means an older driver format that recorded only rows+schema, which we
+    accept as checked.
     """
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict):
-                seen.add(name)  # unknown shape: assume checked
-                continue
-            if (
+            green = not isinstance(row, dict) or (  # unknown shape: checked
                 row.get("rows_match")
                 and row.get("schema_match")
                 and ("hash_match" not in row or row["hash_match"] is True)
                 and row.get("err") is None
-            ):
-                seen.add(name)
-    return seen
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _costs() -> dict[str, float]:
@@ -115,8 +121,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__name__ = spec.name
         return run
 
-    seen, cost = _driver_rows_seen(), _costs()
-    ordered = sorted(registry, key=lambda n: (n in seen, cost.get(n, _DEFAULT_COST), n))
+    last, cost = _last_green_round(), _costs()
+    # never-seen (round 0) first, cheapest-first within the group; seen
+    # queries by staleness (oldest green round first) so the capped run
+    # rotates freshness through the registry
+    ordered = sorted(
+        registry,
+        key=lambda n: (last.get(n, 0), cost.get(n, _DEFAULT_COST), n),
+    )
     return {name: wrap(registry[name]) for name in ordered}
 
 
