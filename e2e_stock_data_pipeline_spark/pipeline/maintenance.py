@@ -137,7 +137,15 @@ def table_stats(path: str, columns: list[str] | None = None) -> dict:
 
     import pyarrow.parquet as pq
 
-    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    # recursive: a Hive-partitioned layout (dt=... subdirs) keeps its
+    # leaves one level (or more) down; span keys are paths RELATIVE to
+    # the table root (equal to the basename for a flat dir, so flat-dir
+    # consumers are unaffected; partition dirs all name their leaf
+    # part-0.parquet, so basenames alone would collide).
+    files = sorted(
+        _glob.glob(os.path.join(path, "*.parquet"))
+        or _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
     out: dict = {
         "n_files": len(files),
         "total_bytes": sum(os.path.getsize(f) for f in files),
@@ -160,7 +168,9 @@ def table_stats(path: str, columns: list[str] | None = None) -> dict:
             if not stats:
                 continue
             mn, mx = min(s.min for s in stats), max(s.max for s in stats)
-            out["columns"].setdefault(c, []).append({"file": os.path.basename(f), "min": mn, "max": mx})
+            out["columns"].setdefault(c, []).append(
+                {"file": os.path.relpath(f, path), "min": mn, "max": mx}
+            )
     return out
 
 
@@ -204,11 +214,19 @@ def pruned_scan(spark: SparkSession, path: str, col: str, lo, hi):
     import glob as _glob
 
     predicate = F.col(col).between(lo, hi)
-    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    # recursive listing + table-root-relative keys: works unchanged for a
+    # flat part-file dir AND a Hive-partitioned layout (where each day's
+    # leaf carries a one-day ts span, so a date predicate skips whole
+    # partition files from footer stats alone)
+    files = sorted(
+        _glob.glob(os.path.join(path, "*.parquet"))
+        or _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
     spans = table_stats(path, [col])["columns"].get(col, [])
     known = {s["file"] for s in spans}
     keep = {s["file"] for s in spans if not (s["max"] < lo or s["min"] > hi)}
-    keep |= {os.path.basename(f) for f in files if os.path.basename(f) not in known}
+    rel = {os.path.relpath(f, path) for f in files}
+    keep |= {r for r in rel if r not in known}
     meta = {"files_total": len(files), "files_read": len(keep)}
     if not keep:  # stats exclude everything: empty frame, correct schema
         return spark.read.parquet(path).filter(F.lit(False)), meta

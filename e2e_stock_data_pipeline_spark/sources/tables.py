@@ -47,12 +47,37 @@ def path_for(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _leaf_parquet(src: str) -> str:
+    """First leaf .parquet file under a table path (the path itself when
+    it is a plain file). For a Hive-partitioned directory the leaf's
+    footer is the authoritative DATA schema — partition columns live
+    only in directory names."""
+    if not os.path.isdir(src):
+        return src
+    for root, _dirs, files in sorted(os.walk(src)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    raise FileNotFoundError(f"no parquet leaf under {src}")
+
+
+def _is_hive_partitioned(src: str) -> bool:
+    """A table delivered as a directory of key=value subdirectories —
+    the reference's dt=/symbol= layout. Detected from the first level of
+    entries (Spark's partition discovery does the same)."""
+    if not os.path.isdir(src):
+        return False
+    return any(
+        "=" in e and os.path.isdir(os.path.join(src, e)) for e in os.listdir(src)
+    )
+
+
 _NS_PROBE_CACHE: dict[str, bool] = {}
 
 
 def _needs_ns_downcast(src: str) -> bool:
     if src not in _NS_PROBE_CACHE:
-        schema = pq.read_schema(src)
+        schema = pq.read_schema(_leaf_parquet(src))
         _NS_PROBE_CACHE[src] = any(
             pa.types.is_timestamp(t) and t.unit == "ns" for t in schema.types
         )
@@ -106,6 +131,11 @@ def _resplit_n_files(src: str) -> int:
     # so the file count, not the row-group count, is what must scale.
     # Returns 0 for "leave as is".
     if src not in _RESPLIT_PROBE_CACHE:
+        if os.path.isdir(src):
+            # already a multi-file layout (partitioned or part-files):
+            # scan parallelism comes from the existing file count
+            _RESPLIT_PROBE_CACHE[src] = 0
+            return 0
         md = pq.ParquetFile(src).metadata
         size = os.path.getsize(src)
         if md.num_rows < _RESPLIT_WIDTH_MIN_ROWS and size < _RESPLIT_MIN_BYTES:
@@ -133,8 +163,9 @@ def table_rows(sf_dir: str, name: str) -> int:
     if n is None:
         if os.path.isdir(src):
             n = sum(
-                pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
-                for f in os.listdir(src)
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _dirs, files in os.walk(src)
+                for f in files
                 if f.endswith(".parquet")
             )
         else:
@@ -158,11 +189,39 @@ def raw_readable_path(sf_dir: str, name: str) -> str:
     if os.path.exists(dst) and os.path.getmtime(dst) >= os.path.getmtime(src):
         return dst
     os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if os.path.isdir(src):
+        _rewrite_dir_us(src, dst)
+        return dst
     tbl = pq.read_table(src)
     pq.write_table(
         tbl.cast(_us_schema(tbl.schema), safe=False), dst, compression="snappy"
     )
     return dst
+
+
+def _rewrite_dir_us(src: str, dst: str) -> None:
+    """ns->us rewrite of a DIRECTORY source, leaf file by leaf file with
+    the relative layout (partition subdirs, file names) preserved — the
+    partition structure IS the point of such a layout."""
+    import shutil
+
+    tmp = f"{dst}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            out_dir = os.path.join(tmp, rel) if rel != "." else tmp
+            os.makedirs(out_dir, exist_ok=True)
+            tbl = pq.read_table(os.path.join(root, f))
+            pq.write_table(
+                tbl.cast(_us_schema(tbl.schema), safe=False),
+                os.path.join(out_dir, f),
+                compression="snappy",
+            )
+    shutil.rmtree(dst, ignore_errors=True)
+    os.replace(tmp, dst)
 
 
 def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -193,6 +252,15 @@ def spark_readable_path(sf_dir: str, name: str) -> str:
         return src
     tag = os.path.basename(os.path.normpath(sf_dir))
     dst = os.path.join(_CACHE_ROOT, tag, f"{name}.parquet")
+    if os.path.isdir(src):
+        # directory source (partitioned / part-files) needing the ns fix:
+        # leaf-wise rewrite preserving the layout (resplit is 0 for dirs)
+        if not (
+            os.path.exists(dst) and os.path.getmtime(dst) >= os.path.getmtime(src)
+        ):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            _rewrite_dir_us(src, dst)
+        return dst
     if os.path.exists(dst) and os.path.getmtime(dst) >= os.path.getmtime(src):
         # layout check: a cache written under an older split policy (or a
         # single file where the policy now wants a directory of parts) is
@@ -281,12 +349,36 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _DF_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(path)
+        if _is_hive_partitioned(path):
+            # A partitioned layout carries DERIVED partition columns in
+            # its directory names (dt= from ts, ship-month from
+            # l_shipdate). Project back to the leaf-file data schema so
+            # every query sees the exact same table regardless of
+            # layout. Partition pruning is unaffected for queries on
+            # real data columns: each leaf file covers one partition
+            # value, so pushed predicates skip whole files via footer
+            # min/max stats (measured: see tests/test_partitioned_layout.py).
+            data_cols = pq.read_schema(_leaf_parquet(path)).names
+            if list(df.columns) != list(data_cols):
+                df = df.select(*data_cols)
         _DF_CACHE[key] = df
     return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def oracle_view_source(sf_dir: str, name: str) -> str:
+    """DuckDB FROM-clause source for a table path: a plain file reads
+    directly, a directory layout (partitioned copy / part files) reads
+    via a recursive glob — leaf files only, so the oracle sees the exact
+    DATA schema (partition columns live in directory names and are a
+    layout detail, not table content)."""
+    src = path_for(sf_dir, name)
+    if os.path.isdir(src):
+        return f"read_parquet('{src}/**/*.parquet')"
+    return f"read_parquet('{src}')"
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:

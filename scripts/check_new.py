@@ -18,7 +18,7 @@ import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from e2e_stock_data_pipeline_spark.session import get_spark  # noqa: E402
-from e2e_stock_data_pipeline_spark.sources.tables import TABLE_NAMES  # noqa: E402
+from e2e_stock_data_pipeline_spark.sources.tables import TABLE_NAMES, oracle_view_source  # noqa: E402
 
 
 def norm(rows, cols):
@@ -38,7 +38,7 @@ def main(argv: list[str]) -> int:
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM {oracle_view_source(sf_dir, t)}"
         )
 
     qs = entrymod.queries()

@@ -22,7 +22,7 @@ import duckdb  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
-from e2e_stock_data_pipeline_spark.sources.tables import TABLE_NAMES  # noqa: E402
+from e2e_stock_data_pipeline_spark.sources.tables import TABLE_NAMES, oracle_view_source  # noqa: E402
 
 
 def norm(rows, cols):
@@ -76,7 +76,7 @@ def main(argv: list[str]) -> int:
         if d not in _cons:
             c = duckdb.connect()
             for t in TABLE_NAMES:
-                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM {oracle_view_source(d, t)}")
             _cons[d] = c
         return _cons[d]
 

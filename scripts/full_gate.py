@@ -14,7 +14,7 @@ import duckdb  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
-from e2e_stock_data_pipeline_spark.sources.tables import TABLE_NAMES  # noqa: E402
+from e2e_stock_data_pipeline_spark.sources.tables import TABLE_NAMES, oracle_view_source  # noqa: E402
 
 
 def norm(rows, cols):
@@ -33,7 +33,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {oracle_view_source(sf_dir, t)}")
     bad = []
     for name in sorted(qs):
         if name not in osql:

@@ -1,6 +1,7 @@
-"""Generate a local sf1 dataset (~10x sf0.1: 6M lineitem) for the bench
-headroom experiment — NOT driver testdata (that is read-only; this lands
-in the gitignored /root/repo/.bench_sf1/sf1/).
+"""Generate a local sf1/sf10 dataset (mult x sf0.1; mult=10 -> 6M
+lineitem "sf1", mult=100 -> 60M "sf10") for the bench headroom
+experiments — NOT driver testdata (that is read-only; this lands in the
+gitignored /root/repo/.bench_sf1/sf{mult/10}/).
 
 Schemas and value distributions mirror the driver's sf0.1 tables
 (probed ranges: see BENCH_NOTES r7); all randomness is DuckDB hash()
@@ -18,7 +19,6 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-OUT = "/root/repo/.bench_sf1/sf1"
 
 SEGMENTS = "['BUILDING','MACHINERY','AUTOMOBILE','HOUSEHOLD','FURNITURE']"
 PRIORITIES = "['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW']"
@@ -34,6 +34,8 @@ VOCAB = (
 
 
 def main(mult: int = 10) -> None:
+    sf = mult / 10
+    OUT = f"/root/repo/.bench_sf1/sf{int(sf) if sf == int(sf) else sf}"
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")

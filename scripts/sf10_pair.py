@@ -1,0 +1,131 @@
+"""Single-pass Spark-vs-DuckDB pair timing PLUS exact result compare for
+the sf10 tier, where the DuckDB side of the heavy queries runs minutes
+to hours and the 3-run-median discipline of time_pair.py is infeasible.
+
+Per query: one noop-forced timed Spark pass (warm: one untimed warmup
+first), one timed DuckDB fetchall, then a collect of the Spark result
+(warm, untimed) compared row-exactly (repr-normalized, column-sorted)
+against the fetched oracle rows — the driver gate's comparison at sf10.
+
+    python scripts/sf10_pair.py <sf_dir> q41_... [q56_...] [--duckdb-timeout SEC]
+
+Env: SPARK_GRAFT_CPUS (default 32). A query whose oracle exceeds
+--duckdb-timeout is recorded as oracle_timeout (Spark time + row count
+still recorded); exactness for it must come from Spark-side invariants.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules  # noqa: E402
+from e2e_stock_data_pipeline_spark.session import get_spark  # noqa: E402
+from e2e_stock_data_pipeline_spark.sources.tables import TABLE_NAMES, oracle_view_source  # noqa: E402
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(repr(r[i]) for i in order) for r in rows)
+
+
+def _run_oracle(sf_dir: str, sql: str, cpus: int, q: "mp.Queue") -> None:
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {cpus}")
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {oracle_view_source(sf_dir, t)}")
+    t0 = time.perf_counter()
+    res = con.sql(sql)
+    rows = res.fetchall()
+    sec = time.perf_counter() - t0
+    q.put((sec, rows, list(res.columns)))
+
+
+def main(argv: list[str]) -> int:
+    dto = 7200.0
+    if "--duckdb-timeout" in argv:
+        i = argv.index("--duckdb-timeout")
+        dto = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir, names = argv[0], argv[1:]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    registry = load_all_query_modules()
+
+    spark = get_spark(
+        app_name="sf10-pair", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    total_s = total_d = 0.0
+    for name in names:
+        spec = registry[name]
+        df = spec.spark(spark, sf_dir)
+        force(df)  # warmup
+        t0 = time.perf_counter()
+        force(spec.spark(spark, sf_dir))
+        s_sec = time.perf_counter() - t0
+        srows = [tuple(r) for r in df.collect()]
+
+        rec = {"query": name, "spark": round(s_sec, 3), "spark_rows": len(srows)}
+        # oracle in a subprocess so a timeout is enforceable (DuckDB has
+        # no interrupt API usable from a blocking fetchall)
+        q: mp.Queue = mp.Queue()
+        p = mp.Process(target=_run_oracle, args=(sf_dir, spec.oracle, cpus, q))
+        p.start()
+        deadline = time.time() + dto
+        got = None
+        while time.time() < deadline:
+            try:
+                got = q.get(timeout=5.0)
+                break
+            except Exception:
+                if not p.is_alive():
+                    try:
+                        got = q.get(timeout=5.0)
+                    except Exception:
+                        pass
+                    break
+        if got is None:
+            p.terminate()
+            p.join()
+            rec["oracle"] = "timeout" if p.exitcode in (-15, None) else "error"
+            rec["duckdb"] = None
+        else:
+            p.join()
+            d_sec, orows, ocols = got
+            rec["duckdb"] = round(d_sec, 3)
+            rec["oracle_rows"] = len(orows)
+            rec["match"] = _norm(srows, df.columns) == _norm(orows, ocols)
+            rec["ratio"] = round(s_sec / d_sec, 3) if d_sec else None
+            total_d += d_sec
+        total_s += s_sec
+        print(json.dumps(rec), flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sf10_pair_total",
+                "spark": round(total_s, 3),
+                "duckdb": round(total_d, 3),
+                "ratio": round(total_s / total_d, 3) if total_d else None,
+                "sf_dir": sf_dir,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

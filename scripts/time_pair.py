@@ -23,7 +23,7 @@ import duckdb  # noqa: E402
 
 from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules  # noqa: E402
 from e2e_stock_data_pipeline_spark.session import get_spark  # noqa: E402
-from e2e_stock_data_pipeline_spark.sources.tables import TABLE_NAMES  # noqa: E402
+from e2e_stock_data_pipeline_spark.sources.tables import TABLE_NAMES, oracle_view_source  # noqa: E402
 
 
 def main(argv: list[str]) -> int:
@@ -39,7 +39,7 @@ def main(argv: list[str]) -> int:
     con = duckdb.connect()
     con.execute(f"SET threads TO {cpus}")
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {oracle_view_source(sf_dir, t)}")
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()

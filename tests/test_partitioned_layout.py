@@ -1,0 +1,143 @@
+"""Hive-partitioned table layout (the reference's dt=/symbol= layout —
+reference: ingest_fmp_prices.py:92-105, docs/databricks_setup.md:94).
+
+Contract: a table delivered as a key=value partition directory must be
+(a) transparent — every loader consumer sees the exact same schema and
+rows as the single-file layout; (b) prunable — a predicate on the
+partition column reads only the matching partition files (native Spark
+PartitionFilters), and a predicate on the underlying DATA column (ts,
+l_shipdate) skips non-overlapping partition leaves via footer min/max
+stats (each leaf covers one partition value, so its span is one day /
+one month).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from e2e_stock_data_pipeline_spark.sources import tables
+from scripts.gen_partitioned import main as gen_partitioned
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def part_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("part") / "sf0.001_part")
+    gen_partitioned(SF, out)
+    return out
+
+
+class TestTransparency:
+    def test_schema_and_rows_identical(self, spark, part_dir):
+        for name in ("events", "lineitem", "orders"):
+            a = tables.load(spark, part_dir, name)
+            b = tables.load(spark, SF, name)
+            assert a.columns == b.columns, name
+            assert [str(f.dataType) for f in a.schema.fields] == [
+                str(f.dataType) for f in b.schema.fields
+            ], name
+            ra = sorted(map(tuple, a.collect()))
+            rb = sorted(map(tuple, b.collect()))
+            assert ra == rb, f"{name}: partitioned rows differ from single-file"
+
+    def test_table_rows_counts_nested_leaves(self, part_dir):
+        assert tables.table_rows(part_dir, "events") == tables.table_rows(
+            SF, "events"
+        )
+
+    def test_is_hive_partitioned_detection(self, part_dir):
+        assert tables._is_hive_partitioned(
+            os.path.join(part_dir, "events.parquet")
+        )
+        assert not tables._is_hive_partitioned(
+            os.path.join(part_dir, "orders.parquet")
+        )
+
+
+class TestPartitionPruning:
+    def test_partition_filter_prunes_files(self, spark, part_dir):
+        """A dt predicate on the raw partitioned read keeps ONE
+        partition's files: native PartitionFilters, checked via the
+        executed scan's numFiles metric (not just plan text)."""
+        path = os.path.join(part_dir, "events.parquet")
+        total_parts = len(
+            [e for e in os.listdir(path) if e.startswith("dt=")]
+        )
+        assert total_parts > 5
+        some_dt = sorted(os.listdir(path))[2].split("=", 1)[1]
+        df = spark.read.parquet(path).filter(F.col("dt") == some_dt)
+        df.collect()
+        plan_text = df._jdf.queryExecution().toString()
+        assert "PartitionFilters" in plan_text and "dt" in plan_text
+        num_files = _scan_metric(df, "numFiles")
+        assert num_files < total_parts, (
+            f"read {num_files} files of {total_parts} partitions"
+        )
+
+    def test_data_column_predicate_skips_leaves_via_stats(self, part_dir):
+        """A ts predicate (DATA column — partition col dropped by the
+        loader) skips non-overlapping leaves through footer min/max:
+        each dt= leaf spans one day, so pruned_scan keeps only the
+        queried days' files."""
+        import datetime as dt
+
+        from e2e_stock_data_pipeline_spark.pipeline.maintenance import (
+            table_stats,
+        )
+
+        path = os.path.join(part_dir, "events.parquet")
+        stats = table_stats(path, ["ts"])
+        assert stats["n_files"] > 5  # nested leaves found
+        spans = stats["columns"]["ts"]
+        assert len(spans) == stats["n_files"]
+        # every leaf's ts span stays within one calendar day
+        for s in spans:
+            assert s["min"].date() == s["max"].date(), s
+
+        lo = dt.datetime(2024, 1, 3)
+        hi = dt.datetime(2024, 1, 4, 23, 59, 59)
+        keep = [s for s in spans if not (s["max"] < lo or s["min"] > hi)]
+        assert 0 < len(keep) <= 3, f"kept {len(keep)} of {len(spans)} leaves"
+
+    def test_pruned_scan_on_partitioned_layout(self, spark, part_dir):
+        """pruned_scan end-to-end over the nested layout: reads only the
+        overlapping leaves and returns exactly the predicate's rows."""
+        import datetime as dt
+
+        from e2e_stock_data_pipeline_spark.pipeline.maintenance import (
+            pruned_scan,
+        )
+
+        path = os.path.join(part_dir, "events.parquet")
+        lo = dt.datetime(2024, 1, 3)
+        hi = dt.datetime(2024, 1, 4, 23, 59, 59)
+        df, meta = pruned_scan(spark, path, "ts", lo, hi)
+        assert meta["files_read"] < meta["files_total"]
+        expect = (
+            spark.read.parquet(path)
+            .filter(F.col("ts").between(lo, hi))
+            .count()
+        )
+        assert df.count() == expect
+
+
+def _scan_metric(df, key: str) -> int:
+    """Value of a FileSourceScan metric from the EXECUTED plan."""
+    out = {}
+
+    def walk(node):
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                out[kv._1()] = kv._2().value()
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return int(out[key])
