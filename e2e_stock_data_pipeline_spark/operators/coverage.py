@@ -1,0 +1,87 @@
+"""Greedy maximum-coverage selection (submodular curation).
+
+The data-curation primitive behind "pick the k sources/owners whose
+union covers the most items": classic greedy on a submodular objective
+(1 - 1/e optimal). Each round is ONE distributed aggregation over the
+remaining (set, item) pairs plus an anti-join against the covered-item
+set — never a materialized power set, never a driver-side pair scan.
+
+Scale design (100 TB): the pair table is the only data-sized input and
+is scanned once per round with the covered set removed by broadcast
+anti-join (covered grows by at most one set's items per round, bounded
+by k * max-set-size — dimension-sized by construction). The per-round
+argmax reduces to one row collected to the driver (same documented
+driver-contact pattern as ranking.py's two-pass global rank: k rows
+total cross the driver for k rounds). Lineage of the covered set is
+truncated per round (eager localCheckpoint — iterative operators run
+build-time jobs by design, like graph.pagerank / dedup CC).
+
+Reference anchor: the reference has no curation tier; this extends the
+[EXT] training-data operators (SURVEY.md SS2.14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def greedy_max_coverage(
+    pairs: DataFrame,
+    set_col: str,
+    item_col: str,
+    k: int,
+) -> DataFrame:
+    """Greedy max-coverage over distinct (set, item) pairs.
+
+    Returns one row per selection round: ``pick_order`` (1-based),
+    ``<set_col>`` (the chosen set), ``new_items`` (its marginal gain),
+    ``covered_total`` (running union size). Ties break on the smallest
+    set key (fully deterministic). Sets contributing zero new items are
+    never picked; the result may have fewer than k rows.
+    """
+    spark: SparkSession = pairs.sparkSession
+    p = (
+        pairs.select(F.col(set_col).alias("_s"), F.col(item_col).alias("_i"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered: DataFrame | None = None
+    out_rows: list[tuple] = []
+    total = 0
+    for round_no in range(1, k + 1):
+        remaining = p if covered is None else p.join(
+            F.broadcast(covered), p["_i"] == covered["_c"], "left_anti"
+        )
+        best = (
+            remaining.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("_s").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["_n"] == 0:
+            break
+        s_key, gain = best[0]["_s"], int(best[0]["_n"])
+        total += gain
+        out_rows.append((round_no, s_key, gain, total))
+        picked_items = remaining.filter(F.col("_s") == F.lit(s_key)).select(
+            F.col("_i").alias("_c")
+        )
+        covered = (
+            picked_items
+            if covered is None
+            else covered.unionByName(picked_items)
+        ).localCheckpoint(eager=True)
+    schema_set_type = [f.dataType for f in p.schema.fields if f.name == "_s"][0]
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("pick_order", IntegerType(), False),
+            StructField(set_col, schema_set_type, False),
+            StructField("new_items", LongType(), False),
+            StructField("covered_total", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
