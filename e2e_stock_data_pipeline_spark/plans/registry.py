@@ -65,12 +65,24 @@ def _memoized(name: str, fn: SparkQuery) -> SparkQuery:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             key = (spark.sparkContext.applicationId, sf_dir, name)
+            tracker = spark.sparkContext.statusTracker()
         except Exception:  # session without a live context: just build
             return fn(spark, sf_dir)
         df = _PLAN_CACHE.get(key)
         if df is None:
+            # Cache ONLY builds that ran zero Spark jobs. Iterative
+            # builders (CC/pagerank/coverage/two-pass global rank)
+            # execute localCheckpoint/collect jobs at build time; a
+            # memoized rebuild would return their already-materialized
+            # result and silently skip the real work — correct, but it
+            # turns every warm re-build (and every bench timing) into a
+            # cache read. Detecting impurity at run time keeps the
+            # prepared-plan cache honest with no hand-kept allowlist.
+            before = len(tracker.getJobIdsForGroup(None) or [])
             df = fn(spark, sf_dir)
-            _PLAN_CACHE[key] = df
+            after = len(tracker.getJobIdsForGroup(None) or [])
+            if after == before:
+                _PLAN_CACHE[key] = df
         return df
 
     wrapper.__name__ = fn.__name__

@@ -61,6 +61,10 @@ def _int_cols(df):
 def _run_oracle(sf_dir: str, sql: str, cpus: int, q: "mp.Queue") -> None:
     con = duckdb.connect()
     con.execute(f"SET threads TO {cpus}")
+    # cap spill so a blow-up oracle (e.g. the textbook wedge join at
+    # sf10) errors cleanly instead of filling the disk under everyone
+    con.execute("SET temp_directory='.tmp/duck_spill'")
+    con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {oracle_view_source(sf_dir, t)}")
     t0 = time.perf_counter()
@@ -93,13 +97,26 @@ def main(argv: list[str]) -> int:
     total_s = total_d = 0.0
     for name in names:
         spec = registry[name]
-        df = spec.spark(spark, sf_dir)
-        force(df)  # warmup
-        t0 = time.perf_counter()
-        force(spec.spark(spark, sf_dir))
-        s_sec = time.perf_counter() - t0
+        try:
+            df = spec.spark(spark, sf_dir)
+            force(df)  # warmup
+            t0 = time.perf_counter()
+            force(spec.spark(spark, sf_dir))
+            s_sec = time.perf_counter() - t0
 
-        n_rows = df.count()
+            n_rows = df.count()
+        except Exception as exc:  # one query's OOM must not kill the table
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "spark": None,
+                        "error": f"{type(exc).__name__}: {str(exc)[:300]}",
+                    }
+                ),
+                flush=True,
+            )
+            continue
         agg_mode = n_rows > _COLLECT_LIMIT
         oracle_sql = spec.oracle
         if agg_mode:
@@ -172,6 +189,8 @@ def main(argv: list[str]) -> int:
                 "duckdb": round(total_d, 3),
                 "ratio": round(total_s / total_d, 3) if total_d else None,
                 "sf_dir": sf_dir,
+                "heap": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+                "cpus": cpus,
             }
         ),
         flush=True,
