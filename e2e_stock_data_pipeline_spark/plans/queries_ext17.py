@@ -1,19 +1,14 @@
-"""Round-10 [EXT] tier, part 2: interval/occupancy analytics and
-covariance-adjusted experiment statistics.
+"""Round-10 [EXT] tier, part 2: covariance-adjusted experiment
+statistics.
 
-* q190 — peak concurrent sessions per day: sessionize (30-min gap, the
-  q31 semantics), decompose intervals into net +/- deltas per instant,
-  then one within-day running-sum window plus a tiny cross-day offset
-  frame (the q174 CUSUM "closed prefix form" pattern — never a global
-  single-partition window).
-* q191 — exact trailing-7-day distinct users per day: each distinct
-  (user, day) covers days [d, d+6]; explode the bounded 7-day range,
-  distinct, count. Exact sliding distinct with 7x amplification and
-  ordinary shuffles — no 7-way self-join, no window over a global sort.
 * q192 — CUPED-adjusted A/B lift: deterministic LCG arm assignment
   (the q189 precedent), pooled theta = cov(x,y)/var(x) from closed-form
   int64 moments (the q182 precedent), per-user adjustment and per-arm
   means in exact micro-dollar fixed point. Single-row output.
+
+(Two drafted siblings — per-day peak concurrency and trailing-7-day
+distinct users — were dropped before registration: q159 and q156
+already implement those algorithms; see BENCH_NOTES r10s2.)
 
 House rules: identical aliases both engines, every division
 sign-decomposed or NULL-guarded, all arithmetic int64 with documented
@@ -23,7 +18,6 @@ headroom (dollars units for second moments), no row UDFs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..sources import tables
 from .registry import query
@@ -46,203 +40,6 @@ def _sdiv_duck(num: str, den: str) -> str:
         f"CASE WHEN {den} = 0 THEN NULL"
         f" WHEN ({num}) < 0 THEN -((-({num})) // ({den}))"
         f" ELSE ({num}) // ({den}) END"
-    )
-
-
-_EPOCH = "DATE '2024-01-01'"
-_GAP_MIN = 30
-
-# --------------------------------------------------------------------------
-# q190: peak concurrent sessions per day
-# --------------------------------------------------------------------------
-
-
-@query(
-    "q190_peak_concurrency",
-    oracle=f"""
-    WITH marked AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL {_GAP_MIN} MINUTE
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-      SELECT user_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
-             ts
-      FROM marked
-    ),
-    iv AS (
-      SELECT MIN(ts) AS s,
-             MAX(ts) + INTERVAL {_GAP_MIN} MINUTE AS e
-      FROM sess GROUP BY user_id, sid
-    ),
-    deltas AS (
-      SELECT s AS t, 1 AS d FROM iv
-      UNION ALL
-      SELECT e AS t, -1 AS d FROM iv
-    ),
-    net AS (
-      SELECT CAST(CAST(t AS DATE) - {_EPOCH} AS BIGINT) AS day, t,
-             CAST(SUM(d) AS BIGINT) AS nd
-      FROM deltas GROUP BY t
-    ),
-    run AS (
-      SELECT day,
-             SUM(nd) OVER (ORDER BY t
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
-      FROM net
-    ),
-    day_in AS (
-      SELECT day, MAX(conc) AS mx, CAST(COUNT(*) AS BIGINT) AS ncp
-      FROM run GROUP BY day
-    ),
-    offs AS (
-      SELECT day, CAST(COALESCE(SUM(dsum) OVER (ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-               AS off
-      FROM (SELECT day, SUM(nd) AS dsum FROM net GROUP BY day) dtot
-    )
-    SELECT d.day, CAST(GREATEST(o.off, d.mx) AS BIGINT) AS peak_concurrent,
-           d.ncp AS n_change_points
-    FROM day_in d JOIN offs o ON d.day = o.day ORDER BY d.day
-    """,
-    doc="Peak concurrent sessions per day. Sessions are the q31 30-min "
-    "inactivity islands, [first_ts, last_ts + 30min). Each interval "
-    "becomes a +1/-1 delta; simultaneous deltas are NETTED per instant "
-    "first (so the result is tie-order-free by construction), then "
-    "concurrency = running sum over instants. The day's peak also "
-    "considers the day-START baseline (sessions carried over "
-    "midnight), so an overnight session counts toward the next day's "
-    "peak; days with zero session boundaries don't appear. The Spark "
-    "plan never sorts globally: the running sum is a within-day "
-    "window plus an exclusive cross-day prefix computed on the tiny "
-    "per-day-totals frame and joined back broadcast (the q174/q185 "
-    "bucket-prefix pattern; the oracle's single ORDER BY t window is "
-    "the single-node equivalent). Day is an epoch-day int.",
-    tags=("interval", "occupancy", "session", "window", "ext"),
-)
-def q190_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    e = _t(spark, sf_dir, "events")
-    sess = e.groupBy(
-        F.session_window("ts", f"{_GAP_MIN} minutes").alias("w"), "user_id"
-    ).agg(F.lit(1).alias("_one"))
-    deltas = sess.select(F.col("w.start").alias("t"), F.lit(1).alias("d")).unionByName(
-        sess.select(F.col("w.end").alias("t"), F.lit(-1).alias("d"))
-    )
-    net = deltas.groupBy("t").agg(F.sum("d").cast("bigint").alias("nd"))
-    net = net.withColumn(
-        "day", F.expr(f"CAST(CAST(t AS DATE) - {_EPOCH} AS BIGINT)")
-    )
-    # within-day running sum (parallel across days)
-    w_day = Window.partitionBy("day").orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    run = net.withColumn("in_day", F.sum("nd").over(w_day))
-    # exclusive cross-day prefix on the tiny per-day totals frame
-    day_tot = net.groupBy("day").agg(F.sum("nd").alias("dsum"))
-    w_days = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow - 1
-    )
-    offsets = day_tot.select(
-        "day", F.coalesce(F.sum("dsum").over(w_days), F.lit(0)).alias("off")
-    )
-    day_in = run.groupBy("day").agg(
-        F.max(F.col("in_day")).alias("mx"),
-        F.count(F.lit(1)).cast("bigint").alias("n_change_points"),
-    )
-    return (
-        day_in.join(F.broadcast(offsets), "day")
-        .select(
-            "day",
-            F.greatest(F.col("off"), F.col("off") + F.col("mx"))
-            .cast("bigint")
-            .alias("peak_concurrent"),
-            "n_change_points",
-        )
-        .orderBy("day")
-    )
-
-
-# --------------------------------------------------------------------------
-# q191: exact trailing-7-day distinct users per day
-# --------------------------------------------------------------------------
-
-_TRAIL = 7
-
-
-@query(
-    "q191_rolling_distinct_users",
-    oracle=f"""
-    WITH du AS (
-      SELECT DISTINCT user_id,
-             CAST(CAST(ts AS DATE) - {_EPOCH} AS BIGINT) AS day
-      FROM events
-    ),
-    span AS (
-      SELECT MIN(day) AS lo, MAX(day) AS hi FROM du
-    ),
-    cover AS (
-      SELECT DISTINCT du.user_id, du.day + g.i AS day
-      FROM du CROSS JOIN (SELECT unnest(range(0, {_TRAIL})) AS i) g
-    ),
-    rolled AS (
-      SELECT c.day, CAST(COUNT(*) AS BIGINT) AS distinct_users_7d
-      FROM cover c, span WHERE c.day <= span.hi
-      GROUP BY c.day
-    ),
-    today AS (
-      SELECT day, CAST(COUNT(*) AS BIGINT) AS distinct_users_today
-      FROM du GROUP BY day
-    )
-    SELECT r.day, r.distinct_users_7d,
-           COALESCE(t.distinct_users_today, 0) AS distinct_users_today
-    FROM rolled r LEFT JOIN today t ON r.day = t.day
-    ORDER BY r.day
-    """,
-    doc="Exact trailing-7-day distinct users per day. A distinct "
-    "(user, day) covers days [d, d+6]; exploding that bounded range "
-    "and de-duplicating gives exact sliding distinct counts with 7x "
-    "row amplification and plain hash shuffles — no 7-way self-join, "
-    "no global-sort window, no approximate sketch. Days past the last "
-    "active day are trimmed. distinct_users_today is 0 for days "
-    "covered only by the trailing window. Day is an epoch-day int.",
-    tags=("window", "distinct", "rolling", "ext"),
-)
-def q191_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    du = e.select(
-        "user_id", F.expr(f"CAST(CAST(ts AS DATE) - {_EPOCH} AS BIGINT)").alias("day")
-    ).distinct()
-    span = du.agg(F.max("day").alias("hi"))
-    cover = (
-        du.select(
-            "user_id", F.explode(F.expr(f"sequence(day, day + {_TRAIL - 1})")).alias("day")
-        )
-        .distinct()
-        .join(F.broadcast(span), F.col("day") <= F.col("hi"))
-    )
-    rolled = cover.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("distinct_users_7d")
-    )
-    today = du.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("distinct_users_today")
-    )
-    return (
-        rolled.join(today, "day", "left")
-        .select(
-            "day",
-            "distinct_users_7d",
-            F.coalesce("distinct_users_today", F.lit(0))
-            .cast("bigint")
-            .alias("distinct_users_today"),
-        )
-        .orderBy("day")
     )
 
 

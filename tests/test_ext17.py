@@ -1,8 +1,5 @@
-"""Semantics tests for the round-10 part-2 queries (queries_ext17):
-peak concurrency on constructed session layouts (incl. overnight
-carry and simultaneous start/end netting), rolling 7-day distinct on
-hand-enumerable activity patterns, and CUPED against a literal Python
-replay of the integer formulas."""
+"""Semantics tests for the round-10 part-2 query (queries_ext17):
+CUPED against a literal Python replay of the integer formulas."""
 
 from __future__ import annotations
 
@@ -32,101 +29,6 @@ def _ev(eid, ts, user=1, value=10.0):
         event_id=eid, ts=ts, user_id=user,
         event_type="view", value=float(value), props="{}",
     )
-
-
-def _day(d):
-    return (dt.date(2024, 1, d) - dt.date(2024, 1, 1)).days
-
-
-class TestPeakConcurrency:
-    def test_two_overlapping_users_peak_two(self, spark, tmp_path):
-        # u1 session [10:00, 10:40), u2 [10:20, 10:50): overlap 10:20-10:40
-        rows = [
-            _ev(1, dt.datetime(2024, 1, 5, 10, 0), user=1),
-            _ev(2, dt.datetime(2024, 1, 5, 10, 10), user=1),
-            _ev(3, dt.datetime(2024, 1, 5, 10, 20), user=2),
-        ]
-        sf = _write(tmp_path, "events", rows)
-        got = {
-            r.day: r.peak_concurrent
-            for r in REG["q190_peak_concurrency"].spark(spark, sf).collect()
-        }
-        assert got == {_day(5): 2}
-
-    def test_overnight_session_counts_for_next_day_peak(self, spark, tmp_path):
-        # u1 event 23:50 -> session [23:50, 00:20 next day). Day 6 has a
-        # single change point (the end, conc 0) but the day-START
-        # baseline is 1 — the peak must be 1, not 0.
-        rows = [_ev(1, dt.datetime(2024, 1, 5, 23, 50), user=1)]
-        sf = _write(tmp_path, "events", rows)
-        got = {
-            r.day: (r.peak_concurrent, r.n_change_points)
-            for r in REG["q190_peak_concurrency"].spark(spark, sf).collect()
-        }
-        assert got == {_day(5): (1, 1), _day(6): (1, 1)}
-
-    def test_simultaneous_start_and_end_net_to_zero(self, spark, tmp_path):
-        # u1 [10:00, 10:30); u2 starts exactly at 10:30. Netting at
-        # 10:30 means the -1 and +1 cancel: concurrency never exceeds 1.
-        rows = [
-            _ev(1, dt.datetime(2024, 1, 5, 10, 0), user=1),
-            _ev(2, dt.datetime(2024, 1, 5, 10, 30), user=2),
-        ]
-        sf = _write(tmp_path, "events", rows)
-        got = {
-            r.day: r.peak_concurrent
-            for r in REG["q190_peak_concurrency"].spark(spark, sf).collect()
-        }
-        assert got == {_day(5): 1}
-
-    def test_gap_splits_sessions_no_overlap(self, spark, tmp_path):
-        # Same user, events 60 min apart: two disjoint sessions, peak 1.
-        rows = [
-            _ev(1, dt.datetime(2024, 1, 5, 10, 0), user=1),
-            _ev(2, dt.datetime(2024, 1, 5, 11, 0), user=1),
-        ]
-        sf = _write(tmp_path, "events", rows)
-        got = {
-            r.day: (r.peak_concurrent, r.n_change_points)
-            for r in REG["q190_peak_concurrency"].spark(spark, sf).collect()
-        }
-        # four distinct instants: s1 +1, e1 -1, s2 +1, e2 -1
-        assert got == {_day(5): (1, 4)}
-
-
-class TestRollingDistinctUsers:
-    def test_window_covers_and_trims(self, spark, tmp_path):
-        # u1 active day 1; u2 active day 5. u1 covers days 1-7, u2 5-11
-        # but the span is trimmed at the last ACTIVE day (5).
-        rows = [
-            _ev(1, dt.datetime(2024, 1, 1, 9, 0), user=1),
-            _ev(2, dt.datetime(2024, 1, 5, 9, 0), user=2),
-        ]
-        sf = _write(tmp_path, "events", rows)
-        got = {
-            r.day: (r.distinct_users_7d, r.distinct_users_today)
-            for r in REG["q191_rolling_distinct_users"].spark(spark, sf).collect()
-        }
-        assert got == {
-            _day(1): (1, 1),
-            _day(2): (1, 0),
-            _day(3): (1, 0),
-            _day(4): (1, 0),
-            _day(5): (2, 1),
-        }
-
-    def test_multiple_events_one_user_count_once(self, spark, tmp_path):
-        rows = [
-            _ev(1, dt.datetime(2024, 1, 3, 9, 0), user=7),
-            _ev(2, dt.datetime(2024, 1, 3, 10, 0), user=7),
-            _ev(3, dt.datetime(2024, 1, 3, 11, 0), user=7),
-        ]
-        sf = _write(tmp_path, "events", rows)
-        got = {
-            r.day: (r.distinct_users_7d, r.distinct_users_today)
-            for r in REG["q191_rolling_distinct_users"].spark(spark, sf).collect()
-        }
-        assert got == {_day(3): (1, 1)}
 
 
 def _lcg_arm(uid: int) -> int:
