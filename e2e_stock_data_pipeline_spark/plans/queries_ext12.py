@@ -117,15 +117,15 @@ def q169_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q170_triangle_census",
     oracle=f"""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
+    WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS MATERIALIZED (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
       FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
     ),
-    e AS (SELECT pa, pb FROM pairs WHERE n >= 2),
-    deg AS (
+    e AS MATERIALIZED (SELECT pa, pb FROM pairs WHERE n >= 2),
+    deg AS MATERIALIZED (
       SELECT x, CAST(COUNT(*) AS BIGINT) AS d
       FROM (SELECT pa AS x FROM e UNION ALL SELECT pb AS x FROM e)
       GROUP BY x

@@ -701,21 +701,21 @@ def pagerank_plan(li: DataFrame, n_iters: int = _PR_ITERS) -> DataFrame:
 @query(
     "q144_pagerank_copurchase",
     oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e0 AS (
+    WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY a.l_partkey, b.l_partkey
     ),
-    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
-    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    edges AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
     r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
-    r1 AS (
+    r1 AS MATERIALIZED (
       SELECT e.v AS node, 150000 + (85 * SUM(r.rank // d.d)) // 100 AS rank
       FROM r0 r JOIN deg d ON r.node = d.u JOIN edges e ON e.u = r.node
       GROUP BY e.v
     ),
-    r2 AS (
+    r2 AS MATERIALIZED (
       SELECT e.v AS node, 150000 + (85 * SUM(r.rank // d.d)) // 100 AS rank
       FROM r1 r JOIN deg d ON r.node = d.u JOIN edges e ON e.u = r.node
       GROUP BY e.v
