@@ -294,7 +294,7 @@ def _w_expr(x: str, div: str) -> str:
     ),
     pt AS (
       SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
-             {_sdiv_duck("SUM(v)", "COUNT(*)")} AS mean_cents
+             CAST({_sdiv_duck("SUM(v)", "COUNT(*)")} AS BIGINT) AS mean_cents
       FROM x GROUP BY segment
     )
     SELECT pt.segment, pt.n_orders, pt.mean_cents,

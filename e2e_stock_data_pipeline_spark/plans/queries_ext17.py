@@ -100,7 +100,7 @@ def _cuped_sql(div: str, sdiv) -> str:
     ),
     arms AS (
       SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
-             {sdiv("SUM(a_mic)", "COUNT(*)")} AS mean_adj_mic,
+             CAST({sdiv("SUM(a_mic)", "COUNT(*)")} AS BIGINT) AS mean_adj_mic,
              MAX(theta_ppm) AS theta_ppm
       FROM adj GROUP BY arm
     )
