@@ -22,6 +22,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -33,23 +34,34 @@ from e2e_stock_data_pipeline_spark.session import get_spark  # noqa: E402
 EVDIR = ".tmp/eventlog"
 
 
+def _event_lines(path: str):
+    # Spark 4 writes a rolling eventlog_v2_<app> DIRECTORY of events_* files
+    files = (
+        sorted(glob.glob(os.path.join(path, "events_*")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    for fp in files:
+        with open(fp) as f:
+            yield from f
+
+
 def _spill_from_eventlog(path: str) -> dict[str, float]:
     mem = disk = peak = 0.0
     failed = 0
-    with open(path) as f:
-        for line in f:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if ev.get("Event") != "SparkListenerTaskEnd":
-                continue
-            if ev.get("Task End Reason", {}).get("Reason") != "Success":
-                failed += 1
-            tm = ev.get("Task Metrics") or {}
-            mem += tm.get("Memory Bytes Spilled", 0)
-            disk += tm.get("Disk Bytes Spilled", 0)
-            peak = max(peak, tm.get("Peak Execution Memory", 0))
+    for line in _event_lines(path):
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if ev.get("Event") != "SparkListenerTaskEnd":
+            continue
+        if ev.get("Task End Reason", {}).get("Reason") != "Success":
+            failed += 1
+        tm = ev.get("Task Metrics") or {}
+        mem += tm.get("Memory Bytes Spilled", 0)
+        disk += tm.get("Disk Bytes Spilled", 0)
+        peak = max(peak, tm.get("Peak Execution Memory", 0))
     return {
         "spill_mem_mb": round(mem / 1e6, 1),
         "spill_disk_mb": round(disk / 1e6, 1),
@@ -71,7 +83,7 @@ def main(argv: list[str]) -> int:
     # cached leftovers can't mask another's pressure.
     for name in names:
         for old in glob.glob(f"{EVDIR}/*"):
-            os.remove(old)
+            shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
         spark = get_spark(
             app_name=f"mem-smoke-{name}",
             master=f"local[{cpus}]",
@@ -79,6 +91,9 @@ def main(argv: list[str]) -> int:
             extra_conf={
                 "spark.eventLog.enabled": "true",
                 "spark.eventLog.dir": os.path.abspath(EVDIR),
+                # plain-text logs: the parser reads them directly
+                "spark.eventLog.compress": "false",
+                "spark.eventLog.rolling.enabled": "false",
             },
         )
         spark.sparkContext.setLogLevel("ERROR")
