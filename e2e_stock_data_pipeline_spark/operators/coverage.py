@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 
 def greedy_max_coverage(
     pairs: DataFrame,
@@ -41,10 +43,10 @@ def greedy_max_coverage(
     never picked; the result may have fewer than k rows.
     """
     spark: SparkSession = pairs.sparkSession
-    p = (
+    p = materialize(
         pairs.select(F.col(set_col).alias("_s"), F.col(item_col).alias("_i"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "_i",
     )
     covered: DataFrame | None = None
     out_rows: list[tuple] = []
@@ -68,11 +70,13 @@ def greedy_max_coverage(
         picked_items = remaining.filter(F.col("_s") == F.lit(s_key)).select(
             F.col("_i").alias("_c")
         )
-        covered = (
+        # bounded by k * max-set-size — plain checkpoint is fine, but
+        # the serialized storage level costs nothing here
+        covered = materialize(
             picked_items
             if covered is None
             else covered.unionByName(picked_items)
-        ).localCheckpoint(eager=True)
+        )
     schema_set_type = [f.dataType for f in p.schema.fields if f.name == "_s"][0]
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 

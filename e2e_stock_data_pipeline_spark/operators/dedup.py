@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 WORD_SPLIT = " +"
 
 
@@ -342,13 +344,21 @@ def connected_components(
       up Catalyst's size estimation and join planning long before the
       data does.)
     """
-    sym = (
+    # materialize(): serialized spill-safe storage + sized re-widening —
+    # the deserialized localCheckpoint default OOMed an 8 GiB heap on the
+    # sf10 near-dup graph (672M symmetrized edge rows in 32 inherited
+    # partitions); see operators/materialize.py
+    sym = materialize(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        ),
+        "dst",
     )
     active = sym.select(F.col("src").alias("node")).distinct()
-    labels = active.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
+    labels = materialize(
+        active.select("node", F.col("node").alias("label")), "node"
+    )
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -356,7 +366,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        stepped = (
+        stepped = materialize(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 F.col("node"),
@@ -364,8 +374,8 @@ def connected_components(
                     "label"
                 ),
                 (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias("chg"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            "node",
         )
         labels = stepped.select("node", "label")
         if stepped.filter(F.col("chg")).limit(1).count() == 0:

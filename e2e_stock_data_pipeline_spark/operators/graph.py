@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 # Integer PageRank constants shared with plans/queries_ext8.pagerank_plan
 # (ranks in 1e-6 units; 0.85 damping as integer *85 // 100).
 PR_SCALE = 1_000_000
@@ -39,10 +41,8 @@ def pagerank(
     edge list and the degree table are materialized once; per-round
     lineage is truncated (localCheckpoint; swap for checkpoint() on
     durable storage at cluster scale)."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
-    )
-    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(eager=True)
+    e = materialize(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u")
+    deg = materialize(e.groupBy("u").agg(F.count(F.lit(1)).alias("d")), "u")
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
     )
@@ -53,16 +53,93 @@ def pagerank(
             .join(e, F.col("node") == e.u)
             .select("v", "c")
         )
-        ranks = (
-            contrib.groupBy(F.col("v").alias("node"))
-            .agg(
+        ranks = materialize(
+            contrib.groupBy(F.col("v").alias("node")).agg(
                 (F.lit(PR_BASE) + F.expr("(85 * sum(c)) DIV 100"))
                 .cast("bigint")
                 .alias("rank")
-            )
-            .localCheckpoint(eager=True)
+            ),
+            "node",
         )
     return ranks
+
+
+def bfs_hops(edges: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Bounded BFS hop distance over an UNDIRECTED (pa, pb) edge list,
+    seeded at the max-degree node (ties -> smallest node id). Returns
+    (node, hops) for every node within ``max_hops`` of the seed.
+
+    Scale design: the symmetrized edge list is hash-partitioned on its
+    join key and materialized ONCE (every round probes it), so each
+    round costs one frontier-sized shuffle + one anti-join against the
+    visited set — never an edge re-shuffle. The frontier is the only
+    growing input and it is lineage-truncated per round
+    (localCheckpoint; swap for checkpoint() on durable storage at
+    cluster scale), the same bounded-iteration contract as
+    :func:`pagerank` and dedup.connected_components."""
+    sym = materialize(
+        edges.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .repartition("u"),
+        "u",
+    )
+    seed = (
+        node_degrees(edges)
+        .orderBy(F.col("d").desc(), F.col("x").asc())
+        .limit(1)
+        .select(F.col("x").alias("node"))
+    )
+    dist = seed.select(
+        "node", F.lit(0).cast("bigint").alias("hops")
+    ).localCheckpoint(eager=True)  # one seed row — no sizing needed
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("bigint").alias("hops"))
+        )
+        nxt = materialize(nxt, "node")
+        dist = materialize(dist.unionAll(nxt), "node")
+        frontier = nxt.select("node")
+    return dist
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
+    """Fixed-round k-core peel over an UNDIRECTED (pa, pb) edge list:
+    each round drops nodes of current degree < k and the edges touching
+    them. Returns (round_no, n_nodes, n_edges) for rounds 0..``rounds``
+    (round 0 = the input graph). Fixed-round semantics by design — the
+    oracle replays the same ``rounds`` peels; convergence inside the
+    budget makes the tail rows constant.
+
+    Scale design: each round is one degree aggregation plus two semi
+    joins, all keyed on node id; the surviving edge set shrinks
+    monotonically and is lineage-truncated per round."""
+    cur = materialize(edges.select("pa", "pb"), "pa")
+
+    def sizes(r: int, e: DataFrame) -> DataFrame:
+        nd = node_degrees(e).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+        )
+        ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        return nd.crossJoin(F.broadcast(ne)).select(
+            F.lit(r).cast("bigint").alias("round_no"), "n_nodes", "n_edges"
+        )
+
+    out = sizes(0, cur)
+    for r in range(1, rounds + 1):
+        keep = node_degrees(cur).filter(F.col("d") >= k).select("x")
+        cur = (
+            cur.join(keep.select(F.col("x").alias("pa")), "pa", "left_semi")
+            .join(keep.select(F.col("x").alias("pb")), "pb", "left_semi")
+            .select("pa", "pb")
+        )
+        cur = materialize(cur, "pa")
+        out = out.unionAll(sizes(r, cur))
+    return out
 
 
 _TRI_KB = 10**12  # orientation key = degree * _TRI_KB + node_id (int64-safe)
@@ -94,12 +171,11 @@ def copurchase_edges_plan(li: DataFrame, min_support: int = 2) -> DataFrame:
             )
         ).alias("pr")
     ).select("pr.pa", "pr.pb")
-    return (
+    return materialize(
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_support)
         .select("pa", "pb")
-        .localCheckpoint(eager=True)
     )
 
 

@@ -1,0 +1,61 @@
+"""Spill-safe eager materialization for iterative operators.
+
+Iterative operators (connected components, PageRank, BFS, k-core,
+greedy coverage) must materialize their loop-carried frames once per
+round — re-deriving them would re-execute the whole upstream pipeline
+per iteration. The obvious tool, ``localCheckpoint(eager=True)``,
+defaults to DESERIALIZED memory-and-disk storage: each task unrolls its
+partition as full JVM row objects in a growing array before the block
+manager can account for it. At sf10 the q56 near-dup graph symmetrizes
+to 672M edge rows in 32 inherited partitions — 21M row objects per
+task, 32 concurrent tasks — and the unroll OOMs an 8 GiB heap before a
+single block is evicted (observed: GCLocker retry failures on ~16 MB
+array growth steps, then Java heap space in the localCheckpoint job).
+
+:func:`materialize` fixes both failure modes:
+
+* SERIALIZED memory-and-disk storage — unroll reserves memory in
+  chunked 4 MB steps and degrades to disk when the reservation fails,
+  so a partition can never allocate more than a chunk ahead of the
+  accounting;
+* sized re-widening — after materializing, the (now cheap) row count
+  is checked against a per-task bound and the frame is reshuffled to
+  ``ceil(n / 5M)`` partitions when the inherited width would leave
+  multi-GB partitions for every downstream round (the same
+  rows-per-task rule as operators/asof.asof_shuffle_width).
+
+Pass ``cols`` when downstream rounds join the frame on specific keys:
+the widening repartition then hash-partitions on those columns so the
+co-location the caller set up survives.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+# Same bound as operators/asof.py: a cached/sorted partition beyond this
+# row count risks unspillable pressure; below it, fewer tasks win.
+MAX_ROWS_PER_TASK = 5_000_000
+
+
+def materialize(df: DataFrame, *cols: str) -> DataFrame:
+    """Eagerly materialize ``df`` with serialized spill-safe storage,
+    re-widening to ``ceil(rows / MAX_ROWS_PER_TASK)`` partitions (hash
+    partitioned on ``cols`` when given) if the inherited partitioning
+    is coarser than the bound. Returns the materialized frame; the
+    interim narrow frame is unpersisted when a re-widen happens."""
+    out = df.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    n = out.count()  # scan of the just-cached blocks — cheap
+    parts = out.rdd.getNumPartitions()
+    need = max(1, -(-n // MAX_ROWS_PER_TASK))
+    if need > parts:
+        wide = out.repartition(need, *cols) if cols else out.repartition(need)
+        wide = wide.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        out.unpersist()
+        return wide
+    return out

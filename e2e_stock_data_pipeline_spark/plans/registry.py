@@ -147,5 +147,6 @@ def load_all_query_modules() -> dict[str, QuerySpec]:
     from . import queries_ext15  # noqa: F401
     from . import queries_ext16  # noqa: F401
     from . import queries_ext17  # noqa: F401
+    from . import queries_ext18  # noqa: F401
 
     return REGISTRY
