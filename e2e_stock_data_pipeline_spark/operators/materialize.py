@@ -14,10 +14,17 @@ array growth steps, then Java heap space in the localCheckpoint job).
 
 :func:`materialize` fixes both failure modes:
 
-* SERIALIZED memory-and-disk storage — unroll reserves memory in
-  chunked 4 MB steps and degrades to disk when the reservation fails,
-  so a partition can never allocate more than a chunk ahead of the
-  accounting;
+* DISK_ONLY storage — tasks stream-serialize their partition straight
+  to local block files, so unroll memory is bounded by the serializer
+  buffer regardless of partition size. (MEMORY_AND_DISK serialized was
+  tried first and still OOMed: 32 concurrent unrolls of ~400 MB blocks
+  compete with the join's execution memory in the unified pool, and
+  the reservation accounting trails the serializer's buffer growth.)
+  On a warm box the OS page cache serves the re-reads at memory speed,
+  and the per-round deserialization cost is identical to what a
+  serialized in-memory level would pay — this is the local-mode analog
+  of the cluster-scale checkpoint-to-durable-storage the operator docs
+  prescribe;
 * sized re-widening — after materializing, the (now cheap) row count
   is checked against a per-task bound and the frame is reshuffled to
   ``ceil(n / 5M)`` partitions when the inherited width would leave
@@ -45,16 +52,14 @@ def materialize(df: DataFrame, *cols: str) -> DataFrame:
     partitioned on ``cols`` when given) if the inherited partitioning
     is coarser than the bound. Returns the materialized frame; the
     interim narrow frame is unpersisted when a re-widen happens."""
-    out = df.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    out = df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     n = out.count()  # scan of the just-cached blocks — cheap
     parts = out.rdd.getNumPartitions()
     need = max(1, -(-n // MAX_ROWS_PER_TASK))
     if need > parts:
         wide = out.repartition(need, *cols) if cols else out.repartition(need)
         wide = wide.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
         )
         out.unpersist()
         return wide
