@@ -40,6 +40,10 @@ def main(argv: list[str]) -> int:
     shard_k, shard_n = 0, 1
     if "--shard" in argv:
         shard_k, shard_n = map(int, argv[argv.index("--shard") + 1].split("/"))
+    # --only q1,q2,...: run just the named queries (skew-dir spot checks)
+    only = None
+    if "--only" in argv:
+        only = set(argv[argv.index("--only") + 1].split(","))
 
     t_start = time.perf_counter()
     import os
@@ -100,6 +104,8 @@ def main(argv: list[str]) -> int:
     # Driver order: dict insertion order, exactly as queries() yields it.
     for i, name in enumerate(qs, 1):
         if (i - 1) % shard_n != shard_k:
+            continue
+        if only is not None and name not in only:
             continue
         t0 = time.perf_counter()
         err = None

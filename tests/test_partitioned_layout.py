@@ -14,6 +14,7 @@ one month).
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -123,6 +124,75 @@ class TestPartitionPruning:
             .count()
         )
         assert df.count() == expect
+
+
+class TestRegistryPruningOnPartitionedLayout:
+    """VERDICT r10 item 2: pruning assertions extended past q02 — every
+    registry query with a date predicate must keep its parquet pushdown
+    when the table arrives as a Hive-partitioned directory."""
+
+    _DATE_PRED = re.compile(r"\b(l_shipdate|ts)\s*(<=|>=|<|>|BETWEEN)", re.I)
+    _TBL = {"l_shipdate": "lineitem.parquet", "ts": "events.parquet"}
+
+    @classmethod
+    def _pushed(cls, df, col: str) -> bool:
+        """True if some scan of the column's table pushes a filter on it."""
+        jvm = df.sparkSession._jvm
+        plan = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        for b in re.split(r"\(\d+\) Scan parquet", plan)[1:]:
+            loc = re.search(r"Location:.*?\[(.*?)\]", b)
+            pf = re.search(r"PushedFilters: \[(.*?)\]", b)
+            if loc and cls._TBL[col] in loc.group(1) and pf and col in pf.group(1).lower():
+                return True
+        return False
+
+    def test_date_predicate_pushdown_survives_layout(self, spark, part_dir):
+        """For every oracle-gated query whose SQL bounds l_shipdate or
+        ts: pushdown state on the partitioned layout == single-file
+        layout (the layout may never LOSE a pushed date filter), and the
+        sweep is non-vacuous (>= 10 queries genuinely push — the as-of
+        family's ts lives in the join condition, not the scan, on both
+        layouts)."""
+        from e2e_stock_data_pipeline_spark.plans.registry import (
+            load_all_query_modules,
+        )
+
+        reg = load_all_query_modules()
+        cands = {
+            n: {m[0].lower() for m in self._DATE_PRED.findall(s.oracle)}
+            for n, s in reg.items()
+            if s.oracle and self._DATE_PRED.search(s.oracle) and not s.pinned_sf_dir
+        }
+        assert len(cands) >= 14  # grows as date-filtered queries are added
+        pushed_somewhere = 0
+        for name, cols in sorted(cands.items()):
+            for col in cols:
+                single = self._pushed(reg[name].spark(spark, SF), col)
+                part = self._pushed(reg[name].spark(spark, part_dir), col)
+                assert part == single, (
+                    f"{name}: pushed({col}) single-file={single} but "
+                    f"partitioned={part} — layout changed pushdown"
+                )
+                pushed_somewhere += single
+        assert pushed_somewhere >= 10
+
+    def test_ship_month_partition_filter_prunes_files(self, spark, part_dir):
+        """lineitem twin of the dt test: a ship_month predicate on the
+        raw partitioned read keeps only matching partitions."""
+        path = os.path.join(part_dir, "lineitem.parquet")
+        months = [e for e in os.listdir(path) if e.startswith("ship_month=")]
+        assert len(months) > 5
+        some = sorted(months)[1].split("=", 1)[1]
+        df = spark.read.parquet(path).filter(F.col("ship_month") == some)
+        df.collect()
+        plan_text = df._jdf.queryExecution().toString()
+        assert "PartitionFilters" in plan_text and "ship_month" in plan_text
+        num_files = _scan_metric(df, "numFiles")
+        assert num_files < len(months), (
+            f"read {num_files} files of {len(months)} partitions"
+        )
 
 
 def _scan_metric(df, key: str) -> int:
