@@ -32,6 +32,12 @@ from .registry import query
 
 # exact-decimal revenue: DECIMAL(18,4) product, summed exactly, DOUBLE edge
 _REV = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+# Narrow-scale revenue (precision 16, scale 4): SUM(_REV4) * 10000 is an
+# exact BIGINT at any plausible sf — the fixed-point ratio path (q120).
+_REV4 = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -108,9 +114,9 @@ def q119_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q120_market_share",
     oracle=f"""
     SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
-           CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_6' THEN {_REV}
-                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                / CAST(SUM({_REV}) AS DOUBLE) AS DOUBLE) AS mkt_share,
+           CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_6' THEN {_REV4}
+                              ELSE CAST(0 AS DECIMAL(16,4)) END) * 10000 AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM({_REV4}) * 10000 AS BIGINT) AS DOUBLE) AS mkt_share,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -124,11 +130,16 @@ def q119_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY order_year
     """,
     doc="TPC-H Q8 shape: NATION_6's share of AMERICA-region STANDARD-part "
-    "revenue per order year — the conditional-decimal-sum over "
-    "total-decimal-sum ratio, both exact until the final double "
-    "division. Fixed dims (region/nation/supplier) broadcast; customer "
-    "and part are AQE-sized (linear-growth tables); the part filter "
-    "prunes before the join fan-out.",
+    "revenue per order year. Both sums run in exact BIGINT 1e-4-dollar "
+    "units (the q01 fixed-point path) and only the final ratio casts "
+    "to double: a decimal-sum-cast-to-double drifts 1 ulp between "
+    "engines once the scaled sum passes 2^53 (caught at sf1 — DuckDB's "
+    "decimal->double is a two-step int/10^s rounding, Spark's "
+    "BigDecimal is correctly rounded; BIGINT->double rounds identically "
+    "in both). int64 headroom: year-level unit sums ~1.5e13 at sf1 -> "
+    "safe past sf100. Fixed dims (region/nation/supplier) broadcast; "
+    "customer and part are AQE-sized (linear-growth tables); the part "
+    "filter prunes before the join fan-out.",
     tags=("join", "agg", "tpch"),
 )
 def q120_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,8 +152,11 @@ def q120_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
     sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    brazil_rev = F.when(F.col("supp_nation") == "NATION_6", F.expr(_REV)).otherwise(
-        F.expr("CAST(0 AS DECIMAL(18,4))")
+    rev_u = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    ) * (100 - (F.col("l_discount").cast("decimal(3,2)") * 100).cast("bigint"))
+    brazil_rev_u = F.when(F.col("supp_nation") == "NATION_6", rev_u).otherwise(
+        F.lit(0).cast("bigint")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -158,7 +172,7 @@ def q120_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
         .agg(
             (
-                F.sum(brazil_rev).cast("double") / F.sum(F.expr(_REV)).cast("double")
+                F.sum(brazil_rev_u).cast("double") / F.sum(rev_u).cast("double")
             )
             .cast("double")
             .alias("mkt_share"),
