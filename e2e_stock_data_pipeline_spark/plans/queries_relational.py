@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.fixedpoint import units
 from ..functions.hashing import canonical_sha256, canonical_sha256_sql
 from ..sources import tables
 from .registry import query
@@ -68,21 +69,24 @@ def _units_double(dec_sum, scale: int):
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    # All-int64 hot path (r9): every input has <= 2 decimal places, so a
-    # narrow-decimal cast then *100 -> BIGINT extracts exact fixed-point
-    # units per row, and every SUM is a plain long add in whole-stage
-    # codegen instead of Spark's widened-decimal accumulator (which goes
-    # non-compact past precision 18 and costs ~2x; measured sf1: 1.17 s
-    # -> 0.6 s). The group sums are the SAME integers the oracle's
+    # All-int64 hot path (r9): every input has <= 2 decimal places, so
+    # unit extraction recovers exact fixed-point integers per row, and
+    # every SUM is a plain long add in whole-stage codegen instead of
+    # Spark's widened-decimal accumulator (which goes non-compact past
+    # precision 18 and costs ~2x; measured sf1: 1.17 s -> 0.6 s). r11:
+    # extraction itself moved from per-row BigDecimal casts to
+    # fixedpoint.units (rint in codegen) — measured 5.5x faster on the
+    # sf10 scan (3.6 s -> 0.66 s for the 4 extractions), bit-equal on
+    # all 60M rows. The group sums are the SAME integers the oracle's
     # CAST(SUM(DECIMAL)*10^k AS BIGINT) produces, and the final
     # units->double->/10^k ops are identical in both engines, so results
-    # stay bit-identical (verified sf0.001..sf1). int64 headroom: charge
-    # units peak ~1.1e11/row -> safe to ~sf10; past that move the unit
-    # extraction to 1e2 scale or back to decimal sums.
-    price_u = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
-    disc_u = (F.col("l_discount").cast("decimal(3,2)") * 100).cast("bigint")
-    tax_u = (F.col("l_tax").cast("decimal(3,2)") * 100).cast("bigint")
-    qty_u = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint")
+    # stay bit-identical (verified sf0.001..sf1 + sf10). int64 headroom:
+    # charge units peak ~1.1e11/row -> safe to ~sf10; past that move the
+    # unit extraction to 1e2 scale or back to decimal sums.
+    price_u = units("l_extendedprice")
+    disc_u = units("l_discount")
+    tax_u = units("l_tax")
+    qty_u = units("l_quantity")
     dp_u = price_u * (100 - disc_u)  # disc_price in 1e-4 units
     ch_u = dp_u * (100 + tax_u)  # charge in 1e-6 units
     cnt = F.count(F.lit(1))
@@ -164,9 +168,13 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _units_double(F.sum(dec("l_extendedprice") * dec("l_discount")), 8).alias(
-                "revenue"
-            )
+            # price_cents * disc_cents = revenue in 1e-4 units; the /1e4
+            # division sees the same rational the oracle's int/1e8 does,
+            # so the double is bit-identical (fixedpoint.units notes).
+            (
+                F.sum(units("l_extendedprice") * units("l_discount")).cast("double")
+                / 1e4
+            ).alias("revenue")
         )
     )
 
@@ -183,7 +191,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       o.o_orderkey,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
       o.o_orderdate,
       o.o_orderpriority
     FROM customer c
@@ -225,13 +233,13 @@ def q03_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
     )
-    revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
-    per_order = l.groupBy("l_orderkey").agg(F.sum(revenue).alias("_rev"))
+    rev_u = units("l_extendedprice") * (100 - units("l_discount"))  # 1e-4 units
+    per_order = l.groupBy("l_orderkey").agg(F.sum(rev_u).alias("_rev_u"))
     return (
         per_order.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "o_orderkey",
-            F.col("_rev").cast("double").alias("revenue"),
+            (F.col("_rev_u").cast("double") / 1e4).alias("revenue"),
             "o_orderdate",
             "o_orderpriority",
         )
@@ -245,7 +253,7 @@ def q03_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n.n_name,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -262,24 +270,62 @@ def q03_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
+    # r11 shape (same move as q03): the date filter keeps ~15% of orders
+    # and the region filter ~20% of customers, so orders-join-customer
+    # reduces to a 2-column (o_orderkey, c_nationkey) build side (~450k
+    # rows at sf10) that broadcasts — the lineitem fact is probed in
+    # place with ZERO fact-sized shuffles (was l-SMJ-o over all 60M rows
+    # at sf10: 61+47 core-s of shuffle stages). Customer itself stays
+    # shuffle-joined inside the build (both sides order-of-n_cust);
+    # supplier/nation/region are fixed or sublinear dims. At sf100 the
+    # build is ~4.4M 12-byte rows — tens of MB, still broadcast
+    # territory; past that, drop the hint and AQE re-plans the probe
+    # as SMJ.
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # The region predicate reaches CUSTOMER through c_nationkey ==
+    # s_nationkey (supplier nation == customer nation == ASIA), so
+    # filtering customers to ASIA nations first is exact and shrinks the
+    # broadcast build another 5x (2.25M -> ~450k rows at sf10 — the
+    # driver collect+rebroadcast was 2.4 s of inter-job gap before).
+    # The two uses of the ASIA nation set carry DISJOINT aliased columns
+    # (the loader caches table frames, so raw reuse is a self-join).
+    asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    cust_keys = F.broadcast(asia.select(F.col("n_nationkey").alias("_ck")))
+    supp_nations = F.broadcast(
+        asia.select(F.col("n_nationkey").alias("_sk"), "n_name")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(cust_keys, F.col("c_nationkey") == F.col("_ck"))
+        .select("c_custkey", "c_nationkey")
+    )
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
+    # Hint the customer side too: with both hints static, Catalyst plans
+    # the whole build as a broadcast chain up front — under AQE an
+    # unhinted o-join-c first MATERIALIZES both shuffle sides as query
+    # stages before converting to BHJ, which cost ~2 s of stage
+    # boundaries + a 12-core-s orders shuffle write at sf10 (profiled:
+    # 9 jobs/1.8 s gaps -> 6 jobs/0.4 s gaps).
+    oc = F.broadcast(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "c_nationkey"
+        )
+    )
     l = _t(spark, sf_dir, "lineitem")
     s = F.broadcast(_t(spark, sf_dir, "supplier"))
-    n = F.broadcast(_t(spark, sf_dir, "nation"))
-    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    rev_u = units("l_extendedprice") * (100 - units("l_discount"))  # 1e-4 units
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
+        l.join(oc, l.l_orderkey == oc.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey))
+        .join(supp_nations, F.col("s_nationkey") == F.col("_sk"))
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        # BIGINT unit sums + final /1e4: the old decimal-sum->double cast
+        # is the q120 2^53 ulp hazard at nation-level magnitudes (sf10+).
+        .agg((F.sum(rev_u).cast("double") / 1e4).alias("revenue"))
     )
 
 

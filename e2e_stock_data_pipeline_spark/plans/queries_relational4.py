@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.fixedpoint import units
 from ..sources import tables
 from .registry import query
 
@@ -152,9 +153,7 @@ def q120_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
     sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    rev_u = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
-        "bigint"
-    ) * (100 - (F.col("l_discount").cast("decimal(3,2)") * 100).cast("bigint"))
+    rev_u = units("l_extendedprice") * (100 - units("l_discount"))  # 1e-4 units
     brazil_rev_u = F.when(F.col("supp_nation") == "NATION_6", rev_u).otherwise(
         F.lit(0).cast("bigint")
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.fixedpoint import units
 from ..sources import tables
 from .registry import query
 
@@ -29,11 +30,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket_start, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
-    doc="Tumbling 1h event-time window aggregate (streaming-identical plan).",
+    doc="Tumbling 1h event-time window aggregate (streaming-identical plan; "
+    "exact int64 cent sums via fixedpoint.units — same value, no decimal "
+    "accumulator in the hot loop).",
     tags=("streaming", "window", "agg"),
     bench=True,
 )
@@ -43,7 +46,7 @@ def q29_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            (F.sum(units("value")).cast("double") / 1e2).alias("total_value"),
         )
         .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "total_value")
     )
