@@ -14,9 +14,20 @@ noop-forced):
   * type_topk      : per-event_type top-20 by value — 5-key zipf head
                      (~32% of rows in one group). naive = one Window
                      partitionBy(event_type); salted = salted_group_topk.
-  * user_topk      : per-user_id top-5 — 15k*mult-key zipf. Same pair.
-  * source_sample  : q150's weighted bottom-k per source — naive window
-                     vs the registered salted plan.
+                     FINDING (r11): Spark 4 inserts Partial+Final
+                     WindowGroupLimit for LITERAL rank<=k filters, so
+                     the "naive" window is already map-side-limited and
+                     skew-safe — both variants measure equal. Kept as
+                     the exhibit for that optimizer behavior.
+  * user_topk      : per-user_id top-5 — 15k*mult-key zipf. Same
+                     WindowGroupLimit result.
+  * source_sample  : q150's weighted bottom-k per source — ditto.
+  * dyn_keep       : per-lang keep of a DYNAMIC per-group target
+                     (rank <= joined n_target — q127's shape).
+                     WindowGroupLimit needs a literal limit, so the
+                     naive window REALLY sorts the 90% head lang in one
+                     task; the bucketed keep is the skew-safe path.
+                     This is the pair that shows the straggler.
   * part_join      : lineitem JOIN part ON l_partkey (SMJ-forced,
                      broadcast off) + per-brand agg — AQE skew-join
                      split OFF vs ON (thresholds sized to the local
@@ -164,6 +175,60 @@ def source_sample_salted(spark, sf):
     )
 
 
+def _lang_targets(spark, sf):
+    docs = tables.load(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_target")
+    )
+
+
+def dyn_keep_naive(spark, sf):
+    from e2e_stock_data_pipeline_spark.plans.queries_ext6 import naive_window_keep
+
+    return naive_window_keep(
+        tables.load(spark, sf, "documents"), _lang_targets(spark, sf)
+    )
+
+
+def dyn_keep_bucketed(spark, sf):
+    return R.bucketed_group_keep(
+        tables.load(spark, sf, "documents"), ["lang"], _lang_targets(spark, sf)
+    )
+
+
+def _type_targets(spark, sf):
+    ev = tables.load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_target")
+    )
+
+
+def dyn_keep_events_naive(spark, sf):
+    from pyspark.sql import Window as W
+
+    from e2e_stock_data_pipeline_spark.functions.hashing import portable_hash64
+
+    ev = tables.load(spark, sf, "events")
+    wr = W.partitionBy("event_type").orderBy(
+        portable_hash64("event_id", seed=11), F.col("event_id")
+    )
+    return (
+        ev.select("event_id", "event_type", F.row_number().over(wr).alias("rnk"))
+        .join(F.broadcast(_type_targets(spark, sf)), "event_type")
+        .filter(F.col("rnk") <= F.col("n_target"))
+        .select("event_id", "event_type")
+    )
+
+
+def dyn_keep_events_bucketed(spark, sf):
+    return R.bucketed_group_keep(
+        tables.load(spark, sf, "events"),
+        ["event_type"],
+        _type_targets(spark, sf),
+        id_col="event_id",
+    )
+
+
 def part_join(spark, sf):
     li = tables.load(spark, sf, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_quantity"
@@ -202,6 +267,14 @@ PAIRS: dict[str, list[tuple[str, object, dict]]] = {
     "source_sample": [
         ("source_sample_naive", source_sample_naive, {}),
         ("source_sample_salted", source_sample_salted, {}),
+    ],
+    "dyn_keep": [
+        ("dyn_keep_naive", dyn_keep_naive, {}),
+        ("dyn_keep_bucketed", dyn_keep_bucketed, {}),
+    ],
+    "dyn_keep_events": [
+        ("dyn_keep_events_naive", dyn_keep_events_naive, {}),
+        ("dyn_keep_events_bucketed", dyn_keep_events_bucketed, {}),
     ],
     "part_join": [
         (
