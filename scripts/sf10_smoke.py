@@ -1,0 +1,132 @@
+"""sf10 full-registry EXECUTION smoke: prove every registry query runs
+to completion at sf10 (60M lineitem / 10M events) without OOM or error,
+and record per-query wall seconds.
+
+This is the Spark-side durability complement to the oracle sweeps: the
+oracle ladder proves exactness up to sf1 (full registry) and sf10
+(headline + hazard-class queries, full/aggregate compare); this proves
+the remaining registry EXECUTES at sf10 — no driver collects, no
+maxResultSize trips, no heap death — using the same noop-forced
+discipline as bench.py.
+
+Known-heavy queries (sf10 evidence already recorded in BENCH_NOTES r10:
+the CC family completes in 10-13 min on an 8 GiB heap, q184's corpus-
+artifact candidate explosion is documented) are SKIPPED by default and
+PRINTED as skipped — no silent caps. --heavy includes them; --timeout
+S (default 300) cancels a runaway query via its job group and records
+it as timeout instead of hanging the sweep.
+
+    python scripts/sf10_smoke.py [sf_dir] [--timeout 300] [--heavy]
+
+Prints one JSON line per query and a closing summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, ".")
+
+from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules  # noqa: E402
+from e2e_stock_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# sf10 evidence for these lives in BENCH_NOTES r10 (heavy-tier pair
+# table + CC invariant verifier); they run 10-57+ min each at sf10.
+KNOWN_HEAVY = {
+    "q56_dedup_clusters",
+    "q105_cluster_size_histogram",
+    "q153_cluster_split",
+    "q158_cluster_canonicals",
+    "q184_set_similarity_join",
+    "q86_neardup_pipeline",
+}
+
+
+def main(argv: list[str]) -> int:
+    timeout = 300.0
+    if "--timeout" in argv:
+        i = argv.index("--timeout")
+        timeout = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    heavy = "--heavy" in argv
+    if heavy:
+        argv.remove("--heavy")
+    sf_dir = argv[0] if argv else ".bench_sf1/sf10"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    spark = get_spark(
+        app_name="sf10-smoke", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all_query_modules()
+
+    ok = errors = timeouts = skipped = 0
+    t_all = time.perf_counter()
+    for name, spec in reg.items():
+        if spec.pinned_sf_dir:
+            skipped += 1
+            print(json.dumps({"query": name, "status": "skip_pinned"}), flush=True)
+            continue
+        if name in KNOWN_HEAVY and not heavy:
+            skipped += 1
+            print(
+                json.dumps({"query": name, "status": "skip_heavy_evidenced_r10"}),
+                flush=True,
+            )
+            continue
+        sc = spark.sparkContext
+        group = f"smoke-{name}"
+        sc.setJobGroup(group, name, interruptOnCancel=True)
+        cancelled = threading.Event()
+
+        def watchdog():
+            cancelled.set()
+            sc.cancelJobGroup(group)
+
+        timer = threading.Timer(timeout, watchdog)
+        timer.start()
+        t0 = time.perf_counter()
+        rec: dict = {"query": name}
+        try:
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            rec["status"] = "ok"
+            ok += 1
+        except Exception as exc:  # noqa: BLE001
+            if cancelled.is_set():
+                rec["status"] = "timeout"
+                timeouts += 1
+            else:
+                rec["status"] = "error"
+                rec["error"] = f"{type(exc).__name__}: {str(exc)[:160]}"
+                errors += 1
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+        rec["sec"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps(rec), flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sf10_smoke",
+                "sf_dir": sf_dir,
+                "queries": len(reg),
+                "ok": ok,
+                "errors": errors,
+                "timeouts": timeouts,
+                "skipped": skipped,
+                "total_sec": round(time.perf_counter() - t_all, 1),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
