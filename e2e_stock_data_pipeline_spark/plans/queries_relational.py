@@ -391,16 +391,63 @@ def q07_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_acctbal > s.s_acctbal
     GROUP BY s.s_suppkey, s.s_name
     """,
-    doc="Non-equi (theta) join via broadcast nested loop.",
+    doc="Non-equi (theta) inequality-COUNT join, decomposed to linear "
+    "work (r11): the broadcast-nested-loop form streams |S|x|C| pairs "
+    "through the aggregate — 75B hash-agg probes at sf10 (timed out the "
+    "execution smoke), quadratic at any scale. Instead: bucket both "
+    "sides on 256-cent fixed-point balance ranges, count customers per "
+    "bucket, suffix-sum the dimension-sized histogram (<=4.4k rows) for "
+    "the strictly-higher-bucket mass, and resolve ties inside the ONE "
+    "shared bucket with a bounded same-bucket join — work is "
+    "|S|+|C|+sum_b(s_b*c_b), never |S|x|C| (the q186 decomposition "
+    "principle applied to one-sided inequalities). Oracle stays the "
+    "textbook quadratic theta join (exact at the gate sfs; at sf10 the "
+    "window-frame formulation verifies it — BENCH_NOTES r11).",
     tags=("join", "theta"),
 )
 def q08_richer_customers_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = F.broadcast(_t(spark, sf_dir, "supplier"))
-    c = _t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    shift, width = 100_000, 256  # cents; shift lifts balances >= 0
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        (units("s_acctbal") + shift).alias("sv"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        (units("c_acctbal") + shift).alias("cv")
+    )
+    cb = c.select(F.expr(f"cv DIV {width}").alias("b"), "cv")
+    sb = s.select("s_suppkey", "s_name", "sv", F.expr(f"sv DIV {width}").alias("b"))
+    hist = cb.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    # supplier buckets with no customers still need their suffix mass:
+    # union them in at n=0 before the (dimension-sized) suffix window
+    all_b = hist.select("b").union(sb.select("b")).distinct()
+    hist_full = all_b.join(hist, "b", "left").select(
+        "b", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    wdesc = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, -1)
+    suffix = hist_full.select(
+        "b", F.coalesce(F.sum("n").over(wdesc), F.lit(0)).alias("n_gt_bucket")
+    )
+    # same-bucket strict-inequality correction: bounded by bucket width
+    corr = (
+        sb.join(cb, "b")
+        .filter(F.col("cv") > F.col("sv"))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_same"))
+    )
     return (
-        c.join(s, c.c_acctbal > s.s_acctbal)
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+        sb.join(F.broadcast(suffix), "b")
+        .join(corr, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("n_gt_bucket") + F.coalesce("n_same", F.lit(0))).alias(
+                "n_richer_customers"
+            ),
+        )
+        .filter(F.col("n_richer_customers") > 0)  # oracle's INNER JOIN drops zeros
     )
 
 
