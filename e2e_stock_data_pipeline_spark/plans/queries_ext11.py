@@ -242,3 +242,58 @@ def exact_group_quantiles_plan(
         for p in ps
     ]
     return crossed.groupBy(group_col).agg(*agg)
+
+
+def exact_group_rank_values(
+    r: DataFrame, group_col: str, ranks: DataFrame, bucket: int
+) -> DataFrame:
+    """Exact per-group ORDER STATISTICS via the same two-pass bucket
+    histogram: for each (group, tag, m) row of the dimension-sized
+    ``ranks`` frame (m = 1-based target rank within the group's pc
+    order), return (group, tag, pc-at-rank-m). This is the rank-target
+    sibling of exact_group_quantiles_plan — the primitive interpolated
+    percentiles need (rank floor(k)+1 and ceil(k)+1 per p), with no
+    per-group value map held in any aggregator (the OOM Spark's native
+    `percentile` hits once per-group distinct values reach 1e7 — caught
+    by the r11 sf10 execution smoke on q115)."""
+    rb = r.withColumn("bkt", F.expr(f"pc DIV {bucket}"))
+    hist = rb.groupBy(group_col, "bkt").agg(F.sum("w").alias("bw"))
+    wspec = Window.partitionBy(group_col).orderBy("bkt")
+    cum = hist.select(
+        group_col,
+        "bkt",
+        F.coalesce(
+            F.sum("bw").over(wspec.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("below"),
+        F.sum("bw")
+        .over(wspec.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("through"),
+    )
+    boundary = (
+        cum.join(F.broadcast(ranks), group_col)
+        .filter((F.col("below") < F.col("m")) & (F.col("through") >= F.col("m")))
+        .select(group_col, "bkt", "tag", "m", "below")
+    )
+    inb = (
+        rb.join(
+            F.broadcast(boundary.select(group_col, "bkt").distinct()),
+            [group_col, "bkt"],
+        )
+        .groupBy(group_col, "bkt", "pc")
+        .agg(F.sum("w").alias("w"))
+    )
+    run = inb.withColumn(
+        "cum_in",
+        F.sum("w").over(
+            Window.partitionBy(group_col, "bkt")
+            .orderBy("pc")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        run.join(F.broadcast(boundary), [group_col, "bkt"])
+        .filter(F.col("below") + F.col("cum_in") >= F.col("m"))
+        .groupBy(group_col, "tag")
+        .agg(F.min("pc").cast("bigint").alias("pc"))
+    )

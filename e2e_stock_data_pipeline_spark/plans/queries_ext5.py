@@ -175,22 +175,71 @@ def q114_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact percentile_cont(0.25/0.5/0.75) per return flag. The "
     "interpolation position (n-1)*p and the blend lo+(hi-lo)*frac are "
-    "dyadic-exact for these p, so Spark `percentile` and DuckDB "
-    "`quantile_cont` agree bit-for-bit. Exact percentile holds each "
-    "group's values in the aggregator: the correctness anchor — at the "
-    "100 TB point use approx_percentile or the two-pass exact median "
-    "pattern (q109).",
+    "dyadic-exact for these p, so the result is bit-equal to DuckDB "
+    "`quantile_cont`. r11: no longer Spark's native `percentile` — that "
+    "TypedImperativeAggregate holds a per-group OpenHashMap of every "
+    "distinct value, and at sf10 (~1e7 distinct prices x 32 concurrent "
+    "partial aggregators) it OOMed the execution smoke. Now the exact "
+    "order statistics at ranks floor(k)+1/ceil(k)+1 come from the "
+    "two-pass bucket histogram (exact_group_rank_values, the q168 "
+    "machinery) over fixed-point cents, and the same double blend runs "
+    "on the reconstructed values — scale-bounded by (groups x buckets), "
+    "never by distinct values.",
     tags=("ext", "agg", "baseline"),
     scale_twin="q109_exact_group_median",
 )
 def q115_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.fixedpoint import units
+    from .queries_ext11 import exact_group_rank_values
+
     li = tables.load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("percentile(l_extendedprice, 0.25D)").alias("p25"),
-        F.expr("percentile(l_extendedprice, 0.5D)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.75D)").alias("p75"),
+    # w=1 raw rows: the bucket histogram partial-aggregates map-side to
+    # (group x ~280 buckets) — a (group, pc) pre-agg would instead hash
+    # ~30M distinct price groups at sf10 for no pass-2 benefit (only
+    # boundary-bucket rows are touched there anyway)
+    vw = li.select(
+        "l_returnflag",
+        units("l_extendedprice").alias("pc"),
+        F.lit(1).cast("bigint").alias("w"),
     )
+    counts = vw.groupBy("l_returnflag").agg(F.sum("w").alias("n"))
+    # quarter-exact rank targets: k4 = (n-1)*q in quarter units;
+    # lo rank = k4 DIV 4 + 1, hi rank = (k4+3) DIV 4 + 1, frac = (k4%4)/4
+    rank_rows = []
+    for q in (1, 2, 3):
+        k4 = (F.col("n") - 1) * q
+        rank_rows.append(
+            counts.select(
+                "l_returnflag",
+                F.lit(f"q{q}_lo").alias("tag"),
+                (F.expr(f"(( n - 1 ) * {q}) DIV 4") + 1).alias("m"),
+            )
+        )
+        rank_rows.append(
+            counts.select(
+                "l_returnflag",
+                F.lit(f"q{q}_hi").alias("tag"),
+                (F.expr(f"(( n - 1 ) * {q} + 3) DIV 4") + 1).alias("m"),
+            )
+        )
+        _ = k4
+    ranks = rank_rows[0]
+    for rr in rank_rows[1:]:
+        ranks = ranks.union(rr)
+    vals = exact_group_rank_values(vw, "l_returnflag", ranks, bucket=4096)
+    pivoted = vals.groupBy("l_returnflag").pivot(
+        "tag", [f"q{q}_{s}" for q in (1, 2, 3) for s in ("lo", "hi")]
+    ).agg(F.min("pc"))
+    out = pivoted.join(counts, "l_returnflag")
+    cols = [F.col("l_returnflag"), F.col("n")]
+    for q, name in ((1, "p25"), (2, "p50"), (3, "p75")):
+        lo = F.col(f"q{q}_lo").cast("double") / 100.0
+        hi = F.col(f"q{q}_hi").cast("double") / 100.0
+        frac = (F.expr(f"(( n - 1 ) * {q}) % 4").cast("double")) / 4.0
+        # DuckDB's quantile_cont blends lo*(1-f) + hi*f (NOT lo+(hi-lo)*f
+        # — the two differ by an ulp; measured on sf0.001 R/p75)
+        cols.append((lo * (1 - frac) + hi * frac).alias(name))
+    return out.select(*cols)
 
 
 # --------------------------------------------------------------------------

@@ -58,10 +58,14 @@ def main(argv: list[str]) -> int:
     sf_dir = argv[0] if argv else ".bench_sf1/sf10"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    spark = get_spark(
-        app_name="sf10-smoke", master=f"local[{cpus}]", shuffle_partitions=cpus
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_session():
+        s = get_spark(
+            app_name="sf10-smoke", master=f"local[{cpus}]", shuffle_partitions=cpus
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = fresh_session()
     reg = load_all_query_modules()
 
     ok = errors = timeouts = skipped = 0
@@ -105,8 +109,26 @@ def main(argv: list[str]) -> int:
                 errors += 1
         finally:
             timer.cancel()
-            sc.setJobGroup("", "")
+            try:
+                sc.setJobGroup("", "")
+            except Exception:  # noqa: BLE001
+                pass
         rec["sec"] = round(time.perf_counter() - t0, 2)
+        # an executor OOM in local mode can kill the shared JVM context;
+        # without a rebuild every later query cascade-fails (seen on the
+        # first r11 run: q115's heap death poisoned q116+)
+        try:
+            spark.sql("SELECT 1").collect()
+        except Exception:  # noqa: BLE001
+            rec["session_rebuilt"] = True
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001
+                pass
+            from e2e_stock_data_pipeline_spark.sources import tables as _tables
+
+            _tables._DF_CACHE.clear()  # cached frames belong to the dead context
+            spark = fresh_session()
         print(json.dumps(rec), flush=True)
 
     print(
