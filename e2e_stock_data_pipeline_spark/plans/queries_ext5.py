@@ -185,8 +185,7 @@ def q114_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "machinery) over fixed-point cents, and the same double blend runs "
     "on the reconstructed values — scale-bounded by (groups x buckets), "
     "never by distinct values.",
-    tags=("ext", "agg", "baseline"),
-    scale_twin="q109_exact_group_median",
+    tags=("ext", "agg"),  # r11: no longer a quadratic anchor — scale-safe itself
 )
 def q115_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.fixedpoint import units

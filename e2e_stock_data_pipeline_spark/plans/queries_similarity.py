@@ -231,10 +231,14 @@ def q72_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
       FROM words
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    capped AS (
+      SELECT doc_id, shingle FROM shingled
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 5
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
     text_pairs AS (
@@ -244,11 +248,33 @@ def q72_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) >= 0.5
     ),
     e AS (SELECT vec_id, label, {_SQL_Q} AS q FROM embeddings),
-    n AS (SELECT vec_id, label, q, list_dot_product(q, q) AS nn FROM e),
+    comp AS (
+      SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM e
+    ),
+    planes AS (
+      SELECT pp.p, dd.d,
+             CASE WHEN CAST(('0x' || substr(sha256('plane:13:' || CAST(pp.p AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
+                  THEN 1 ELSE -1 END AS c
+      FROM (SELECT unnest(range(4)) AS p) pp CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+    ),
+    dots AS (
+      SELECT comp.vec_id, planes.p, SUM(comp.x * planes.c) AS dot
+      FROM comp JOIN planes ON comp.d - 1 = planes.d
+      GROUP BY comp.vec_id, planes.p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    n AS (
+      SELECT e.vec_id, e.label, b.bucket, e.q, list_dot_product(e.q, e.q) AS nn
+      FROM e JOIN buckets b ON e.vec_id = b.vec_id
+    ),
     emb_pairs AS (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
              list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) AS cos_sim
-      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.2
     )
     SELECT COALESCE(t.doc_a, v.doc_a) AS doc_a,
@@ -258,12 +284,17 @@ def q72_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM text_pairs t
     FULL OUTER JOIN emb_pairs v ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b
     """,
-    doc="Multi-signal near-dup verdict: text Jaccard pairs (>= 0.5) FULL "
-    "OUTER JOINed with label-blocked embedding-cosine pairs (>= 0.2) on "
-    "the shared doc/vec id space — the realistic LLM-pipeline dedup "
-    "decision that scores a pair by how many independent signals fire. "
-    "Each signal's pair set shuffles on its own blocking key; the final "
-    "join touches only emitted pairs.",
+    doc="Multi-signal near-dup verdict: text Jaccard pairs (>= 0.5, q42b's "
+    "doc-freq-5 posting-list cap) FULL OUTER JOINed with (LSH bucket AND "
+    "label)-blocked embedding-cosine pairs (>= 0.2, 4 hyperplanes seed "
+    "13 — q50b's blocking) on the shared doc/vec id space — the "
+    "realistic LLM-pipeline dedup decision that scores a pair by how "
+    "many independent signals fire. r11: both legs now run their "
+    "production (capped/blocked) forms — the uncapped text leg and "
+    "label-only (n_planes=0) embedding leg were each all-pairs on this "
+    "corpus and timed out the sf10 execution smoke. Each signal's pair "
+    "set shuffles on its own blocking key; the final join touches only "
+    "emitted pairs.",
     tags=("dedup", "similarity", "multisignal", "ext"),
 )
 def q87_multisignal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,11 +302,11 @@ def q87_multisignal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load(spark, sf_dir, "documents")
     text_pairs = D.ngram_jaccard_pairs(
-        D.exploded_shingles(docs), threshold=0.5
+        D.exploded_shingles(docs), threshold=0.5, max_doc_freq=5
     ).select("doc_a", "doc_b", "jaccard")
     emb_pairs = S.lsh_blocked_neardup_pairs(
         _emb(spark, sf_dir), label_col="label", threshold=0.2,
-        n_planes=0, seed=13,  # n_planes=0 -> one bucket: label-only blocking
+        n_planes=4, seed=13,
     ).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "cos_sim"
     )

@@ -82,6 +82,22 @@ def main(argv: list[str]) -> int:
                 flush=True,
             )
             continue
+        if "baseline" in (spec.tags or ()) and spec.scale_twin and not heavy:
+            # by-design quadratic correctness anchors (q42/q50): their
+            # declared scale_twin IS the sf10 path; running the anchor at
+            # sf10 just burns the timeout proving what the tag already says
+            skipped += 1
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "status": "skip_baseline_anchor",
+                        "scale_twin": spec.scale_twin,
+                    }
+                ),
+                flush=True,
+            )
+            continue
         sc = spark.sparkContext
         group = f"smoke-{name}"
         sc.setJobGroup(group, name, interruptOnCancel=True)
