@@ -408,11 +408,12 @@ _G_BUCKET = 1_000_000  # cents per bucket (10k dollars)
       SELECT segment,
              CAST(SUM(c) AS BIGINT) AS n_orders,
              CAST(SUM(c * v) AS BIGINT) AS total_cents,
-             CAST(SUM(c * (v * nb - sb)) AS BIGINT) AS pairsum
+             CAST(SUM(CAST(c * (v * nb - sb) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS pairsum
       FROM w GROUP BY segment
     )
     SELECT segment, n_orders, total_cents, pairsum,
-           CAST(pairsum // NULLIF((n_orders * (total_cents // 1000)) // 1000, 0)
+           CAST((CAST(pairsum AS HUGEINT) * 1000000)
+                // NULLIF(CAST(n_orders AS HUGEINT) * total_cents, 0)
                 AS BIGINT) AS gini_ppm
     FROM agg
     """,
@@ -426,11 +427,11 @@ _G_BUCKET = 1_000_000  # cents per bucket (10k dollars)
     "Validated against the brute-force pairwise sum in tests. "
     "Gini = sum_{i<j}|x_i-x_j| / (n * total): the mean absolute "
     "difference over ordered pairs is 2*pairsum/n^2 and G = MAD/(2*mean), "
-    "so the 2s cancel. gini_ppm = pairsum DIV ((n * (total DIV 1000)) "
-    "DIV 1000) — the denominator's staged integer scaling keeps every "
-    "term in int64 at sf1, is NULLIF-guarded (NULL when n*total < 1e6 "
-    "cents), and is applied IDENTICALLY in both engines. Cents units "
-    "(DECIMAL(18,2)) keep the pairwise sum itself under 2^63.",
+    "so the 2s cancel. pairsum grows ~n^2*MAD/2 and crossed 2^63 at sf10 "
+    "(smoke-caught overflow), so the SUM runs in DECIMAL(38,0) on both "
+    "engines (each TERM stays int64 to ~sf300) and gini_ppm = "
+    "pairsum*1e6 DIV (n*total) runs 128-bit exact (decimal here, "
+    "HUGEINT in DuckDB), NULLIF-guarded.",
     tags=("agg", "inequality", "twopass", "robust", "ext"),
 )
 def q185_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,8 +483,17 @@ def q185_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = w.groupBy("segment").agg(
         F.sum("c").cast("bigint").alias("n_orders"),
         F.sum(F.col("c") * F.col("v")).cast("bigint").alias("total_cents"),
-        F.sum(F.col("c") * (F.col("v") * F.col("nb") - F.col("sb")))
-        .cast("bigint")
+        # pairsum ~ n^2 * mean|diff| / 2 crosses 2^63 near sf3 (the sf10
+        # smoke hit ARITHMETIC_OVERFLOW) — per-TERM int64 is safe to
+        # ~sf300, so widen only the SUM to DECIMAL(38,0) (DuckDB twin:
+        # SUM(CAST(... AS DECIMAL(38,0)))); the final ratio runs in
+        # 128-bit on both engines (decimal DIV here, HUGEINT there).
+        F.sum(
+            (F.col("c") * (F.col("v") * F.col("nb") - F.col("sb"))).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("decimal(38,0)")
         .alias("pairsum"),
     )
     return agg.select(
@@ -492,8 +502,8 @@ def q185_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         "pairsum",
         F.expr(
-            "CAST(pairsum DIV NULLIF((n_orders * (total_cents DIV 1000))"
-            " DIV 1000, 0) AS BIGINT)"
+            "CAST((pairsum * 1000000) DIV NULLIF(CAST(n_orders AS DECIMAL(38,0))"
+            " * CAST(total_cents AS DECIMAL(38,0)), 0) AS BIGINT)"
         ).alias("gini_ppm"),
     )
 

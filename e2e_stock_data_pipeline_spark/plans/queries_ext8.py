@@ -132,7 +132,11 @@ def drawdown_plan(e: DataFrame) -> DataFrame:
     )
     r = e.select("user_id", "value", F.max("value").over(wpeak).alias("peak"))
     return r.groupBy("user_id").agg(
-        F.max((F.col("peak") - F.col("value")) / F.col("peak"))
+        # try_divide: a user whose first events are all value=0.0 has
+        # peak=0 there (hit at sf10 — ~1/56021 of users; ANSI `/` threw).
+        # DuckDB's double division yields NULL on /0, and MAX skips
+        # NULLs in both engines — try_divide is the exact twin.
+        F.max(F.try_divide(F.col("peak") - F.col("value"), F.col("peak")))
         .cast("double")
         .alias("max_drawdown"),
         F.max(F.col("peak") - F.col("value")).cast("double").alias("max_abs_drawdown"),

@@ -755,8 +755,14 @@ def q155_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_match_sigs"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # shuffle_hash hints: explode-derived sides inherit the PRE-explode
+    # size estimate (Spark propagates the relation's sizeInBytes through
+    # Generate), so the static planner under-estimates the shingle frame
+    # ~48x and picked BROADCAST for these joins — at sf10 that is a
+    # 24M-row build relation and the driver dies with "Not enough memory
+    # to build and broadcast" (caught by the r11 execution smoke).
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle").hint("shuffle_hash")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle").hint("shuffle_hash")
     inter = (
         match.select("doc_a", "doc_b")
         .join(sa, "doc_a")
