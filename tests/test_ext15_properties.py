@@ -111,7 +111,8 @@ class TestGiniDecomposition:
             cents = [int(round(v * 100)) for v in vals]
             p = sum(abs(a - b) for i, a in enumerate(cents) for b in cents[i + 1:])
             n, s = len(cents), sum(cents)
-            expect[seg] = (n, s, p, p // ((n * (s // 1000)) // 1000))
+            # r11 contract: ppm ratio is exact 128-bit p*1e6 // (n*s)
+            expect[seg] = (n, s, p, (p * 1_000_000) // (n * s))
         pd.DataFrame(orders).to_parquet(f"{tmp_path}/orders.parquet",
                                         coerce_timestamps="us")
         pd.DataFrame(cust).to_parquet(f"{tmp_path}/customer.parquet")
@@ -157,9 +158,11 @@ class TestGiniDecomposition:
         assert r.pairsum == 5_000_000
         assert r.gini_ppm == 500_000
 
-    def test_tiny_total_yields_null_not_div_zero(self, spark, tmp_path):
-        # n*total < 1e6 cents: staged denominator is 0 -> NULLIF guard
-        # must return NULL, not raise.
+    def test_tiny_total_divides_exactly(self, spark, tmp_path):
+        # r11: the 128-bit ratio has no staged-scaling underflow — a
+        # tiny group (3 equal orders, pairsum 0) gets an exact ppm of 0
+        # instead of the old NULL (NULLIF now guards only total == 0,
+        # which the data cannot produce: o_totalprice >= 1000 cents).
         import pandas as pd
 
         cust = [dict(c_custkey=1, c_name="x", c_nationkey=1, c_acctbal=0.0,
@@ -172,7 +175,7 @@ class TestGiniDecomposition:
                                         coerce_timestamps="us")
         pd.DataFrame(cust).to_parquet(f"{tmp_path}/customer.parquet")
         [r] = REG["q185_gini_concentration"].spark(spark, str(tmp_path)).collect()
-        assert r.gini_ppm is None
+        assert r.gini_ppm == 0 and r.pairsum == 0
 
 
 class TestBandJoinDecomposition:

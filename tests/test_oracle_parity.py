@@ -60,12 +60,14 @@ _DUCK_CLASS = {
 
 
 def type_classes_spark(sdf):
-    return {f.name: _SPARK_CLASS.get(f.dataType.simpleString(), f.dataType.simpleString())
+    return {f.name: _SPARK_CLASS.get(f.dataType.simpleString(), f.dataType.simpleString().lower())
             for f in sdf.schema.fields}
 
 
 def type_classes_duck(rel):
-    return {c: _DUCK_CLASS.get(str(t), str(t)) for c, t in zip(rel.columns, rel.types)}
+    # unmapped types (DECIMAL(p,s)) compare case-insensitively — both
+    # engines spell the same logical type, just with different casing
+    return {c: _DUCK_CLASS.get(str(t), str(t).lower()) for c, t in zip(rel.columns, rel.types)}
 
 
 oracle_cases = sorted(n for n, s in REGISTRY.items() if s.oracle)

@@ -107,10 +107,12 @@ def test_quadratic_baselines_name_scale_safe_twins():
     can mistake them for the production path. The twin must not itself
     be a baseline."""
     baselines = {n: s for n, s in REGISTRY.items() if "baseline" in s.tags}
+    # r11: q115 left this set — its exact interpolated percentiles now
+    # run on the two-pass bucket histogram (scale-bounded), so it no
+    # longer needs a twin
     assert set(baselines) == {
         "q50_cosine_neardup_pairs",
         "q42_ngram_jaccard",
-        "q115_percentile_interp",
     }
     for name, spec in baselines.items():
         assert spec.scale_twin, f"{name}: baseline without a scale_twin"
