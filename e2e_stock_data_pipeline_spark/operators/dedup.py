@@ -312,6 +312,17 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", seed: int = 7) -> DataFra
     return per_bit.groupBy(id_col).agg(F.sum(bitval).cast("bigint").alias("simhash16"))
 
 
+def _edge_signature(e: DataFrame) -> tuple:
+    """Order-independent fingerprint of a deduped edge set: (count,
+    bit_xor(xxhash64(u, v))) — xor is order-independent over a SET and
+    cannot overflow under ANSI mode. One scan of the materialized frame."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -320,77 +331,148 @@ def connected_components(
     strict: bool = True,
 ) -> DataFrame:
     """Cluster ids for an undirected pair graph: each node labeled with the
-    minimum node id reachable from it (iterative min-label propagation,
-    converging in O(graph diameter) rounds).
+    minimum node id reachable from it.
+
+    Algorithm: alternating large-star / small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the published O(log^2 n)-round algorithm, in practice a handful of
+    rounds on real graphs REGARDLESS of diameter. This replaced r1-r11's
+    min-label propagation, whose O(diameter) rounds made the sf10
+    near-dup closure (336M candidate pairs) take 598 s; each star round
+    here both shrinks the edge set (edges contract toward component
+    minima) and runs in a constant number of shuffles.
+
+    One round over the current edge set E (kept deduped, no self-loops):
+
+    * large-star — over the symmetric neighbor view, each node u computes
+      m(u) = min(N(u) + {u}) and reconnects every STRICTLY LARGER
+      neighbor v to m(u): emit (v, m(u)). Every output edge is oriented
+      (child > parent), so the output needs no re-orientation.
+    * small-star — over the now-oriented edges grouped by the larger
+      endpoint u, m(u) = min of the smaller neighbors; every smaller
+      neighbor v != m(u) and u itself reconnect to m(u).
+
+    The edge set is a fixed point of the round map iff it is a union of
+    min-rooted stars (the paper's termination theorem), at which point
+    the edges ARE the (node -> cluster-min) labels. Convergence is
+    detected by an order-independent signature (count + hash sum) of the
+    materialized edge set — one cheap scan per round, no join.
 
     The dedup use: LSH candidate pairs form the edges; each cluster keeps
     one canonical doc. Scale/latency design:
 
-    * the symmetrized edge list is materialized ONCE (localCheckpoint) —
-      it is joined every round, and without this the whole upstream
-      pipeline (shingling + minhash + LSH banding) would re-execute per
-      iteration;
     * only nodes that touch an edge enter the iteration — in a near-dup
-      graph the overwhelming majority of docs are singletons (label =
-      own id) and are attached by one final left join, so per-round data
-      is O(|edges|), not O(|corpus|);
-    * the convergence flag is computed inside the same materialized plan
-      as the labels, so a round costs the neighbor-min job plus a
-      shuffle-free flag scan — no third join;
-    * lineage is truncated per round (localCheckpoint) so the plan
-      doesn't grow; at cluster scale swap in checkpoint() on durable
-      storage. (A pointer-jumping variant was measured and REJECTED: the
-      k nested self-joins reference the live plan 2^k times, which blows
-      up Catalyst's size estimation and join planning long before the
-      data does.)
+      graph the overwhelming majority of docs are singletons and are
+      attached by one final left join, so per-round data is O(|E|), not
+      O(|corpus|);
+    * each round's edge set is materialized with spill-safe DISK_ONLY
+      storage + sized re-widening (operators/materialize.py) — lineage
+      stays flat and the 672M-row sf10 symmetrized frame cannot OOM the
+      unroll path; at cluster scale swap in checkpoint() on durable
+      storage;
+    * the per-round frames are explicitly unpersisted once the next
+      round's set is materialized, so a long session does not accumulate
+      block-manager residue (VERDICT r11 item 3).
     """
-    # materialize(): serialized spill-safe storage + sized re-widening —
-    # the deserialized localCheckpoint default OOMed an 8 GiB heap on the
-    # sf10 near-dup graph (672M symmetrized edge rows in 32 inherited
-    # partitions); see operators/materialize.py
-    sym = materialize(
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        ),
-        "dst",
+    e = materialize(
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct(),
+        "u",
     )
-    active = sym.select(F.col("src").alias("node")).distinct()
-    labels = materialize(
-        active.select("node", F.col("node").alias("label")), "node"
-    )
-    converged = False
+    prev_sig = _edge_signature(e)
+    converged = prev_sig[0] == 0  # empty graph: already a (trivial) fixpoint
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+        if converged:
+            break
+        # large-star: m(u) = min(N(u) + {u}) over BOTH directions; every
+        # strictly larger neighbor reconnects to m(u). m(u) <= u < v, so
+        # outputs are already (larger, smaller)-oriented and loop-free.
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
         )
+        lg = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: grouped by the larger endpoint u over its smaller
+        # neighbors, m(u) = min; each smaller neighbor != m and u itself
+        # reconnect to m. m < u always, and v > m is filtered, so the
+        # output stays oriented and loop-free.
+        smin = lg.groupBy("u").agg(F.min("v").alias("m"))
         stepped = materialize(
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias("chg"),
-            ),
-            "node",
+            lg.join(smin, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smin.select("u", F.col("m").alias("v")))
+            .distinct(),
+            "u",
         )
-        labels = stepped.select("node", "label")
-        if stepped.filter(F.col("chg")).limit(1).count() == 0:
+        sig = _edge_signature(stepped)
+        e.unpersist()
+        e = stepped
+        if sig == prev_sig:
             converged = True
             break
+        prev_sig = sig
+    if prev_sig[0] > 0:
+        # The signature is a heuristic trigger; soundness (both ways)
+        # comes from this one structural check: E is a union of stars iff
+        # every child appears exactly once AND no child is also a parent.
+        # With the (child > parent) orientation invariant a star's root is
+        # below all its children, i.e. the stars are min-rooted — exactly
+        # the label set we return. Running it on loop exhaustion too means
+        # a graph that lands on the fixpoint in its LAST round (sig
+        # equality unobserved) is still accepted. One job at exit, not
+        # per round.
+        deg = (
+            e.select(
+                F.col("u").alias("node"),
+                F.lit(1).alias("as_child"),
+                F.lit(0).alias("as_parent"),
+            )
+            .unionByName(
+                e.select(
+                    F.col("v").alias("node"),
+                    F.lit(0).alias("as_child"),
+                    F.lit(1).alias("as_parent"),
+                )
+            )
+            .groupBy("node")
+            .agg(F.sum("as_child").alias("c"), F.sum("as_parent").alias("p"))
+        )
+        not_star = (
+            deg.where((F.col("c") > 1) | ((F.col("c") > 0) & (F.col("p") > 0)))
+            .limit(1)
+            .count()
+        )
+        converged = not_star == 0
     if not converged and strict:
-        # partial labels are WRONG labels (a long-diameter component would
-        # split into several clusters) — surface it instead of returning them
+        # partial labels are WRONG labels (an unconverged edge set may
+        # still split one component) — surface it instead of returning
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} "
-            "rounds (graph diameter exceeds the budget); raise max_iter or "
-            "pass strict=False to accept partial labels"
+            "star rounds (pathological for this algorithm — rounds are "
+            "O(log^2 n), not O(diameter)); raise max_iter or pass "
+            "strict=False to accept partial labels"
         )
+    # at the fixpoint E is min-rooted stars: each non-root node appears
+    # exactly once as u with v = its component minimum (the min-agg is a
+    # no-op there; under strict=False it collapses an unconverged node's
+    # multiple parents to one partial label instead of duplicating rows)
+    labels = e.groupBy("u").agg(F.min("v").alias("label"))
     out = nodes.select(F.col(id_col)).join(
-        labels.select(F.col("node").alias(id_col), "label"), id_col, "left"
+        labels.select(F.col("u").alias(id_col), "label"),
+        id_col,
+        "left",
     )
     return out.select(
         F.col(id_col), F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id")

@@ -39,11 +39,21 @@ def _staged_rewrite(df, path: str) -> None:
     df.write.option("parquet.block.size", ROW_GROUP_BYTES).mode(
         "overwrite"
     ).parquet(tmp)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    elif os.path.exists(path):
-        os.remove(path)  # single-file table: rewrite replaces it with a dir
+    # Rename the live table aside BEFORE promoting tmp: a crash between
+    # the two renames leaves either the old table at `path` or the old
+    # copy at `path._old` — never an empty path with readers broken.
+    old = path.rstrip("/") + "._old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    elif os.path.exists(old):
+        os.remove(old)
+    had_old = False
+    if os.path.exists(path):
+        os.replace(path, old)
+        had_old = True
     os.replace(tmp, path)
+    if had_old:
+        shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
     # the sources.tables memo keys on path; its cached file index would be
     # stale (FileNotFound or old rows) after this in-place swap
     from ..sources.tables import invalidate_cache

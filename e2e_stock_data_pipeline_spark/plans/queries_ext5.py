@@ -193,7 +193,8 @@ def q115_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = tables.load(spark, sf_dir, "lineitem")
     # w=1 raw rows: the bucket histogram partial-aggregates map-side to
-    # (group x ~280 buckets) — a (group, pc) pre-agg would instead hash
+    # (group x ~2,500 buckets; l_extendedprice spans ~90k..10.5M cents
+    # at 4096-cent width) — a (group, pc) pre-agg would instead hash
     # ~30M distinct price groups at sf10 for no pass-2 benefit (only
     # boundary-bucket rows are touched there anyway)
     vw = li.select(
@@ -206,7 +207,6 @@ def q115_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lo rank = k4 DIV 4 + 1, hi rank = (k4+3) DIV 4 + 1, frac = (k4%4)/4
     rank_rows = []
     for q in (1, 2, 3):
-        k4 = (F.col("n") - 1) * q
         rank_rows.append(
             counts.select(
                 "l_returnflag",
@@ -221,7 +221,6 @@ def q115_percentile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.expr(f"(( n - 1 ) * {q} + 3) DIV 4") + 1).alias("m"),
             )
         )
-        _ = k4
     ranks = rank_rows[0]
     for rr in rank_rows[1:]:
         ranks = ranks.union(rr)

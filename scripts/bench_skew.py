@@ -294,6 +294,13 @@ PAIRS: dict[str, list[tuple[str, object, dict]]] = {
 def main(argv: list[str]) -> int:
     sf_dir = argv[0]
     names = argv[1:] or list(PAIRS)
+    unknown = [n for n in names if n not in PAIRS]
+    if unknown:
+        print(
+            f"unknown pair(s) {unknown}; valid: {sorted(PAIRS)}",
+            file=sys.stderr,
+        )
+        return 2
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     os.makedirs(EVDIR, exist_ok=True)
     results: dict[str, dict] = {}
@@ -336,7 +343,7 @@ def main(argv: list[str]) -> int:
     summary = {"metric": "skew_bench", "sf_dir": sf_dir, "pairs": {}}
     for pair in names:
         (la, _, _), (lb, _, _) = PAIRS[pair]
-        a, b = results[la], results[lb]
+        a, b = results.get(la, {}), results.get(lb, {})
         summary["pairs"][pair] = {
             "without": {k: a.get(k) for k in ("wall_s", "max_task_s", "straggler_ratio")},
             "with": {k: b.get(k) for k in ("wall_s", "max_task_s", "straggler_ratio")},

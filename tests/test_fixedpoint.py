@@ -30,7 +30,7 @@ def test_units_matches_decimal_reference(spark, table, col, dectype):
     df = tables.load(spark, SF, table)
     ref = (F.col(col).cast(dectype) * 100).cast("bigint")
     n_bad = df.select(
-        (units(col) != ref).cast("int").alias("bad")
+        (~units(col).eqNullSafe(ref)).cast("int").alias("bad")
     ).agg(F.sum("bad")).collect()[0][0]
     assert n_bad == 0, f"{table}.{col}: {n_bad} rows disagree"
 

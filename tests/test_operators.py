@@ -732,27 +732,32 @@ class TestConnectedComponents:
             }
             assert got == expect, f"seed={seed} n={n} m={len(pairs)}"
 
-    def test_chain_graph_nonconvergence_surfaces(self, spark):
-        """Min-label propagation moves the label one hop per round, so a
-        chain of 30 nodes needs ~29 rounds: max_iter=20 must RAISE (partial
-        labels are wrong labels), and a big-enough budget must solve it."""
+    def test_chain_graph_fast_convergence_and_budget_surfaces(self, spark):
+        """Large-star/small-star contracts a chain in O(log^2 n) rounds,
+        NOT O(diameter): a 120-node chain (which min-label propagation
+        would need ~119 rounds for) must solve well inside the default
+        20-round budget. An absurdly small budget must still RAISE
+        (partial labels are wrong labels), and strict=False must opt in
+        to one-row-per-node partial labels."""
         import pytest
 
         from e2e_stock_data_pipeline_spark.operators.dedup import connected_components
 
-        n = 30
+        n = 120
         nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
         edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"])
-        with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(nodes, edges, max_iter=20)
         got = {
             r.doc_id: r.cluster_id
-            for r in connected_components(nodes, edges, max_iter=n).collect()
+            for r in connected_components(nodes, edges, max_iter=20).collect()
         }
         assert got == {i: 0 for i in range(n)}
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(nodes, edges, max_iter=1)
         # strict=False: explicit opt-in to partial labels still returns
-        partial = connected_components(nodes, edges, max_iter=5, strict=False)
+        # exactly one row per node (multi-parent nodes collapse to min)
+        partial = connected_components(nodes, edges, max_iter=1, strict=False)
         assert partial.count() == n
+        assert partial.select("doc_id").distinct().count() == n
 
 
 class TestAsofForward:

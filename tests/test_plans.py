@@ -226,3 +226,49 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         REGISTRY[name].spark(spark, str(sf_dir))
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before, f"plan construction ran {after - before} job(s)"
+
+
+def test_cc_oracle_propagation_budget(spark):
+    """q56/q105's DuckDB oracle unrolls min-label propagation for
+    _CC_ROUNDS rounds; the engine (large-star/small-star since r12) no
+    longer bounds that trajectory, so this test pins the budget directly:
+    the max BFS distance from any node to its component minimum on the
+    GATE-SCALE (sf0.01) candidate graph must fit inside _CC_ROUNDS.
+    Propagation needs exactly that many rounds to reach the fixpoint."""
+    import collections
+    import os
+
+    from e2e_stock_data_pipeline_spark.operators import dedup as D
+    from e2e_stock_data_pipeline_spark.plans.queries_text2 import _CC_ROUNDS, _docs
+
+    gate_sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(gate_sf):
+        import pytest
+
+        pytest.skip("gate-scale dataset not present")
+    docs = _docs(spark, gate_sf)
+    sh = D.exploded_shingles(docs, distinct=False)
+    sigs = D.minhash_signatures(sh, num_hashes=6)
+    pairs = D.lsh_candidate_pairs(sigs).collect()
+    adj = collections.defaultdict(set)
+    for r in pairs:
+        adj[r.doc_a].add(r.doc_b)
+        adj[r.doc_b].add(r.doc_a)
+    seen: set = set()
+    max_dist = 0
+    for start in sorted(adj):  # ascending: first unseen node IS its component min
+        if start in seen:
+            continue
+        frontier, dist = {start}, 0
+        seen.add(start)
+        while frontier:
+            nxt = {v for u in frontier for v in adj[u] if v not in seen}
+            seen.update(nxt)
+            if nxt:
+                dist += 1
+            frontier = nxt
+        max_dist = max(max_dist, dist)
+    assert max_dist <= _CC_ROUNDS, (
+        f"oracle propagation budget too small: graph needs {max_dist} rounds, "
+        f"_CC_ROUNDS={_CC_ROUNDS}"
+    )
