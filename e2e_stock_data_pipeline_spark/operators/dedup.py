@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .materialize import materialize
+from .materialize import MAX_ROWS_PER_TASK, materialize, unpersist_materialized
 
 WORD_SPLIT = " +"
 
@@ -374,6 +374,7 @@ def connected_components(
       round's set is materialized, so a long session does not accumulate
       block-manager residue (VERDICT r11 item 3).
     """
+    spark = edges.sparkSession
     e = materialize(
         edges.select(
             F.greatest("doc_a", "doc_b").alias("u"),
@@ -385,44 +386,62 @@ def connected_components(
     )
     prev_sig = _edge_signature(e)
     converged = prev_sig[0] == 0  # empty graph: already a (trivial) fixpoint
-    for _ in range(max_iter):
-        if converged:
-            break
-        # large-star: m(u) = min(N(u) + {u}) over BOTH directions; every
-        # strictly larger neighbor reconnects to m(u). m(u) <= u < v, so
-        # outputs are already (larger, smaller)-oriented and loop-free.
-        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        lmin = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", F.col("u")).alias("m"))
-        )
-        lg = (
-            sym.join(lmin, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-        # small-star: grouped by the larger endpoint u over its smaller
-        # neighbors, m(u) = min; each smaller neighbor != m and u itself
-        # reconnect to m. m < u always, and v > m is filtered, so the
-        # output stays oriented and loop-free.
-        smin = lg.groupBy("u").agg(F.min("v").alias("m"))
-        stepped = materialize(
-            lg.join(smin, "u")
-            .where(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(smin.select("u", F.col("m").alias("v")))
-            .distinct(),
-            "u",
-        )
-        sig = _edge_signature(stepped)
-        e.unpersist()
-        e = stepped
-        if sig == prev_sig:
-            converged = True
-            break
-        prev_sig = sig
+    # Size the round's shuffle width from the LIVE edge count: the star
+    # joins/aggregates process ~2x the edge set (symmetric view), and at
+    # the session's toy-scale default (32) an sf10 round would hand each
+    # reducer 20M+ rows of concurrent hash-map state — the GCLocker heap
+    # death the r12 first sf10 run hit. AQE coalesces whatever a round
+    # doesn't need, so over-providing is one cheap config write per round.
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for _ in range(max_iter):
+            if converged:
+                break
+            width = max(
+                int(old_width),
+                min(2048, -(-2 * prev_sig[0] // MAX_ROWS_PER_TASK)),
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            # large-star: m(u) = min(N(u) + {u}) over BOTH directions;
+            # every strictly larger neighbor reconnects to m(u).
+            # m(u) <= u < v, so outputs are already (larger, smaller)-
+            # oriented and loop-free.
+            sym = e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            lmin = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", F.col("u")).alias("m"))
+            )
+            lg = (
+                sym.join(lmin, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct()
+            )
+            # small-star: grouped by the larger endpoint u over its
+            # smaller neighbors, m(u) = min; each smaller neighbor != m
+            # and u itself reconnect to m. m < u always, and v > m is
+            # filtered, so the output stays oriented and loop-free.
+            smin = lg.groupBy("u").agg(F.min("v").alias("m"))
+            stepped = materialize(
+                lg.join(smin, "u")
+                .where(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(smin.select("u", F.col("m").alias("v")))
+                .distinct(),
+                "u",
+            )
+            sig = _edge_signature(stepped)
+            unpersist_materialized(e)
+            e = stepped
+            if sig == prev_sig:
+                converged = True
+                break
+            prev_sig = sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
     if prev_sig[0] > 0:
         # The signature is a heuristic trigger; soundness (both ways)
         # comes from this one structural check: E is a union of stars iff

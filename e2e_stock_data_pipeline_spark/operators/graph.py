@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .materialize import materialize
+from .materialize import materialize, unpersist_materialized
 
 # Integer PageRank constants shared with plans/queries_ext8.pagerank_plan
 # (ranks in 1e-6 units; 0.85 damping as integer *85 // 100).
@@ -46,6 +46,7 @@ def pagerank(
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
     )
+    prev = None
     for _ in range(n_iters):
         contrib = (
             ranks.join(deg, ranks.node == deg.u)
@@ -61,6 +62,9 @@ def pagerank(
             ),
             "node",
         )
+        if prev is not None:
+            unpersist_materialized(prev)  # superseded round's blocks
+        prev = ranks
     return ranks
 
 
@@ -93,6 +97,7 @@ def bfs_hops(edges: DataFrame, max_hops: int = 4) -> DataFrame:
         "node", F.lit(0).cast("bigint").alias("hops")
     ).localCheckpoint(eager=True)  # one seed row — no sizing needed
     frontier = dist.select("node")
+    prev_nxt = None
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(sym, frontier.node == sym.u)
@@ -102,8 +107,22 @@ def bfs_hops(edges: DataFrame, max_hops: int = 4) -> DataFrame:
             .select("node", F.lit(h).cast("bigint").alias("hops"))
         )
         nxt = materialize(nxt, "node")
-        dist = materialize(dist.unionAll(nxt), "node")
+        new_dist = materialize(dist.unionAll(nxt), "node")
+        # superseded blocks are dead once the new round is materialized
+        # (localCheckpoint truncates lineage, so release only AFTER every
+        # consumer has run): the old dist, and the previous frontier
+        # which fed this round's joins
+        unpersist_materialized(dist)
+        if prev_nxt is not None:
+            unpersist_materialized(prev_nxt)
+        dist = new_dist
+        prev_nxt = nxt
         frontier = nxt.select("node")
+    # dist is self-contained (checkpointed); the probe table and the last
+    # frontier are no longer reachable from it
+    unpersist_materialized(sym)
+    if prev_nxt is not None:
+        unpersist_materialized(prev_nxt)
     return dist
 
 
@@ -118,28 +137,36 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
     Scale design: each round is one degree aggregation plus two semi
     joins, all keyed on node id; the surviving edge set shrinks
     monotonically and is lineage-truncated per round."""
+    spark = edges.sparkSession
     cur = materialize(edges.select("pa", "pb"), "pa")
 
-    def sizes(r: int, e: DataFrame) -> DataFrame:
-        nd = node_degrees(e).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_nodes")
-        )
+    def sizes(r: int, e: DataFrame) -> tuple[int, int, int]:
+        # one driver-scalar row per round — collected EAGERLY so the
+        # superseded round's checkpoint blocks can be released (a lazy
+        # union over all rounds would pin every round's frame until the
+        # caller's final action; found in r12 while adding the per-round
+        # release)
+        nd = node_degrees(e).agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-        return nd.crossJoin(F.broadcast(ne)).select(
-            F.lit(r).cast("bigint").alias("round_no"), "n_nodes", "n_edges"
-        )
+        row = nd.crossJoin(F.broadcast(ne)).collect()[0]
+        return (r, row["n_nodes"], row["n_edges"])
 
-    out = sizes(0, cur)
+    out_rows = [sizes(0, cur)]
     for r in range(1, rounds + 1):
         keep = node_degrees(cur).filter(F.col("d") >= k).select("x")
-        cur = (
+        nxt = (
             cur.join(keep.select(F.col("x").alias("pa")), "pa", "left_semi")
             .join(keep.select(F.col("x").alias("pb")), "pb", "left_semi")
             .select("pa", "pb")
         )
-        cur = materialize(cur, "pa")
-        out = out.unionAll(sizes(r, cur))
-    return out
+        nxt = materialize(nxt, "pa")
+        out_rows.append(sizes(r, nxt))
+        unpersist_materialized(cur)  # superseded round's blocks
+        cur = nxt
+    unpersist_materialized(cur)
+    return spark.createDataFrame(
+        out_rows, "round_no bigint, n_nodes bigint, n_edges bigint"
+    )
 
 
 _TRI_KB = 10**12  # orientation key = degree * _TRI_KB + node_id (int64-safe)

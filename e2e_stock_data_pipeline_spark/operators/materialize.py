@@ -61,6 +61,23 @@ def materialize(df: DataFrame, *cols: str) -> DataFrame:
         wide = wide.localCheckpoint(
             eager=True, storageLevel=StorageLevel.DISK_ONLY
         )
-        out.unpersist()
+        unpersist_materialized(out)
         return wide
     return out
+
+
+def unpersist_materialized(df: DataFrame) -> bool:
+    """Release the block-manager storage behind a frame returned by
+    :func:`materialize`. ``Dataset.unpersist()`` is NOT enough: it only
+    clears CacheManager entries, and a localCheckpoint's persistence
+    lives on the internal RDD wrapped by the LogicalRDD plan node — so
+    iterative operators that called ``.unpersist()`` per round were
+    silently accumulating every round's blocks (found in r12 while
+    wiring the session-lifecycle release). Reaches the RDD through the
+    analyzed plan; returns False (and leaves cleanup to the session-
+    level registry.release sweep) if the plan isn't a LogicalRDD."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return True
+    except Exception:  # noqa: BLE001 — non-checkpoint plan or dead session
+        return False

@@ -2,11 +2,22 @@
 `binary` columns with typed metadata, processed by Arrow-batched
 `mapInPandas` kernels.
 
-The Spark-side machinery here is REAL and tested: schema contracts,
-batch iteration shape, partition sizing. The actual media decode is
-STUBBED (`decode_image_stub`) because no image/audio libraries exist in
-this container — swap `_decode_one` for a PIL/ffmpeg call and nothing
-else changes.
+The Spark-side machinery is the schema contracts, the batch iteration
+shape and the partition sizing; the decode kernels are REAL for the two
+container formats whose codecs are pure arithmetic:
+
+* PNG — full pure-stdlib decode (chunk walk, concatenated-IDAT zlib
+  inflate, per-scanline unfilter for all five filter types) for 8-bit
+  greyscale/RGB/grey+alpha/RGBA, non-interlaced. Palette, 16-bit and
+  Adam7 inputs are refused with a recorded reason (decode_err), never a
+  wrong answer.
+* WAV — PCM sample decode (8-bit unsigned / 16-bit signed LE) from the
+  RIFF data chunk.
+
+Other formats (JPEG etc.) need an entropy codec this container doesn't
+ship; they flow through with byte-level stats and decoded_ok = false +
+decode_err = "unsupported format", so a cluster deployment swaps ONE
+function (`_decode_one`) for a PIL/ffmpeg call and nothing else changes.
 
 Scale notes: media blobs make wide rows — keep
 `spark.sql.files.maxPartitionBytes` modest and let `mapInPandas`
@@ -17,6 +28,8 @@ metadata struct travels with the blob so filters on (format, width,
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,37 +53,211 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType(), True),
         T.StructField("byte_mean", T.DoubleType(), True),
         T.StructField("decoded_ok", T.BooleanType(), False),
+        T.StructField("value_mean", T.DoubleType(), True),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("px_width", T.IntegerType(), True),
+        T.StructField("px_height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("decode_err", T.StringType(), True),
     ]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# 8-bit channel counts by PNG color type; palette (3) needs PLTE
+# expansion and is refused explicitly below
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
-def _decode_one(content: bytes | None, fmt: str | None) -> tuple[float | None, bool]:
-    """STUB decode: deterministic fake 'feature extraction'.
 
-    Real deployments replace this body with e.g. PIL.Image.open; the
-    mapInPandas contract around it is what the engine tests.
-    """
-    if content is None or not fmt:
-        return None, False
-    return float(sum(content) / len(content)) if content else 0.0, True
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode(content: bytes) -> tuple[int, int, int, bytearray]:
+    """Pure-stdlib PNG decode: returns (width, height, channels, pixels)
+    with pixels as the row-major channel-interleaved 8-bit samples.
+
+    Implements the spec pipeline directly: chunk walk -> IHDR validate ->
+    concatenate IDAT -> zlib inflate -> per-scanline unfilter (filter
+    types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth, RFC 2083 §6).
+    Supports bit depth 8, color types 0/2/4/6, non-interlaced — the
+    fixture formats the pipeline generates; anything else raises
+    ValueError with the reason (recorded as decode_err upstream)."""
+    if content[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing IHDR")
+    width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth}")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {color}")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) not supported")
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels  # bytes per unfiltered scanline (bpp = channels at depth 8)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("decompressed size mismatch")
+    out = bytearray(height * stride)
+    prev_off = -1  # offset of previous reconstructed row in `out`
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        off = y * stride
+        if f == 0:
+            out[off : off + stride] = line
+        elif f == 1:  # Sub
+            for j in range(stride):
+                a = out[off + j - channels] if j >= channels else 0
+                out[off + j] = (line[j] + a) & 0xFF
+        elif f == 2:  # Up
+            for j in range(stride):
+                b = out[prev_off + j] if y else 0
+                out[off + j] = (line[j] + b) & 0xFF
+        elif f == 3:  # Average
+            for j in range(stride):
+                a = out[off + j - channels] if j >= channels else 0
+                b = out[prev_off + j] if y else 0
+                out[off + j] = (line[j] + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for j in range(stride):
+                a = out[off + j - channels] if j >= channels else 0
+                b = out[prev_off + j] if y else 0
+                c = out[prev_off + j - channels] if (y and j >= channels) else 0
+                out[off + j] = (line[j] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        prev_off = off
+    return width, height, channels, out
+
+
+def wav_decode(content: bytes) -> list[float]:
+    """PCM sample decode from a RIFF/WAVE blob: walks the chunk list,
+    validates PCM (audio format 1) at 8 or 16 bits, and returns the
+    samples of the `data` chunk as floats (8-bit unsigned 0..255,
+    16-bit signed -32768..32767, all channels interleaved)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("bad RIFF/WAVE header")
+    pos, bits, got_fmt = 12, None, False
+    samples: list[float] | None = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (length,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        data = content[pos + 8 : pos + 8 + length]
+        if cid == b"fmt ":
+            if len(data) < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, _ch, _rate = struct.unpack("<HHI", data[:8])
+            bits = struct.unpack("<H", data[14:16])[0]
+            if audio_fmt != 1:
+                raise ValueError(f"non-PCM audio format {audio_fmt}")
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported bits per sample {bits}")
+            got_fmt = True
+        elif cid == b"data":
+            if not got_fmt:
+                raise ValueError("data chunk before fmt")
+            if bits == 8:
+                samples = [float(x) for x in data]
+            else:
+                n = len(data) // 2
+                samples = [
+                    float(v) for v in struct.unpack(f"<{n}h", data[: 2 * n])
+                ]
+            break
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if samples is None:
+        raise ValueError("missing data chunk")
+    return samples
+
+
+def _decode_one(
+    content: bytes | None, fmt: str | None
+) -> tuple[bool, float | None, int | None, int | None, int | None, int | None, str | None]:
+    """Decode one blob -> (decoded_ok, value_mean, n_values, px_width,
+    px_height, n_channels, decode_err). Real decode for PNG (pixels) and
+    WAV (PCM samples); anything else is recorded as unsupported — never
+    a fabricated result."""
+    if content is None:
+        return False, None, None, None, None, None, "null content"
+    if not fmt:
+        return False, None, None, None, None, None, "missing format"
+    try:
+        if fmt == "png":
+            w, h, ch, px = png_decode(bytes(content))
+            n = len(px)
+            mean = (sum(px) / n) if n else None
+            return True, mean, n, w, h, ch, None
+        if fmt == "wav":
+            samples = wav_decode(bytes(content))
+            n = len(samples)
+            mean = (sum(samples) / n) if n else None
+            return True, mean, n, None, None, None, None
+        return False, None, None, None, None, None, "unsupported format"
+    except (ValueError, zlib.error, struct.error) as exc:
+        return False, None, None, None, None, None, str(exc)[:120]
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary media columns."""
+    """Arrow-batched feature extraction over binary media columns: byte
+    stats for every blob, plus REAL decoded pixel/sample stats for the
+    stdlib-decodable formats (see module docstring). Reference parity:
+    the reference keeps media transforms in Databricks notebooks (README
+    'transformations live in Databricks'); this is the engine-side
+    equivalent with the decode inlined."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            means, oks = [], []
+            cols: dict[str, list] = {
+                "decoded_ok": [],
+                "value_mean": [],
+                "n_values": [],
+                "px_width": [],
+                "px_height": [],
+                "n_channels": [],
+                "decode_err": [],
+            }
             for content, fmt in zip(pdf["content"], pdf["format"]):
-                m, ok = _decode_one(content, fmt)
-                means.append(m)
-                oks.append(ok)
+                ok, mean, n, w, h, ch, err = _decode_one(content, fmt)
+                cols["decoded_ok"].append(ok)
+                cols["value_mean"].append(mean)
+                cols["n_values"].append(n)
+                cols["px_width"].append(w)
+                cols["px_height"].append(h)
+                cols["n_channels"].append(ch)
+                cols["decode_err"].append(err)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": [len(c) if c is not None else None for c in pdf["content"]],
-                    "byte_mean": means,
-                    "decoded_ok": oks,
+                    "n_bytes": [
+                        len(c) if c is not None else None for c in pdf["content"]
+                    ],
+                    "byte_mean": [
+                        (sum(c) / len(c)) if c else None for c in pdf["content"]
+                    ],
+                    **cols,
                 }
             )
 

@@ -61,6 +61,50 @@ def invalidate_plan_cache() -> None:
     _PLAN_CACHE.clear()
 
 
+def release(spark: SparkSession) -> dict:
+    """Between-queries lifecycle hygiene for sweep/gate contexts.
+
+    A long single-session sweep accumulates executor-side state that no
+    individual query can release on its own (VERDICT r11: q144 died at
+    query #150 of the 196-query sf10 smoke from exactly this):
+
+    * localCheckpoint blocks from iterative operators (connected
+      components, PageRank, two-pass ranks) — the FINAL materialized
+      frame backs the returned DataFrame, so the operator itself cannot
+      unpersist it; once the caller has consumed the result it is dead
+      weight. Enumerated and unpersisted here via the context's
+      persistent-RDD map (the local-mode analog of a cluster's
+      ContextCleaner sweep, but synchronous and unconditional).
+    * broadcast blocks from BroadcastHashJoins — freed by the JVM
+      ContextCleaner only once the driver-side plan references are
+      garbage; clearing the prepared-plan cache plus an explicit
+      gc.collect() cuts those references NOW instead of at an arbitrary
+      future GC.
+    * catalog-cached tables/views (none on the query path today, but a
+      user session may have cached some): spark.catalog.clearCache().
+
+    Returns counts of what was released, for logging. Safe to call
+    between any two queries: the table memo keeps plain (unpersisted)
+    scans, the plan cache rebuilds on demand, and correctness never
+    depends on persisted state.
+    """
+    import gc
+
+    n_plans = len(_PLAN_CACHE)
+    _PLAN_CACHE.clear()
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    jmap = jsc.getPersistentRDDs()
+    n_rdds = jmap.size()
+    it = jmap.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)
+    # drop py4j handles so the JVM ContextCleaner can reap broadcast
+    # blocks referenced only by now-dead plans
+    gc.collect()
+    return {"plans_dropped": n_plans, "rdds_unpersisted": n_rdds}
+
+
 def _memoized(name: str, fn: SparkQuery) -> SparkQuery:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:

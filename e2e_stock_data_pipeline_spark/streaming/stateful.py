@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -177,11 +178,23 @@ def _make_cusum_update(mean_fp: int, h_fp: int):
         s, mx, alarms = state.get if state.exists else (0, 0, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-        for x in batch["x_fp"].astype("int64"):
-            s = max(0, s + (int(x) - mean_fp))
-            mx = max(mx, s)
-            if s > h_fp:
-                alarms += 1
+        x = batch["x_fp"].to_numpy(dtype="int64")
+        if x.size:
+            # Vectorized Lindley recursion (r12; the per-row Python loop
+            # capped the operator at ~200k rows/s at sf10). With
+            # d_t = x_t - mean, C_t = cumsum(d), the reflected recursion
+            # s_t = max(0, s_{t-1} + d_t) has the closed form
+            #   s_t = max(s_0 + C_t, C_t - min_{1<=k<=t} C_k)
+            # (last-reset decomposition: either no reset since carry-in,
+            # or the best reset point k; the k = t term makes the second
+            # candidate >= 0, which subsumes the floor). Pure int64
+            # numpy — bit-identical to the loop, property-pinned in
+            # tests/test_streaming.py.
+            c = np.cumsum(x - mean_fp)
+            st = np.maximum(s + c, c - np.minimum.accumulate(c))
+            s = int(st[-1])
+            mx = max(mx, int(st.max()))
+            alarms += int((st > h_fp).sum())
         state.update((s, mx, alarms))
         yield pd.DataFrame(
             {

@@ -31,6 +31,7 @@ import time
 
 sys.path.insert(0, ".")
 
+from e2e_stock_data_pipeline_spark.plans import registry  # noqa: E402
 from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules  # noqa: E402
 from e2e_stock_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -130,6 +131,15 @@ def main(argv: list[str]) -> int:
             except Exception:  # noqa: BLE001
                 pass
         rec["sec"] = round(time.perf_counter() - t0, 2)
+        # between-queries lifecycle hygiene (VERDICT r11 item 3): release
+        # localCheckpoint blocks, broadcast references and the plan cache
+        # so a 196-query single session doesn't accumulate to heap death
+        try:
+            released = registry.release(spark)
+            if released["rdds_unpersisted"]:
+                rec["released_rdds"] = released["rdds_unpersisted"]
+        except Exception:  # noqa: BLE001
+            pass
         # an executor OOM in local mode can kill the shared JVM context;
         # without a rebuild every later query cascade-fails (seen on the
         # first r11 run: q115's heap death poisoned q116+)

@@ -260,25 +260,181 @@ class TestSimilarity:
         assert long_b == pref_b
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(width: int, height: int, channels: int, pixels: bytes, filters) -> bytes:
+    """Spec-conformant PNG encoder for test fixtures: applies the given
+    per-row filter types (0-4) before deflate, so the decoder's unfilter
+    path is exercised on every filter. Independent re-derivation of the
+    filter formulas (RFC 2083 §6) — written forward (encode) here,
+    inverted (decode) in the operator."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    for y, f in zip(range(height), filters):
+        row = pixels[y * stride : (y + 1) * stride]
+        prev = pixels[(y - 1) * stride : y * stride] if y else bytes(stride)
+        raw.append(f)
+        for j in range(stride):
+            a = row[j - channels] if j >= channels else 0
+            b = prev[j]
+            c = prev[j - channels] if (y and j >= channels) else 0
+            if f == 0:
+                enc = row[j]
+            elif f == 1:
+                enc = row[j] - a
+            elif f == 2:
+                enc = row[j] - b
+            elif f == 3:
+                enc = row[j] - (a + b) // 2
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = row[j] - pred
+            raw.append(enc & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _encode_wav(samples, bits: int = 16, rate: int = 8000, channels: int = 1) -> bytes:
+    import struct
+
+    if bits == 8:
+        data = bytes(samples)
+    else:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8, channels * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 class TestMultimodal:
+    # 2x2 grayscale, pixels 10/20/30/40 -> mean 25.0; rows filtered
+    # Sub then Up to exercise both inversions
+    GRAY_PX = bytes([10, 20, 30, 40])
+    # 2x2 RGB with every remaining filter type (None, Average) plus a
+    # third Paeth row on a 2x3 image
+    RGB_PX = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18])
+
     def media(self, spark):
+        gray = _encode_png(2, 2, 1, self.GRAY_PX, [1, 2])
+        rgb = _encode_png(2, 3, 3, self.RGB_PX, [0, 3, 4])
+        wav = _encode_wav([-100, 100, 300], bits=16)
         return spark.createDataFrame(
             [
-                (1, bytearray(b"\x00\x02\x04\x06"), "png", 2, 2),
+                (1, bytearray(gray), "png", 2, 2),
                 (2, None, "png", None, None),
                 (3, bytearray(b"\xff" * 8), None, None, None),
+                (4, bytearray(rgb), "png", 2, 3),
+                (5, bytearray(wav), "wav", None, None),
+                (6, bytearray(b"\x00\x02\x04\x06"), "png", 2, 2),  # not a real PNG
+                (7, bytearray(b"\x00\x02\x04\x06"), "jpg", None, None),
             ],
             "media_id long, content binary, format string, width int, height int",
         )
 
-    def test_extract_features_stub(self, spark):
+    def test_fixture_encoder_matches_spec_bytes(self):
+        """Pin the test encoder itself against hand-computed RFC 2083
+        filter bytes, so encoder/decoder can't share a mirrored bug:
+        gray row [10,20,30,40] as 2x2, row0 Sub, row1 Up ->
+        row0: f=1, 10-0=10, 20-10=10 ; row1: f=2, 30-10=20, 40-20=20."""
+        import zlib
+
+        png = _encode_png(2, 2, 1, self.GRAY_PX, [1, 2])
+        # IDAT payload starts after sig(8) + IHDR chunk(12+13) + IDAT hdr(8)
+        idat = png[8 + 25 + 8 : -12 - 4]  # strip IEND chunk and IDAT crc
+        assert zlib.decompress(idat) == bytes([1, 10, 10, 2, 20, 20])
+
+    def test_extract_features_decodes_real_pixels(self, spark):
         rows = {r.media_id: r for r in extract_features(self.media(spark)).collect()}
-        assert rows[1].decoded_ok and rows[1].n_bytes == 4 and rows[1].byte_mean == 3.0
+        g = rows[1]
+        assert g.decoded_ok and g.decode_err is None
+        assert (g.px_width, g.px_height, g.n_channels, g.n_values) == (2, 2, 1, 4)
+        assert g.value_mean == 25.0  # (10+20+30+40)/4, hand-computed
+        r = rows[4]
+        assert r.decoded_ok
+        assert (r.px_width, r.px_height, r.n_channels, r.n_values) == (2, 3, 3, 18)
+        assert r.value_mean == 9.5  # mean(1..18)
+        w = rows[5]
+        assert w.decoded_ok and w.n_values == 3
+        assert w.value_mean == 100.0  # (-100+100+300)/3, signed 16-bit LE
         assert not rows[2].decoded_ok and rows[2].n_bytes is None
-        assert not rows[3].decoded_ok  # format missing -> decode refused
+        assert not rows[3].decoded_ok and rows[3].decode_err == "missing format"
+        bad = rows[6]
+        assert not bad.decoded_ok and "signature" in bad.decode_err
+        assert bad.n_bytes == 4 and bad.byte_mean == 3.0  # byte stats still flow
+        assert rows[7].decode_err == "unsupported format"
+
+    def test_png_decode_rejects_unsupported_shapes(self):
+        import struct
+
+        import pytest
+
+        from e2e_stock_data_pipeline_spark.operators.multimodal import png_decode
+
+        # palette color type (3): refuse, don't fabricate
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+        png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="color type"):
+            png_decode(png)
+        # 16-bit depth: refuse
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+        png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="bit depth"):
+            png_decode(png)
+        # interlaced: refuse
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+        png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="interlaced"):
+            png_decode(png)
+
+    def test_png_roundtrip_property(self):
+        """Roundtrip across shapes/filter mixes: decode(encode(px)) == px
+        for gray/gray+alpha/RGB/RGBA with pseudo-random pixels and all
+        five filters cycling per row."""
+        import random
+
+        from e2e_stock_data_pipeline_spark.operators.multimodal import png_decode
+
+        rng = random.Random(7)
+        for channels in (1, 2, 3, 4):
+            for w, h in ((1, 1), (3, 2), (5, 7)):
+                px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+                filters = [rng.choice([0, 1, 2, 3, 4]) for _ in range(h)]
+                got = png_decode(_encode_png(w, h, channels, px, filters))
+                assert got == (w, h, channels, bytearray(px)), (channels, w, h, filters)
+
+    def test_wav_decode_8bit_and_alignment(self):
+        from e2e_stock_data_pipeline_spark.operators.multimodal import wav_decode
+
+        wav = _encode_wav([0, 128, 255], bits=8)
+        assert wav_decode(wav) == [0.0, 128.0, 255.0]
 
     def test_frame_sample(self, spark):
-        out = {r.media_id: r.sampled_bytes for r in frame_sample(self.media(spark), 4).collect()}
+        media = spark.createDataFrame(
+            [(1, bytearray(b"\x00\x02\x04\x06")), (3, bytearray(b"\xff" * 8))],
+            "media_id long, content binary",
+        )
+        out = {r.media_id: r.sampled_bytes for r in frame_sample(media, 4).collect()}
         assert [bytes(b) for b in out[1]] == [b"\x00"]
         assert len(out[3]) == 2  # bytes 1 and 5 of 8
 

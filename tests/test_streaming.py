@@ -243,6 +243,69 @@ class TestStreamingCusum:
         assert got == expect
 
 
+class TestCusumClosedForm:
+    def test_vectorized_kernel_equals_literal_loop(self):
+        """Property (r12): the vectorized Lindley closed form inside
+        _make_cusum_update is bit-identical to the per-row recursion for
+        random int64 series, arbitrary carry-in state, and arbitrary
+        micro-batch split points."""
+        import random
+
+        import pandas as pd
+
+        from e2e_stock_data_pipeline_spark.streaming.stateful import _make_cusum_update
+
+        class FakeState:
+            def __init__(self):
+                self.exists = False
+                self._v = None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self.exists = True
+                self._v = v
+
+        for seed in range(8):
+            rng = random.Random(seed)
+            n = rng.randint(1, 200)
+            mean_fp = rng.randint(-50, 50) * 10_000
+            h_fp = rng.randint(1, 40) * 10_000
+            xs = [rng.randint(-100, 100) * 10_000 for _ in range(n)]
+            # literal recursion
+            s = mx = alarms = 0
+            for x in xs:
+                s = max(0, s + (x - mean_fp))
+                mx = max(mx, s)
+                if s > h_fp:
+                    alarms += 1
+            # vectorized kernel across a random batch split (carry-in path)
+            update = _make_cusum_update(mean_fp, h_fp)
+            state = FakeState()
+            cut = rng.randint(0, n)
+            last = None
+            for lo, hi in ((0, cut), (cut, n)):
+                chunk = xs[lo:hi]
+                pdf = pd.DataFrame(
+                    {
+                        "ts": list(range(lo, hi)),
+                        "event_id": list(range(lo, hi)),
+                        "x_fp": chunk,
+                    }
+                )
+                out = list(update(("u",), [pdf], state))
+                if len(chunk) or last is None:
+                    last = out[0]
+            got = (
+                int(last["cusum_fp"][0]),
+                int(last["max_cusum_fp"][0]),
+                int(last["n_alarms"][0]),
+            )
+            assert got == (s, mx, alarms), f"seed={seed} n={n} cut={cut}"
+
+
 class TestForeachBatchUpsert:
     def test_stream_merge_keeps_latest(self, spark, tmp_path):
         from e2e_stock_data_pipeline_spark.streaming.foreach_batch import stream_merge_upsert
