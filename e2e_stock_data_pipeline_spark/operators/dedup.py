@@ -312,6 +312,13 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", seed: int = 7) -> DataFra
     return per_bit.groupBy(id_col).agg(F.sum(bitval).cast("bigint").alias("simhash16"))
 
 
+# Broadcast the per-node star-round min tables when the graph has at
+# most this many nodes: (long, long) rows at ~16 B + overhead keep the
+# broadcast under ~100 MB — one copy per executor on a cluster. Above
+# it, star rounds fall back to shuffle joins.
+_BCAST_NODE_LIMIT = 4_000_000
+
+
 def _edge_signature(e: DataFrame) -> tuple:
     """Order-independent fingerprint of a deduped edge set: (count,
     bit_xor(xxhash64(u, v))) — xor is order-independent over a SET and
@@ -329,6 +336,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 20,
     strict: bool = True,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Cluster ids for an undirected pair graph: each node labeled with the
     minimum node id reachable from it.
@@ -365,26 +373,63 @@ def connected_components(
       graph the overwhelming majority of docs are singletons and are
       attached by one final left join, so per-round data is O(|E|), not
       O(|corpus|);
-    * each round's edge set is materialized with spill-safe DISK_ONLY
-      storage + sized re-widening (operators/materialize.py) — lineage
-      stays flat and the 672M-row sf10 symmetrized frame cannot OOM the
-      unroll path; at cluster scale swap in checkpoint() on durable
-      storage;
+    * the initial edge set and each round's output are materialized with
+      spill-safe DISK_ONLY storage + sized re-widening
+      (operators/materialize.py) so lineage stays flat; at cluster scale
+      swap in checkpoint() on durable storage;
+    * when the node universe is small enough (_BCAST_NODE_LIMIT), the
+      per-node min tables broadcast, making a round broadcast joins +
+      ONE shuffle (the output dedup); otherwise shuffle joins, with the
+      round's exchange width sized from the live edge count;
     * the per-round frames are explicitly unpersisted once the next
       round's set is materialized, so a long session does not accumulate
       block-manager residue (VERDICT r11 item 3).
     """
+    import os
+    import time as _time
+
     spark = edges.sparkSession
-    e = materialize(
-        edges.select(
-            F.greatest("doc_a", "doc_b").alias("u"),
-            F.least("doc_a", "doc_b").alias("v"),
+    canon = edges.select(
+        F.greatest("doc_a", "doc_b").alias("u"),
+        F.least("doc_a", "doc_b").alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    if not assume_canonical:
+        # ``assume_canonical=True`` is the caller's attestation that the
+        # pair set is already deduped with doc_a != doc_b (true for
+        # lsh_candidate_pairs, which ends in a distinct) — skipping this
+        # re-dedup saves one full-edge-set shuffle (~15% of the sf10
+        # closure's wall)
+        canon = canon.distinct()
+    # The initial edge set IS materialized, deliberately: round 0 consumes
+    # it twice (the per-node min build and the reconnect probe), and a
+    # lazy input was MEASURED far worse at sf10 (r12: >1200 s vs 284 s) —
+    # AQE stage reuse shares the upstream exchange, but every consumer
+    # re-runs the banding pipeline's final distinct aggregate over the
+    # 336M-row shuffle, and the round-0 width override bloats the
+    # upstream pipeline's own exchanges. Writing the 5.4 GB of DISK_ONLY
+    # blocks once is the cheaper trade. widen=False: every round-0
+    # consumer re-exchanges at the conf width anyway, so the re-widen's
+    # second checkpoint write + full shuffle buys nothing here.
+    e = materialize(canon, "u", widen=False)
+    # Dense near-dup graphs have FAR fewer nodes than edges (sf10: 500k
+    # docs, 336M candidate pairs): when the per-node min table fits a
+    # broadcast, ship it to the map side so a star round is broadcast
+    # joins + ONE shuffle (the output dedup) instead of sort-merge joins
+    # whose per-task sort state starved the 8 GiB unified pool at 32
+    # concurrent tasks (r12 first sf10 runs). Decided from the caller's
+    # node universe — a cheap count-star upper bound on the graph's node
+    # count (over-estimating only costs a skipped broadcast, never
+    # correctness); _BCAST_NODE_LIMIT rows of (long, long) is ~a few
+    # tens of MB — one copy per executor on a cluster.
+    n_node_bound = nodes.count()
+    use_broadcast = 0 < n_node_bound <= _BCAST_NODE_LIMIT
+    verbose = bool(os.environ.get("SPARK_GRAFT_CC_VERBOSE"))
+    if verbose:
+        print(
+            f"[cc] node_bound={n_node_bound} broadcast={use_broadcast}",
+            flush=True,
         )
-        .where(F.col("u") != F.col("v"))
-        .distinct(),
-        "u",
-    )
-    prev_sig = _edge_signature(e)
+    prev_sig: tuple | None = _edge_signature(e)
     converged = prev_sig[0] == 0  # empty graph: already a (trivial) fixpoint
     # Size the round's shuffle width from the LIVE edge count: the star
     # joins/aggregates process ~2x the edge set (symmetric view), and at
@@ -394,9 +439,10 @@ def connected_components(
     # doesn't need, so over-providing is one cheap config write per round.
     old_width = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        for _ in range(max_iter):
+        for _round in range(max_iter):
             if converged:
                 break
+            _t0 = _time.perf_counter()
             width = max(
                 int(old_width),
                 min(2048, -(-2 * prev_sig[0] // MAX_ROWS_PER_TASK)),
@@ -414,17 +460,27 @@ def connected_components(
                 .agg(F.min("v").alias("mv"))
                 .select("u", F.least("mv", F.col("u")).alias("m"))
             )
+            if use_broadcast:
+                lmin = F.broadcast(lmin)
             lg = (
                 sym.join(lmin, "u")
                 .where(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .distinct()
             )
+            if use_broadcast:
+                # lg feeds BOTH small-star inputs; checkpoint it so the
+                # broadcast build doesn't re-execute the large-star
+                # subtree, and so each half-round is one simple
+                # scan -> broadcast-join -> dedup pipeline
+                lg = materialize(lg, "u")
             # small-star: grouped by the larger endpoint u over its
             # smaller neighbors, m(u) = min; each smaller neighbor != m
             # and u itself reconnect to m. m < u always, and v > m is
             # filtered, so the output stays oriented and loop-free.
             smin = lg.groupBy("u").agg(F.min("v").alias("m"))
+            if use_broadcast:
+                smin = F.broadcast(smin)
             stepped = materialize(
                 lg.join(smin, "u")
                 .where(F.col("v") != F.col("m"))
@@ -435,14 +491,23 @@ def connected_components(
             )
             sig = _edge_signature(stepped)
             unpersist_materialized(e)
+            if use_broadcast:
+                unpersist_materialized(lg)
             e = stepped
-            if sig == prev_sig:
+            if verbose:
+                print(
+                    f"[cc] round={_round} width={width} edges={sig[0]} "
+                    f"sec={_time.perf_counter() - _t0:.1f}",
+                    flush=True,
+                )
+            if sig[0] == 0 or sig == prev_sig:
                 converged = True
+                prev_sig = sig
                 break
             prev_sig = sig
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_width)
-    if prev_sig[0] > 0:
+    if prev_sig is None or prev_sig[0] > 0:
         # The signature is a heuristic trigger; soundness (both ways)
         # comes from this one structural check: E is a union of stars iff
         # every child appears exactly once AND no child is also a parent.

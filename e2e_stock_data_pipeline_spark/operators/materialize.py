@@ -46,13 +46,22 @@ from pyspark.sql import DataFrame
 MAX_ROWS_PER_TASK = 5_000_000
 
 
-def materialize(df: DataFrame, *cols: str) -> DataFrame:
+def materialize(df: DataFrame, *cols: str, widen: bool = True) -> DataFrame:
     """Eagerly materialize ``df`` with serialized spill-safe storage,
     re-widening to ``ceil(rows / MAX_ROWS_PER_TASK)`` partitions (hash
     partitioned on ``cols`` when given) if the inherited partitioning
     is coarser than the bound. Returns the materialized frame; the
-    interim narrow frame is unpersisted when a re-widen happens."""
+    interim narrow frame is unpersisted when a re-widen happens.
+
+    ``widen=False`` skips the re-widen: correct when every downstream
+    consumer re-exchanges the frame anyway (scan-side map partitions
+    stream, they hold no sort/agg state, so the 5M-row bound doesn't
+    apply). For CC's 336M-row sf10 edge set the re-widen was a SECOND
+    full checkpoint write plus a full shuffle — ~60 s of pure overhead
+    (r12 measurement)."""
     out = df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    if not widen:
+        return out
     n = out.count()  # scan of the just-cached blocks — cheap
     parts = out.rdd.getNumPartitions()
     need = max(1, -(-n // MAX_ROWS_PER_TASK))

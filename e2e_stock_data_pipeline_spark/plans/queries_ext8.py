@@ -658,7 +658,8 @@ def pagerank_plan(li: DataFrame, n_iters: int = _PR_ITERS) -> DataFrame:
     Truncating integer division behaves identically in Spark (DIV) and
     DuckDB (//) on the all-positive ranks, so a fixed-iteration unroll is
     bit-replayable in SQL — the same engine-matches-oracle trick as the
-    bounded min-label-propagation cluster oracle (queries_text2). The
+    unrolled min-label cluster oracle (queries_text2; the engine side of
+    that one is now star contraction, the oracle stays propagation). The
     floor remainders damp total mass slightly; rankings are what the
     query contracts, not mass conservation.
 

@@ -573,15 +573,15 @@ def _split_col(col: str, seed: int = 42):
     "plus the audit scalars — LSH candidate edges crossing splits under "
     "the cluster split (0 by construction: an edge's endpoints share a "
     "component) vs under the naive doc-level split (> 0 on this "
-    "corpus). The iterative fixpoint is q56's bounded min-label "
-    "propagation; everything downstream is dimension-sized.",
+    "corpus). The iterative fixpoint is q56's large-star/small-star "
+    "contraction; everything downstream is dimension-sized.",
     tags=("ext", "curation", "split", "dedup", "clustering"),
 )
 def q153_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = D.exploded_shingles(docs, distinct=False)
     pairs = D.lsh_candidate_pairs(D.minhash_signatures(sh, num_hashes=6))
-    labels = D.connected_components(docs.select("doc_id"), pairs)
+    labels = D.connected_components(docs.select("doc_id"), pairs, assume_canonical=True)
     csplit = labels.select(
         "doc_id", "cluster_id", _split_col("cluster_id").alias("split")
     )
@@ -944,7 +944,7 @@ def q158_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = D.exploded_shingles(docs, distinct=False)
     pairs = D.lsh_candidate_pairs(D.minhash_signatures(sh, num_hashes=6))
-    labels = D.connected_components(docs.select("doc_id"), pairs)
+    labels = D.connected_components(docs.select("doc_id"), pairs, assume_canonical=True)
     joined = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
     return joined.groupBy("cluster_id").agg(
         F.expr(f"max_by(doc_id, n_chars * {_REP_B} - doc_id)").alias("rep_doc_id"),

@@ -191,10 +191,10 @@ SQL_CLUSTER_LABELS = f"""
     "q56_dedup_clusters",
     oracle=f"{SQL_CLUSTER_LABELS} SELECT doc_id, cluster_id FROM assigned",
     doc="Near-dup cluster assignment: connected components over the "
-    "MinHash-LSH candidate graph via iterative min-label propagation "
-    "(each doc gets its cluster's minimum doc_id). The oracle computes "
-    "the identical fixpoint as a DuckDB recursive CTE (transitive "
-    "closure, min reachable id), so the iterative Spark loop is now "
+    "MinHash-LSH candidate graph via alternating large-star/small-star "
+    "contraction (each doc gets its cluster's minimum doc_id). The "
+    "oracle computes the identical fixpoint by unrolled min-label "
+    "propagation in DuckDB, so the iterative Spark loop is "
     "value-checked, not just rows-only.",
     tags=("dedup", "clustering", "iterative", "ext"),
 )
@@ -203,7 +203,7 @@ def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.exploded_shingles(docs, distinct=False)
     sigs = D.minhash_signatures(sh, num_hashes=6)
     pairs = D.lsh_candidate_pairs(sigs)
-    return D.connected_components(docs.select("doc_id"), pairs)
+    return D.connected_components(docs.select("doc_id"), pairs, assume_canonical=True)
 
 
 @query(
