@@ -79,7 +79,7 @@ def main(argv: list[str]) -> int:
         if name in KNOWN_HEAVY and not heavy:
             skipped += 1
             print(
-                json.dumps({"query": name, "status": "skip_heavy_evidenced_r10"}),
+                json.dumps({"query": name, "status": "skip_heavy_evidenced"}),
                 flush=True,
             )
             continue
