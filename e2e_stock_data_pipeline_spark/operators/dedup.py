@@ -337,6 +337,7 @@ def connected_components(
     max_iter: int = 20,
     strict: bool = True,
     assume_canonical: bool = False,
+    pre_materialized: bool = False,
 ) -> DataFrame:
     """Cluster ids for an undirected pair graph: each node labeled with the
     minimum node id reachable from it.
@@ -410,7 +411,12 @@ def connected_components(
     # blocks once is the cheaper trade. widen=False: every round-0
     # consumer re-exchanges at the conf width anyway, so the re-widen's
     # second checkpoint write + full shuffle buys nothing here.
-    e = materialize(canon, "u", widen=False)
+    # ``pre_materialized=True`` is the caller's attestation that
+    # ``edges`` is ALREADY checkpointed blocks (a query that also feeds
+    # the pair set to other consumers materializes it once at its own
+    # level); round 0 then iterates the cheap projection directly — the
+    # lazy-plan hazard documented above doesn't apply to block re-reads.
+    e = canon if pre_materialized else materialize(canon, "u", widen=False)
     # Dense near-dup graphs have FAR fewer nodes than edges (sf10: 500k
     # docs, 336M candidate pairs): when the per-node min table fits a
     # broadcast, ship it to the map side so a star round is broadcast

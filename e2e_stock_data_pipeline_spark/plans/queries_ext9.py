@@ -580,8 +580,20 @@ def _split_col(col: str, seed: int = 42):
 def q153_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = D.exploded_shingles(docs, distinct=False)
-    pairs = D.lsh_candidate_pairs(D.minhash_signatures(sh, num_hashes=6))
-    labels = D.connected_components(docs.select("doc_id"), pairs, assume_canonical=True)
+    # The pair set has THREE consumers here (the CC fixpoint + both leak
+    # audits), so it is checkpointed ONCE at query level and CC is told
+    # so (pre_materialized) — the old shape re-executed the whole
+    # banding pipeline per consumer (r12: 3 x ~60 s at sf10).
+    from ..operators.materialize import materialize
+
+    pairs = materialize(
+        D.lsh_candidate_pairs(D.minhash_signatures(sh, num_hashes=6)),
+        "doc_a",
+        widen=False,
+    )
+    labels = D.connected_components(
+        docs.select("doc_id"), pairs, assume_canonical=True, pre_materialized=True
+    )
     csplit = labels.select(
         "doc_id", "cluster_id", _split_col("cluster_id").alias("split")
     )
@@ -589,31 +601,47 @@ def q153_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
     )
-
-    def leak(split_frame: DataFrame, out_col: str) -> DataFrame:
-        x = split_frame.select(
-            F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")
+    # Both leak counts in ONE probe pass: each doc's cluster-keyed and
+    # doc-keyed split labels travel together in a broadcast map (labels
+    # covers every doc, so both are derivable from the one frame), and
+    # the 336M-pair probe is two broadcast hash joins + one aggregate —
+    # the old per-audit sort-merge legs each re-shuffled the pair set.
+    both = labels.select(
+        "doc_id",
+        _split_col("cluster_id").alias("s_c"),
+        _split_col("doc_id").alias("s_n"),
+    )
+    a = F.broadcast(
+        both.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("s_c").alias("_sac"),
+            F.col("s_n").alias("_san"),
         )
-        y = split_frame.select(
-            F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")
+    )
+    b = F.broadcast(
+        both.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("s_c").alias("_sbc"),
+            F.col("s_n").alias("_sbn"),
         )
-        return (
-            pairs.join(x, "doc_a")
-            .join(y, "doc_b")
-            .agg(
-                F.coalesce(
-                    F.sum(F.when(F.col("_sa") != F.col("_sb"), 1).otherwise(0)),
-                    F.lit(0),
-                )
-                .cast("bigint")
-                .alias(out_col)
+    )
+    leaks = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_sac") != F.col("_sbc"), 1).otherwise(0)), F.lit(0)
             )
+            .cast("bigint")
+            .alias("leak_edges_cluster"),
+            F.coalesce(
+                F.sum(F.when(F.col("_san") != F.col("_sbn"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("leak_edges_naive"),
         )
-
-    nsplit = docs.select("doc_id", _split_col("doc_id").alias("split"))
-    leak_c = leak(csplit.select("doc_id", "split"), "leak_edges_cluster")
-    leak_n = leak(nsplit, "leak_edges_naive")
-    return per_split.crossJoin(F.broadcast(leak_c)).crossJoin(F.broadcast(leak_n))
+    )
+    return per_split.crossJoin(F.broadcast(leaks))
 
 
 # --------------------------------------------------------------------------

@@ -35,13 +35,13 @@ from e2e_stock_data_pipeline_spark.plans import registry  # noqa: E402
 from e2e_stock_data_pipeline_spark.plans.registry import load_all_query_modules  # noqa: E402
 from e2e_stock_data_pipeline_spark.session import get_spark  # noqa: E402
 
-# sf10 evidence for these lives in BENCH_NOTES (heavy-tier pair table +
-# CC invariant verifier). r12's star-contraction CC brought q56/q105/
-# q158 under the default watchdog (q56 cold 234 s, was 598 s), so they
-# run in the default sweep now; the remaining three still exceed it
-# (q153 adds two 336M-pair leak joins on top of the closure).
+# sf10 evidence for these lives in BENCH_NOTES (heavy-tier pair table).
+# r12's star-contraction CC brought the whole CC family under the
+# default watchdog (q56 cold 234 s was 598 s; q153 247 s was 434 s
+# after single-probe dual-leak + pair-set reuse), so it runs in the
+# default sweep now; only the corpus-density candidate-explosion pair
+# remains skipped.
 KNOWN_HEAVY = {
-    "q153_cluster_split",
     "q184_set_similarity_join",
     "q86_neardup_pipeline",
 }
