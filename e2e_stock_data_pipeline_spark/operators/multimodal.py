@@ -66,6 +66,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # 8-bit channel counts by PNG color type; palette (3) needs PLTE
 # expansion and is refused explicitly below
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# Refuse images whose decoded size could exhaust executor memory before we
+# allocate anything: 64M pixels is ~256 MB at RGBA, far beyond any fixture
+# and a sane per-blob ceiling for untrusted media (a crafted IHDR can claim
+# 2^32 x 2^32; a ~1000:1 deflate bomb can hide GBs in a small IDAT).
+_PNG_MAX_PIXELS = 64 * 1024 * 1024
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -115,10 +120,17 @@ def png_decode(content: bytes) -> tuple[int, int, int, bytearray]:
         raise ValueError(f"unsupported color type {color}")
     if interlace != 0:
         raise ValueError("interlaced (Adam7) not supported")
+    if width == 0 or height == 0 or width * height > _PNG_MAX_PIXELS:
+        raise ValueError(f"refusing image dimensions {width}x{height}")
     channels = _PNG_CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels  # bytes per unfiltered scanline (bpp = channels at depth 8)
-    if len(raw) != height * (stride + 1):
+    # Bound inflate output BEFORE allocating: dimensions are validated above,
+    # so `expected` is capped; max_length stops a deflate bomb from expanding
+    # past it, and any leftover compressed stream = size mismatch.
+    expected = height * (stride + 1)
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(bytes(idat), expected)
+    if len(raw) != expected or dobj.decompress(dobj.unconsumed_tail, 1):
         raise ValueError("decompressed size mismatch")
     out = bytearray(height * stride)
     prev_off = -1  # offset of previous reconstructed row in `out`

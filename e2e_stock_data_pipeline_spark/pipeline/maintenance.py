@@ -34,14 +34,28 @@ TARGET_FILE_BYTES = 128 * 1024 * 1024
 ROW_GROUP_BYTES = 16 * 1024 * 1024
 
 
+def recover_staged(path: str) -> bool:
+    """Heal the one crash window a staged rewrite leaves: between the
+    rename-aside and the promote, `path` is missing and the data lives at
+    `path._old`. Restore it; returns True if a recovery happened. Called
+    on entry by every maintenance rewrite so the window self-heals on the
+    next run instead of the next run deleting the only surviving copy."""
+    old = path.rstrip("/") + "._old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.replace(old, path)
+        return True
+    return False
+
+
 def _staged_rewrite(df, path: str) -> None:
     tmp = path.rstrip("/") + "._maint_tmp"
     df.write.option("parquet.block.size", ROW_GROUP_BYTES).mode(
         "overwrite"
     ).parquet(tmp)
     # Rename the live table aside BEFORE promoting tmp: a crash between
-    # the two renames leaves either the old table at `path` or the old
-    # copy at `path._old` — never an empty path with readers broken.
+    # the two renames leaves either the old table at `path`, or — in the
+    # window between the two os.replace calls — ONLY at `path._old`,
+    # which recover_staged() restores on the next maintenance entry.
     old = path.rstrip("/") + "._old"
     if os.path.isdir(old):
         shutil.rmtree(old)
@@ -72,6 +86,7 @@ def _dir_bytes(path: str) -> int:
 
 def compact(spark: SparkSession, path: str, target_file_bytes: int = TARGET_FILE_BYTES) -> int:
     """Rewrite a parquet dir into ceil(size/target) files; returns file count."""
+    recover_staged(path)
     n = max(1, -(-_dir_bytes(path) // target_file_bytes))
     df = spark.read.parquet(path)
     _staged_rewrite(df.repartition(n), path)
@@ -90,6 +105,7 @@ def cluster_rewrite(
     num_files pins the output file count — without it AQE may coalesce a
     small table to one file, which erases the per-file span narrowing
     the rewrite exists to produce (size-based default as in compact)."""
+    recover_staged(path)
     df = spark.read.parquet(path)
     cols = [F.col(c) for c in cluster_cols]
     if num_files is None:
@@ -132,6 +148,7 @@ def zorder_rewrite(
     plan. Cast date/timestamp dimensions to epoch numerics first."""
     from pyspark.sql import functions as F
 
+    recover_staged(path)
     df = spark.read.parquet(path)
     n_buckets = 1 << min(bits, 12)
     staged = df.withColumn(

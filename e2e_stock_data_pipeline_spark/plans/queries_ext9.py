@@ -611,14 +611,23 @@ def q153_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         _split_col("cluster_id").alias("s_c"),
         _split_col("doc_id").alias("s_n"),
     )
-    a = F.broadcast(
+    # The broadcast hint is gated on the same node bound the CC operator
+    # uses (_BCAST_NODE_LIMIT): the label frame is one row per DOC, so
+    # past ~4M docs a forced broadcast would OOM driver/executors —
+    # above the bound the probe joins fall back to AQE's shuffle choice.
+    hint = (
+        F.broadcast
+        if docs.count() <= D._BCAST_NODE_LIMIT
+        else (lambda frame: frame)
+    )
+    a = hint(
         both.select(
             F.col("doc_id").alias("doc_a"),
             F.col("s_c").alias("_sac"),
             F.col("s_n").alias("_san"),
         )
     )
-    b = F.broadcast(
+    b = hint(
         both.select(
             F.col("doc_id").alias("doc_b"),
             F.col("s_c").alias("_sbc"),

@@ -83,12 +83,22 @@ def release(spark: SparkSession) -> dict:
     * catalog-cached tables/views (none on the query path today, but a
       user session may have cached some): spark.catalog.clearCache().
 
-    Returns counts of what was released, for logging. Safe to call
-    between any two queries: the table memo keeps plain (unpersisted)
-    scans, the plan cache rebuilds on demand, and correctness never
-    depends on persisted state.
+    Returns counts (and the unpersisted RDD ids) of what was released.
+    Safe to call between any two queries: the table memo keeps plain
+    (unpersisted) scans, the plan cache rebuilds on demand, and
+    correctness never depends on persisted state.
+
+    CONTRACT (enforced by callers, diagnosable here): a localCheckpoint-
+    backed DataFrame a caller still holds but has not consumed becomes
+    permanently unrecomputable after release (checkpointing truncates
+    lineage, so the frame cannot rebuild once its blocks are dropped).
+    Sweep drivers must therefore fully consume each query's result
+    before calling release. The ids are logged at INFO so a later
+    "RDD ... not found" failure can be matched to the release that
+    dropped it.
     """
     import gc
+    import logging
 
     n_plans = len(_PLAN_CACHE)
     _PLAN_CACHE.clear()
@@ -96,13 +106,26 @@ def release(spark: SparkSession) -> dict:
     jsc = spark.sparkContext._jsc.sc()
     jmap = jsc.getPersistentRDDs()
     n_rdds = jmap.size()
+    rdd_ids = []
     it = jmap.values().iterator()
     while it.hasNext():
-        it.next().unpersist(False)
+        rdd = it.next()
+        rdd_ids.append(rdd.id())
+        rdd.unpersist(False)
+    if rdd_ids:
+        logging.getLogger(__name__).info(
+            "registry.release unpersisted RDD ids %s — any DataFrame still "
+            "holding one of these as truncated lineage is now unrecomputable",
+            rdd_ids,
+        )
     # drop py4j handles so the JVM ContextCleaner can reap broadcast
     # blocks referenced only by now-dead plans
     gc.collect()
-    return {"plans_dropped": n_plans, "rdds_unpersisted": n_rdds}
+    return {
+        "plans_dropped": n_plans,
+        "rdds_unpersisted": n_rdds,
+        "rdd_ids": rdd_ids,
+    }
 
 
 def _memoized(name: str, fn: SparkQuery) -> SparkQuery:

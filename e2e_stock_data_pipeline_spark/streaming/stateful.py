@@ -202,6 +202,17 @@ def _make_cusum_update(mean_fp: int, h_fp: int):
                 (batch["event_id"].to_numpy(), batch["ts"].to_numpy())
             )
             x = batch["x_fp"].to_numpy(dtype="int64")[order]
+            # int64 safety gate, checked in arbitrary-precision Python ints:
+            # the worst-case |cumsum| is n*max|x - mean| and the recursion
+            # adds the carry-in s. The old per-row loop used Python ints and
+            # could not wrap; the numpy kernel must surface the (absurd, but
+            # possible) overflow as an error, never as wrong alarm counts.
+            amax = int(np.abs(x).max()) + abs(int(mean_fp))
+            if amax * x.size + abs(s) >= 2**63:
+                raise OverflowError(
+                    "CUSUM fixed-point magnitudes exceed the int64 bound of "
+                    "the vectorized kernel (|x-mean|*batch + |carry| >= 2^63)"
+                )
             c = np.cumsum(x - mean_fp)
             st = np.maximum(s + c, c - np.minimum.accumulate(c))
             s = int(st[-1])

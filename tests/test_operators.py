@@ -407,6 +407,51 @@ class TestMultimodal:
         with pytest.raises(ValueError, match="interlaced"):
             png_decode(png)
 
+    def test_png_decode_bounds_memory_before_allocating(self):
+        """Hostile blobs must be refused BEFORE any dimension-sized
+        allocation: a crafted IHDR claiming 2^31 x 2^31 pixels, and a
+        deflate bomb whose IDAT inflates far past the declared size."""
+        import struct
+        import zlib
+
+        import pytest
+
+        from e2e_stock_data_pipeline_spark.operators.multimodal import png_decode
+
+        # huge claimed dimensions: rejected by the pixel cap, no inflate run
+        ihdr = struct.pack(">IIBBBBB", 2**31, 2**31, 8, 0, 0, 0, 0)
+        png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="refusing image dimensions"):
+            png_decode(png)
+        # zero dimension: also refused (stride-0 scanline math is nonsense)
+        ihdr = struct.pack(">IIBBBBB", 0, 1, 8, 0, 0, 0, 0)
+        png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="refusing image dimensions"):
+            png_decode(png)
+        # deflate bomb: 1x1 gray declares 2 raw bytes but IDAT inflates to
+        # 10 MB — max_length caps the output at `expected`, and the leftover
+        # compressed tail is detected as a size mismatch (never inflated)
+        bomb = zlib.compress(b"\x00" * 10_000_000, 9)  # ~10 KB compressed
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", bomb)
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="size mismatch"):
+            png_decode(png)
+        # truncated stream (inflates to LESS than declared): same refusal
+        short = zlib.compress(b"\x00")  # 1 byte where 1x1 gray needs 2
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", short)
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="size mismatch"):
+            png_decode(png)
+
     def test_png_roundtrip_property(self):
         """Roundtrip across shapes/filter mixes: decode(encode(px)) == px
         for gray/gray+alpha/RGB/RGBA with pseudo-random pixels and all

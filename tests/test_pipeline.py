@@ -319,6 +319,31 @@ class TestMaintenance:
         compact(spark, path)
         assert key not in tables._DF_CACHE  # evicted by the rewrite
 
+    def test_recover_staged_heals_crash_window(self, spark, tmp_path):
+        # ADVICE r12: a crash between rename-aside and promote leaves the
+        # data ONLY at path._old; the next maintenance entry must restore
+        # it rather than delete the sole surviving copy.
+        import os
+
+        from e2e_stock_data_pipeline_spark.pipeline.maintenance import (
+            compact,
+            recover_staged,
+        )
+
+        path = str(tmp_path / "t")
+        spark.range(500).write.parquet(path)
+        # simulate the crash window: table renamed aside, promote never ran
+        os.replace(path, path + "._old")
+        assert not os.path.exists(path)
+        assert recover_staged(path) is True
+        assert spark.read.parquet(path).count() == 500
+        # idempotent when healthy, and compact() self-heals via the same path
+        assert recover_staged(path) is False
+        os.replace(path, path + "._old")
+        compact(spark, path)
+        assert spark.read.parquet(path).count() == 500
+        assert not os.path.exists(path + "._old")
+
     def test_cluster_rewrite_narrows_file_ranges(self, spark, tmp_path):
         from e2e_stock_data_pipeline_spark.pipeline.maintenance import cluster_rewrite
         from pyspark.sql import functions as F

@@ -305,6 +305,37 @@ class TestCusumClosedForm:
             )
             assert got == (s, mx, alarms), f"seed={seed} n={n} cut={cut}"
 
+    def test_int64_overflow_surfaces_as_error_not_wrong_counts(self):
+        """The numpy kernel can wrap where the old Python-int loop could
+        not; the guard must turn that into OverflowError instead of a
+        silently wrong alarm count (ADVICE r12)."""
+        import pandas as pd
+        import pytest
+
+        from e2e_stock_data_pipeline_spark.streaming.stateful import _make_cusum_update
+
+        class FakeState:
+            exists = False
+            _v = None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self.exists, self._v = True, v
+
+        # two near-int64-max deltas: cumsum would wrap negative
+        big = 2**62
+        update = _make_cusum_update(0, 10_000)
+        pdf = pd.DataFrame({"ts": [0, 1, 2], "event_id": [0, 1, 2], "x_fp": [big] * 3})
+        with pytest.raises(OverflowError, match="int64 bound"):
+            list(update(("u",), [pdf], FakeState()))
+        # sane magnitudes still pass untouched through the guard
+        pdf = pd.DataFrame({"ts": [0, 1], "event_id": [0, 1], "x_fp": [10_000, 20_000]})
+        out = list(update(("u",), [pdf], FakeState()))
+        assert int(out[0]["cusum_fp"][0]) == 30_000
+
 
 class TestForeachBatchUpsert:
     def test_stream_merge_keeps_latest(self, spark, tmp_path):
