@@ -56,6 +56,13 @@ def main(argv: list[str]) -> int:
     heavy = "--heavy" in argv
     if heavy:
         argv.remove("--heavy")
+    # --only q1,q2: targeted re-runs (e.g. verifying a density-guard fix
+    # on the exact queries that timed out) without the 3h full sweep
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else ".bench_sf1/sf10"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -72,6 +79,8 @@ def main(argv: list[str]) -> int:
     ok = errors = timeouts = skipped = 0
     t_all = time.perf_counter()
     for name, spec in reg.items():
+        if only is not None and name not in only:
+            continue
         if spec.pinned_sf_dir:
             skipped += 1
             print(json.dumps({"query": name, "status": "skip_pinned"}), flush=True)

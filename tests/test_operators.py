@@ -875,6 +875,45 @@ class TestIncrementalNearDup:
                 cross.add((r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a))
         assert inc == cross
 
+    def test_bucket_cap_nonbinding_then_binding(self, spark, sf_dir):
+        """filter_hot_buckets semantics via incremental_neardup: a cap
+        above the max bucket size changes NOTHING (the sf<=1 guarantee
+        behind the q126/q155 density guard), while cap=0 drops every
+        bucket and yields no candidates."""
+        from e2e_stock_data_pipeline_spark.operators import dedup as D
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        docs = tables.load(spark, sf_dir, "documents")
+        flag = F.col("doc_id") % 5 == 0
+        uncapped = {
+            tuple(r)
+            for r in D.incremental_neardup(docs, flag, threshold=0.5).collect()
+        }
+        assert uncapped
+        loose = {
+            tuple(r)
+            for r in D.incremental_neardup(
+                docs, flag, threshold=0.5, max_bucket=10**9
+            ).collect()
+        }
+        assert loose == uncapped
+        assert (
+            D.incremental_neardup(docs, flag, threshold=0.5, max_bucket=0).count()
+            == 0
+        )
+
+    def test_filter_hot_buckets_drops_only_hot(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.dedup import filter_hot_buckets
+
+        rows = [(i, 0, 7) for i in range(5)] + [(90, 1, 3), (91, 1, 4)]
+        sigs = spark.createDataFrame(rows, ["doc_id", "seed", "sig"])
+        kept = filter_hot_buckets(sigs, max_bucket=4).collect()
+        # the 5-member (0, 7) bucket is dropped; singletons survive
+        assert sorted((r.doc_id, r.seed, r.sig) for r in kept) == [
+            (90, 1, 3),
+            (91, 1, 4),
+        ]
+
 
 class TestConnectedComponents:
     def test_known_clusters(self, spark):
