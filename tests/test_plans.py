@@ -55,6 +55,41 @@ def test_no_python_row_udfs(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
+class TestHeavyTierPlanContracts:
+    """EXT heavy tier (CC family) shape pins — VERDICT r12 item 6. The
+    hand-tuned contracts: the LSH pair set and the CC label table are
+    materialized ONCE (localCheckpoint), so the FINAL plan must consume
+    them as ExistingRDD scans and must never re-derive the banding
+    pipeline (whose unmistakable marker is the sha256 shingle hash). A
+    refactor that drops materialize()/pre_materialized re-triples the
+    banding work at sf10 — these tests fail on the plan, not 400 s into
+    a bench."""
+
+    @pytest.mark.parametrize(
+        "name,max_exchanges",
+        [
+            ("q56_dedup_clusters", 2),
+            ("q105_cluster_size_histogram", 4),
+            ("q153_cluster_split", 12),
+        ],
+    )
+    def test_pair_set_materialized_once(self, spark, sf_dir, name, max_exchanges):
+        plan = formatted_plan(REGISTRY[name].spark(spark, sf_dir))
+        assert plan.count("sha256") == 0, (
+            f"{name}: banding pipeline re-derived in the final plan — "
+            "pair set / labels no longer pre-materialized"
+        )
+        assert plan.count("Scan ExistingRDD") >= 2  # labels (+ pairs for q153)
+        assert plan.count("Exchange (") <= max_exchanges
+
+    def test_q153_probe_joins_broadcast_under_node_limit(self, spark, sf_dir):
+        """The dual-leak probe must be two broadcast hash joins against
+        the per-doc label maps when docs <= _BCAST_NODE_LIMIT (above the
+        limit the gate removes the hint — ADVICE r12)."""
+        plan = formatted_plan(REGISTRY["q153_cluster_split"].spark(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_no_eager_actions_in_plan_modules():
     """Plan construction must be pure (lazy): no count/first/collect/
     toPandas anywhere in the query modules or the lazy operator layers
