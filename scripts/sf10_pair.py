@@ -58,7 +58,7 @@ def _int_cols(df):
     ]
 
 
-def _run_oracle(sf_dir: str, sql: str, cpus: int, q: "mp.Queue") -> None:
+def _run_oracle(sf_dir: str, sql: str, cpus: int, q: "mp.Queue", passes: int = 1) -> None:
     con = duckdb.connect()
     con.execute(f"SET threads TO {cpus}")
     # cap spill so a blow-up oracle (e.g. the textbook wedge join at
@@ -67,11 +67,18 @@ def _run_oracle(sf_dir: str, sql: str, cpus: int, q: "mp.Queue") -> None:
     con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {oracle_view_source(sf_dir, t)}")
-    t0 = time.perf_counter()
-    res = con.sql(sql)
-    rows = res.fetchall()
-    sec = time.perf_counter() - t0
-    q.put((sec, rows, list(res.columns)))
+    # passes > 1 = the symmetric warm protocol: one untimed warmup (the
+    # mirror of Spark's), then the median of `passes` timed evaluations
+    if passes > 1:
+        con.sql(sql).fetchall()
+    secs = []
+    for _ in range(max(1, passes)):
+        t0 = time.perf_counter()
+        res = con.sql(sql)
+        rows = res.fetchall()
+        secs.append(time.perf_counter() - t0)
+    secs.sort()
+    q.put((secs[len(secs) // 2], rows, list(res.columns)))
 
 
 def main(argv: list[str]) -> int:
@@ -79,6 +86,19 @@ def main(argv: list[str]) -> int:
     if "--duckdb-timeout" in argv:
         i = argv.index("--duckdb-timeout")
         dto = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    # --passes K: the r13 warm protocol — BOTH engines get one untimed
+    # warmup then the median of K timed passes. K=1 (default) is the
+    # legacy r11/r12 protocol (one Spark warmup, single timed pass, cold
+    # DuckDB) kept for cross-round comparability. The fresh-session
+    # single-pass ratio mixes JIT/codegen warmup into the Spark number
+    # and cache state into the DuckDB number (measured r13: Spark pass1
+    # -> pass5 drops ~2x; DuckDB cross-session absolutes drift 2-3x) —
+    # a multi-query deployment amortizes both, which K>=3 models.
+    passes = 1
+    if "--passes" in argv:
+        i = argv.index("--passes")
+        passes = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     sf_dir, names = argv[0], argv[1:]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -94,15 +114,44 @@ def main(argv: list[str]) -> int:
 
     from pyspark.sql import functions as F
 
+    # Same-session machine-condition controls, one per ENGINE (the r12
+    # lesson generalized: Spark's floor/canary caught a 22% slower
+    # machine, but r13 found the DuckDB side drifting 2-4x with page-
+    # cache state while Spark held — ratio deltas across rounds are
+    # uninterpretable without a control on BOTH sides). The canary is
+    # the same fixed scan-agg on each engine: SUM/COUNT over lineitem.
+    canary_df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+        F.sum("l_extendedprice"), F.count(F.lit(1))
+    )
+    canary_df.collect()  # warm both page cache and codegen
+    t0 = time.perf_counter()
+    canary_df.collect()
+    spark_canary = time.perf_counter() - t0
+    _c = duckdb.connect()
+    _c.execute(f"SET threads TO {cpus}")
+    _sql = (
+        "SELECT SUM(l_extendedprice), COUNT(*) FROM "
+        f"'{sf_dir}/lineitem.parquet'"
+    )
+    _c.sql(_sql).fetchall()
+    t0 = time.perf_counter()
+    _c.sql(_sql).fetchall()
+    duck_canary = time.perf_counter() - t0
+    _c.close()
+
     total_s = total_d = 0.0
     for name in names:
         spec = registry[name]
         try:
             df = spec.spark(spark, sf_dir)
             force(df)  # warmup
-            t0 = time.perf_counter()
-            force(spec.spark(spark, sf_dir))
-            s_sec = time.perf_counter() - t0
+            s_times = []
+            for _ in range(max(1, passes)):
+                t0 = time.perf_counter()
+                force(spec.spark(spark, sf_dir))
+                s_times.append(time.perf_counter() - t0)
+            s_times.sort()
+            s_sec = s_times[len(s_times) // 2]
 
             n_rows = df.count()
         except Exception as exc:  # one query's OOM must not kill the table
@@ -142,10 +191,13 @@ def main(argv: list[str]) -> int:
             "spark_rows": n_rows,
             "compare": "aggregate" if agg_mode else "full",
         }
+        if passes > 1:
+            rec["passes"] = passes
+            rec["spark_spread"] = [round(t, 3) for t in s_times]
         # oracle in a subprocess so a timeout is enforceable (DuckDB has
         # no interrupt API usable from a blocking fetchall)
         q: mp.Queue = mp.Queue()
-        p = mp.Process(target=_run_oracle, args=(sf_dir, oracle_sql, cpus, q))
+        p = mp.Process(target=_run_oracle, args=(sf_dir, oracle_sql, cpus, q, passes))
         p.start()
         deadline = time.time() + dto
         got = None
@@ -188,6 +240,9 @@ def main(argv: list[str]) -> int:
                 "spark": round(total_s, 3),
                 "duckdb": round(total_d, 3),
                 "ratio": round(total_s / total_d, 3) if total_d else None,
+                "passes": passes,
+                "spark_canary_sec": round(spark_canary, 3),
+                "duck_canary_sec": round(duck_canary, 3),
                 "sf_dir": sf_dir,
                 "heap": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
                 "cpus": cpus,
