@@ -346,6 +346,20 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", seed: int = 7) -> DataFra
 _BCAST_NODE_LIMIT = 4_000_000
 
 
+def node_gated_broadcast_hint(nodes: DataFrame):
+    """Broadcast-hint factory gated on the CC node bound: returns
+    ``F.broadcast`` when ``nodes`` has at most ``_BCAST_NODE_LIMIT``
+    rows (one driver-sized count — the same probe connected_components
+    runs per round), else the identity, so callers joining a per-node
+    frame against a pair set fall back to AQE's shuffle choice instead
+    of force-broadcasting an unbounded build side. Lives here (not in a
+    plan module) because the count is an action by design — the plan
+    modules stay action-free under the plan-purity lint."""
+    if nodes.count() <= _BCAST_NODE_LIMIT:
+        return F.broadcast
+    return lambda frame: frame
+
+
 def _edge_signature(e: DataFrame) -> tuple:
     """Order-independent fingerprint of a deduped edge set: (count,
     bit_xor(xxhash64(u, v))) — xor is order-independent over a SET and

@@ -259,9 +259,16 @@ def q44b_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(((seed * 2 + 1) * h + (seed * 7919 + 13)) % 268435399) AS sig
       FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed
     ),
+    ok_buckets AS (
+      SELECT seed, sig FROM sigs GROUP BY seed, sig HAVING COUNT(*) <= 100
+    ),
+    csigs AS (
+      SELECT s.* FROM sigs s JOIN ok_buckets ob
+        ON s.seed = ob.seed AND s.sig = ob.sig
+    ),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
+      FROM csigs a JOIN csigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
     inter AS (
@@ -283,14 +290,19 @@ def q44b_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidates at 0.5 (precision stage). Unlike q42's all-co-shingle "
     "verification, the verify join here fans out from the candidate "
     "list, so its cost scales with |candidates| — the property that "
-    "makes the two-stage pipeline viable at 100 TB.",
+    "makes the two-stage pipeline viable at 100 TB. Hot LSH buckets "
+    "(>100 members = near-degenerate signatures) are dropped before "
+    "banding, mirrored in the oracle; the cap cannot bind through sf1 "
+    "(max bucket 79, BENCH_NOTES r13 census), so results are "
+    "bit-identical to the uncapped plan at every oracle-checked sf.",
     tags=("dedup", "minhash", "lsh", "jaccard", "pipeline", "ext"),
 )
 def q86_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    cands = D.lsh_candidate_pairs(
-        D.minhash_signatures(D.exploded_shingles(docs, distinct=False), num_hashes=6)
+    sigs = D.minhash_signatures(
+        D.exploded_shingles(docs, distinct=False), num_hashes=6
     )
+    cands = D.lsh_candidate_pairs(D.filter_hot_buckets(sigs, max_bucket=100))
     shd = D.exploded_shingles(docs, distinct=True)
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = shd.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -275,7 +275,12 @@ _PP_T_NUM, _PP_T_DEN = 4, 5  # Jaccard threshold 0.8 as an exact rational
     "unlike the LSH tier (q41) this join has zero false negatives, "
     "while candidate fan-out stays at prefix-posting scale (rare "
     "shingles carry the postings; boilerplate shingles rarely make a "
-    "prefix). Verification compares 5*common >= 4*union in exact "
+    "prefix). r13 upgraded AllPairs to full PPJoin: the candidate join "
+    "also applies the exact-integer LENGTH filter (5*min(la,lb) >= "
+    "4*max) and POSITIONAL filter (9*min(la-p_a, lb-p_b) >= 4*(la+lb)) "
+    "— both implied by J >= 0.8, so still zero false negatives, but "
+    "the dense-corpus candidate fan-out collapses before the distinct. "
+    "Verification compares 5*common >= 4*union in exact "
     "integers — never the truncated fp value. The exact membership "
     "decision for dedup when 'probably deduplicated' is not enough.",
     tags=("dedup", "jaccard", "join", "text", "ext"),
@@ -312,16 +317,45 @@ def q184_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(l - ((({_PP_T_NUM} * l) + {_PP_T_DEN} - 1)"
         f" DIV {_PP_T_DEN}) + 1 AS INT)"
     )
+    # posexplode keeps the 0-based prefix position p (== position in the
+    # full (dfreq, shingle)-sorted token list, since the prefix is a head
+    # slice) — the positional filter below needs it.
     pre = ordered.select(
-        "doc_id", F.explode(F.slice(F.col("toks"), F.lit(1), plen)).alias("shingle")
+        "doc_id",
+        "l",
+        F.posexplode(F.slice(F.col("toks"), F.lit(1), plen)).alias("p", "shingle"),
     )
+    pa = pre.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("l").alias("la"),
+        F.col("p").alias("p_a"),
+        "shingle",
+    )
+    pb = pre.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("l").alias("lb"),
+        F.col("p").alias("p_b"),
+        "shingle",
+    )
+    # PPJoin's two LOSSLESS candidate pruners (exact-integer forms; both
+    # are implied by J >= t, so the verified result set is unchanged):
+    #   length:     t*max(la,lb) <= min(la,lb)
+    #   positional: the max overlap still reachable after the first
+    #     common ordered shingle, min(la-p_a, lb-p_b), must cover the
+    #     required overlap alpha = ceil(t/(1+t)*(la+lb)); for integer
+    #     suffix s, s >= ceil(q/(den+num)) <=> (den+num)*s >= num*(la+lb).
     cand = (
-        pre.alias("a")
-        .join(pre.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            _PP_T_DEN * F.least("la", "lb") >= _PP_T_NUM * F.greatest("la", "lb")
         )
+        .filter(
+            (_PP_T_DEN + _PP_T_NUM)
+            * F.least(F.col("la") - F.col("p_a"), F.col("lb") - F.col("p_b"))
+            >= _PP_T_NUM * (F.col("la") + F.col("lb"))
+        )
+        .select("doc_a", "doc_b")
         .distinct()
     )
     wa = w.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa"))

@@ -615,11 +615,7 @@ def q153_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uses (_BCAST_NODE_LIMIT): the label frame is one row per DOC, so
     # past ~4M docs a forced broadcast would OOM driver/executors —
     # above the bound the probe joins fall back to AQE's shuffle choice.
-    hint = (
-        F.broadcast
-        if docs.count() <= D._BCAST_NODE_LIMIT
-        else (lambda frame: frame)
-    )
+    hint = D.node_gated_broadcast_hint(docs)
     a = hint(
         both.select(
             F.col("doc_id").alias("doc_a"),

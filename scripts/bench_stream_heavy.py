@@ -51,14 +51,32 @@ MEAN_FP, H_FP = 1_000_000, 2_000_000
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.bench_sf1/sf1"
+    argv = sys.argv[1:]
+    # --rocksdb: run the stateful legs on the RocksDB state store provider
+    # (OSS Spark 4 ships it) instead of the default HDFSBackedStateStore —
+    # the VERDICT r12 item-7 experiment: is the CUSUM floor state-store-
+    # bound? providerClass is a per-query runtime conf, safe to set here.
+    rocksdb = "--rocksdb" in argv
+    if rocksdb:
+        argv.remove("--rocksdb")
+    sf_dir = argv[0] if argv else "/root/repo/.bench_sf1/sf1"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         app_name="stream-heavy", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
+    if rocksdb:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="stream_heavy_")
-    out: dict = {"metric": "stream_heavy_sf1", "sf_dir": sf_dir}
+    out: dict = {
+        "metric": "stream_heavy_sf1",
+        "sf_dir": sf_dir,
+        "state_store": "rocksdb" if rocksdb else "hdfs",
+    }
     try:
         ev = tables.load(spark, sf_dir, "events")
         n_rows = ev.count()

@@ -41,9 +41,13 @@ from e2e_stock_data_pipeline_spark.session import get_spark  # noqa: E402
 # after single-probe dual-leak + pair-set reuse), so it runs in the
 # default sweep now; only the corpus-density candidate-explosion pair
 # remains skipped.
+# r13: q86's hot-bucket cap (mirrored in its oracle) brought it to
+# 205 s at sf10 — in-sweep under the default watchdog now; q184's
+# PPJoin upgrade (lossless length+positional filters) cut the r10
+# ">57 min, cut" run to 629 s ok, still above the 300 s default, so it
+# alone stays behind --heavy.
 KNOWN_HEAVY = {
     "q184_set_similarity_join",
-    "q86_neardup_pipeline",
 }
 
 
