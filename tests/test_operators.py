@@ -1783,3 +1783,67 @@ class TestContainmentPairs:
         sh = exploded_shingles(docs, distinct=True)
         out = containment_pairs(sh, threshold=0.1, max_doc_freq=3).collect()
         assert out == []  # viral shingle capped away; nothing else shared
+
+
+class TestPPJoinLossless:
+    """r13 q184 upgrade: the PPJoin length + positional candidate
+    filters must be LOSSLESS — the returned pair set equals a
+    brute-force all-pairs Jaccard scan at the same threshold."""
+
+    def test_q184_matches_bruteforce_allpairs(self, spark):
+        import pyarrow.parquet as pq
+
+        from e2e_stock_data_pipeline_spark.plans.registry import (
+            load_all_query_modules,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        docs = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+        assert 10 <= len(docs) <= 5000  # brute-forceable scale
+
+        def sset(text):
+            ws = [w for w in text.strip().split() if w]
+            if len(ws) < 3:
+                return frozenset()
+            return frozenset(
+                " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+            )
+
+        sets = {d: sset(t) for d, t in docs}
+        expect = {}
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                common = len(sets[a] & sets[b])
+                union = len(sets[a]) + len(sets[b]) - common
+                if union and 5 * common >= 4 * union:
+                    expect[(a, b)] = (common, (1_000_000 * common) // union)
+
+        got = {
+            (r.doc_a, r.doc_b): (r.n_common, r.jaccard_fp)
+            for r in load_all_query_modules()["q184_set_similarity_join"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == expect
+
+
+class TestNodeGatedBroadcastHint:
+    def test_under_limit_is_broadcast(self, spark):
+        from e2e_stock_data_pipeline_spark.operators.dedup import (
+            node_gated_broadcast_hint,
+        )
+
+        nodes = spark.range(10)
+        assert node_gated_broadcast_hint(nodes) is F.broadcast
+
+    def test_over_limit_is_identity(self, spark, monkeypatch):
+        from e2e_stock_data_pipeline_spark.operators import dedup as D
+
+        monkeypatch.setattr(D, "_BCAST_NODE_LIMIT", 5)
+        nodes = spark.range(10)
+        hint = D.node_gated_broadcast_hint(nodes)
+        assert hint is not F.broadcast
+        df = spark.range(3)
+        assert hint(df) is df  # identity: no hint node injected
