@@ -112,20 +112,26 @@ def main(argv: list[str]) -> int:
                 flush=True,
             )
             continue
-        sc = spark.sparkContext
         group = f"smoke-{name}"
-        sc.setJobGroup(group, name, interruptOnCancel=True)
         cancelled = threading.Event()
-
-        def watchdog():
-            cancelled.set()
-            sc.cancelJobGroup(group)
-
-        timer = threading.Timer(timeout, watchdog)
-        timer.start()
+        timer = None
         t0 = time.perf_counter()
         rec: dict = {"query": name}
         try:
+            # inside the try: a JVM killed by the PREVIOUS query's late GC
+            # death surfaces here as a py4j error — it must record+rebuild,
+            # not crash the sweep (r13: q41's 336M-pair run killed the
+            # context after its own probe passed, and the next iteration's
+            # setJobGroup was the first uncovered call — whole sweep died)
+            sc = spark.sparkContext
+            sc.setJobGroup(group, name, interruptOnCancel=True)
+
+            def watchdog():
+                cancelled.set()
+                sc.cancelJobGroup(group)
+
+            timer = threading.Timer(timeout, watchdog)
+            timer.start()
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             rec["status"] = "ok"
             ok += 1
@@ -138,9 +144,10 @@ def main(argv: list[str]) -> int:
                 rec["error"] = f"{type(exc).__name__}: {str(exc)[:160]}"
                 errors += 1
         finally:
-            timer.cancel()
+            if timer is not None:
+                timer.cancel()
             try:
-                sc.setJobGroup("", "")
+                spark.sparkContext.setJobGroup("", "")
             except Exception:  # noqa: BLE001
                 pass
         rec["sec"] = round(time.perf_counter() - t0, 2)
