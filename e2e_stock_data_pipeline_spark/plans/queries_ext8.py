@@ -650,6 +650,22 @@ from ..operators.graph import PR_SCALE as _PR_SCALE  # noqa: E402
 _PR_ITERS = 3
 
 
+def copurchase_sym_edges(li: DataFrame) -> DataFrame:
+    """Symmetrized co-purchase edge list: distinct (order, part) pairs
+    self-joined on the order key (u < v kills self-loops and halves the
+    join output), then mirrored. Shared by the oracle-form lazy unroll
+    and the registry query so both walk the identical graph."""
+    li = li.select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("v"))
+    half = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    return half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
 def pagerank_plan(li: DataFrame, n_iters: int = _PR_ITERS) -> DataFrame:
     """lineitem(l_orderkey, l_partkey) -> top items by co-purchase PageRank.
 
@@ -663,23 +679,22 @@ def pagerank_plan(li: DataFrame, n_iters: int = _PR_ITERS) -> DataFrame:
     floor remainders damp total mass slightly; rankings are what the
     query contracts, not mass conservation.
 
+    This is the ORACLE-FORM twin: fully lazy, so the whole unroll is one
+    Catalyst plan — exactly what the SQL oracle replays. The registry
+    query (q144) runs operators/graph.pagerank instead, which is the
+    same recursion with edges/deg/per-round ranks materialized
+    (bit-equality pinned by tests/test_operators.py
+    TestGraphPagerank): at sf10 the lazy unroll's overlapping hash-agg
+    stages can exhaust the shared execution pool late in a long
+    session (r13 smoke: UNABLE_TO_ACQUIRE_MEMORY), while the
+    materialized form runs each round as its own bounded job.
+
     Scale shape: each iteration is one ranks->edges join (ranks are
     node-dimension-sized — broadcastable well past 1e8 nodes) plus one
     groupBy(v) reduce on the data-sized edge list. Fixed n_iters bounds
-    the lazy plan depth; at cluster scale you'd checkpoint ranks between
-    iterations, which changes materialization, not semantics.
+    the lazy plan depth.
     """
-    li = li.select("l_orderkey", "l_partkey").distinct()
-    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("v"))
-    half = (
-        a.join(b, (a.l_orderkey == b._ok) & (F.col("u") < F.col("v")))
-        .select("u", "v")
-        .distinct()
-    )
-    edges = half.unionByName(
-        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    edges = copurchase_sym_edges(li)
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(_PR_SCALE).cast("bigint").alias("rank")
@@ -738,11 +753,25 @@ def pagerank_plan(li: DataFrame, n_iters: int = _PR_ITERS) -> DataFrame:
     "step is int64 with truncating division, so the 3-round unroll "
     "replays bit-for-bit in SQL — the iterative-algorithm oracle pattern "
     "(match the engine's iteration, don't recompute reachability) "
-    "applied to a numeric fixpoint. Deterministic top-100.",
+    "applied to a numeric fixpoint. Deterministic top-100. Runs the "
+    "materialized operators/graph.pagerank (edges/deg checkpointed once, "
+    "per-round ranks materialized + superseded blocks released) — "
+    "bit-equal to the lazy pagerank_plan unroll the oracle replays "
+    "(pinned by TestGraphPagerank), but each round is its own bounded "
+    "job, so late-session execution-memory pressure cannot starve the "
+    "overlapped unrolled stages (r13 sf10 smoke fix).",
     tags=("graph", "iterative", "affinity", "topk"),
 )
 def q144_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pagerank_plan(tables.load(spark, sf_dir, "lineitem"))
+    from ..operators.graph import pagerank
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    ranks = pagerank(copurchase_sym_edges(li), n_iters=_PR_ITERS)
+    return (
+        ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "part_id")
+        .limit(100)
+    )
 
 
 # --------------------------------------------------------------------------
