@@ -1,15 +1,18 @@
-"""Graph centrality over pair graphs (the production twin of q144).
+"""Graph centrality over pair graphs (the production form of q144).
 
-q144_pagerank_copurchase keeps the whole 3-round recursion LAZY so the
-DuckDB oracle can replay it — the price (visible in PLANS.md) is that
-Catalyst re-executes the edge-construction subtree every round:
-66 exchanges for 3 rounds. That is the correct ORACLE form and the
-wrong PRODUCTION form. This operator is the production form, built on
-the same pattern as dedup.connected_components: materialize the edge
-list once (it is joined every round), truncate lineage per round so
-the plan stays round-sized, and keep the per-round work at one
-data-sized join + one reduce. tests/test_operators.py pins bit-equality
-with the lazy unroll (same integer recursion, same constants).
+Since r13 the REGISTERED q144_pagerank_copurchase runs THIS
+materialized operator — the lazy 3-round unroll (still present in
+plans/queries_ext8.pagerank_plan) is the oracle-form twin, kept because
+the DuckDB oracle can replay it and because it pins bit-equality with
+this loop (same integer recursion, same constants; see
+tests/test_operators.py). The lazy form's price (visible in PLANS.md
+history) was that Catalyst re-executed the edge-construction subtree
+every round — 66 exchanges for 3 rounds — and its overlapping per-round
+hash aggs died under sf10 session memory pressure. This operator is
+built on the same pattern as dedup.connected_components: materialize
+the edge list once (it is joined every round), truncate lineage per
+round so the plan stays round-sized, and keep the per-round work at one
+data-sized join + one reduce.
 """
 
 from __future__ import annotations
@@ -65,6 +68,11 @@ def pagerank(
         if prev is not None:
             unpersist_materialized(prev)  # superseded round's blocks
         prev = ranks
+    # ranks is checkpointed/self-contained — the data-sized edge-list
+    # and degree blocks are dead once the loop ends (bfs_hops releases
+    # sym the same way)
+    unpersist_materialized(e)
+    unpersist_materialized(deg)
     return ranks
 
 

@@ -445,7 +445,8 @@ _G_BUCKET = 1_000_000  # cents per bucket (10k dollars)
              CAST(SUM(CAST(c * (v * nb - sb) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS pairsum
       FROM w GROUP BY segment
     )
-    SELECT segment, n_orders, total_cents, pairsum,
+    SELECT segment, n_orders, total_cents,
+           CAST(pairsum AS VARCHAR) AS pairsum,
            CAST((CAST(pairsum AS HUGEINT) * 1000000)
                 // NULLIF(CAST(n_orders AS HUGEINT) * total_cents, 0)
                 AS BIGINT) AS gini_ppm
@@ -465,7 +466,10 @@ _G_BUCKET = 1_000_000  # cents per bucket (10k dollars)
     "(smoke-caught overflow), so the SUM runs in DECIMAL(38,0) on both "
     "engines (each TERM stays int64 to ~sf300) and gini_ppm = "
     "pairsum*1e6 DIV (n*total) runs 128-bit exact (decimal here, "
-    "HUGEINT in DuckDB), NULLIF-guarded.",
+    "HUGEINT in DuckDB), NULLIF-guarded. The pairsum OUTPUT column is "
+    "a string (r14): 128-bit decimals are represented divergently by "
+    "result-fetch clients (decimal128 vs float64), the q189/q192 drift "
+    "class; arithmetic is unchanged.",
     tags=("agg", "inequality", "twopass", "robust", "ext"),
 )
 def q185_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,7 +538,13 @@ def q185_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "n_orders",
         "total_cents",
-        "pairsum",
+        # r14: pairsum leaves the query as a STRING — a DECIMAL(38,0)
+        # output column is represented divergently by the driver's two
+        # fetch paths (DuckDB HUGEINT/decimal128 -> float64 down one
+        # client path), the same drift class as the q189/q192 BIGINT
+        # casts. Values were verified identical; only the wire type
+        # changed. The 128-bit arithmetic below still runs on decimal.
+        F.col("pairsum").cast("string").alias("pairsum"),
         F.expr(
             "CAST((pairsum * 1000000) DIV NULLIF(CAST(n_orders AS DECIMAL(38,0))"
             " * CAST(total_cents AS DECIMAL(38,0)), 0) AS BIGINT)"

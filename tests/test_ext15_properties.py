@@ -111,8 +111,9 @@ class TestGiniDecomposition:
             cents = [int(round(v * 100)) for v in vals]
             p = sum(abs(a - b) for i, a in enumerate(cents) for b in cents[i + 1:])
             n, s = len(cents), sum(cents)
-            # r11 contract: ppm ratio is exact 128-bit p*1e6 // (n*s)
-            expect[seg] = (n, s, p, (p * 1_000_000) // (n * s))
+            # r11 contract: ppm ratio is exact 128-bit p*1e6 // (n*s);
+            # r14: pairsum is emitted as a string column (wire-type fix)
+            expect[seg] = (n, s, str(p), (p * 1_000_000) // (n * s))
         pd.DataFrame(orders).to_parquet(f"{tmp_path}/orders.parquet",
                                         coerce_timestamps="us")
         pd.DataFrame(cust).to_parquet(f"{tmp_path}/customer.parquet")
@@ -135,7 +136,7 @@ class TestGiniDecomposition:
                                         coerce_timestamps="us")
         pd.DataFrame(cust).to_parquet(f"{tmp_path}/customer.parquet")
         [r] = REG["q185_gini_concentration"].spark(spark, str(tmp_path)).collect()
-        assert r.pairsum == 0
+        assert r.pairsum == "0"
         assert r.gini_ppm == 0
 
     def test_two_point_distribution_gives_half(self, spark, tmp_path):
@@ -155,7 +156,7 @@ class TestGiniDecomposition:
                                         coerce_timestamps="us")
         pd.DataFrame(cust).to_parquet(f"{tmp_path}/customer.parquet")
         [r] = REG["q185_gini_concentration"].spark(spark, str(tmp_path)).collect()
-        assert r.pairsum == 5_000_000
+        assert r.pairsum == "5000000"
         assert r.gini_ppm == 500_000
 
     def test_tiny_total_divides_exactly(self, spark, tmp_path):
@@ -175,7 +176,7 @@ class TestGiniDecomposition:
                                         coerce_timestamps="us")
         pd.DataFrame(cust).to_parquet(f"{tmp_path}/customer.parquet")
         [r] = REG["q185_gini_concentration"].spark(spark, str(tmp_path)).collect()
-        assert r.gini_ppm == 0 and r.pairsum == 0
+        assert r.gini_ppm == 0 and r.pairsum == "0"
 
 
 class TestBandJoinDecomposition:

@@ -1622,6 +1622,7 @@ class TestGraphPagerank:
         from e2e_stock_data_pipeline_spark.operators.graph import pagerank
         from e2e_stock_data_pipeline_spark.plans.queries_ext8 import (
             _PR_ITERS,
+            copurchase_sym_edges,
             pagerank_plan,
         )
         from e2e_stock_data_pipeline_spark.sources import tables
@@ -1629,15 +1630,9 @@ class TestGraphPagerank:
         li = tables.load(spark, "/root/testdata/sf0.001", "lineitem")
         want = [tuple(r) for r in pagerank_plan(li).collect()]
 
-        d = li.select("l_orderkey", "l_partkey").distinct()
-        a = d.select("l_orderkey", F.col("l_partkey").alias("u"))
-        b = d.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("v"))
-        half = (
-            a.join(b, (a.l_orderkey == b._ok) & (F.col("u") < F.col("v")))
-            .select("u", "v")
-            .distinct()
-        )
-        edges = half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # build edges via the SAME helper the registry query uses, so
+        # this bit-equality pin covers the exact registered path
+        edges = copurchase_sym_edges(li)
         got = [
             tuple(r)
             for r in pagerank(edges, n_iters=_PR_ITERS)
