@@ -45,6 +45,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # silent regression in any query surfaces within one rotation cycle.
 _DEFAULT_COST = 0.5  # queries added after the last cost sweep run early
 
+# Queries whose implementation changed AFTER their last green driver row
+# (name -> round the change landed). A green row that predates the change
+# evidences code that no longer runs, so while last_green < changed_round
+# the query sorts immediately after the never-seen group; once it
+# re-earns a green row the entry is inert (self-cleaning — safe to leave
+# in place, but prune when obviously ancient).
+_CHANGED_IN_ROUND = {
+    "q86_neardup_pipeline": 13,  # r13 hot-bucket cap (green r10)
+    "q126_incremental_dedup": 13,  # r13 hot-bucket cap (green r12)
+    "q155_minhash_calibration": 13,  # r13 hot-bucket cap (green r12)
+    "q144_pagerank_copurchase": 13,  # r13 materialized-iteration re-plan
+    "q185_gini_concentration": 14,  # r14 pairsum wire-type fix
+}
+
 
 def _last_green_round() -> dict[str, int]:
     """Round number of the most recent GREEN driver row per query name.
@@ -122,12 +136,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     last, cost = _last_green_round(), _costs()
-    # never-seen (round 0) first, cheapest-first within the group; seen
-    # queries by staleness (oldest green round first) so the capped run
-    # rotates freshness through the registry
+
+    # never-seen (round 0) first, cheapest-first within the group; then
+    # changed-since-green queries (their existing row evidences code that
+    # no longer runs); then seen queries by staleness (oldest green round
+    # first) so the capped run rotates freshness through the registry
+    def rank(n: str) -> float:
+        lg = last.get(n, 0)
+        if lg and lg < _CHANGED_IN_ROUND.get(n, 0):
+            return 0.5  # after never-seen, before every stale cohort
+        return lg
+
     ordered = sorted(
         registry,
-        key=lambda n: (last.get(n, 0), cost.get(n, _DEFAULT_COST), n),
+        key=lambda n: (rank(n), cost.get(n, _DEFAULT_COST), n),
     )
     return {name: wrap(registry[name]) for name in ordered}
 

@@ -59,16 +59,38 @@ def test_hash_none_is_not_green(tmp_path, monkeypatch):
     assert last["q_oldfmt"] == 4  # pre-hash driver format: accepted
 
 
+def _effective_rank(name: str, last: dict[str, int]) -> float:
+    # mirror queries()'s rank(): changed-since-green queries sort right
+    # after the never-seen group regardless of their stale green round
+    lg = last.get(name, 0)
+    if lg and lg < entrymod._CHANGED_IN_ROUND.get(name, 0):
+        return 0.5
+    return lg
+
+
 def test_live_registry_ordering_rotates(monkeypatch):
     """Against the real repo artifacts: the head of queries() must be
-    dominated by queries whose last green round is minimal among the
-    registry (never-seen, or the stalest cohort)."""
+    dominated by queries whose EFFECTIVE rank is minimal among the
+    registry (never-seen, changed-since-green, or the stalest cohort)."""
     qs = entrymod.queries()
     last = entrymod._last_green_round()
     names = list(qs)
-    rounds = [last.get(n, 0) for n in names]
+    ranks = [_effective_rank(n, last) for n in names]
     # the first 50 (the driver's budget) must all be at most as fresh as
     # anything after them
-    assert max(rounds[:50]) <= min(rounds[50:]), (
+    assert max(ranks[:50]) <= min(ranks[50:]), (
         "a fresher query precedes a staler one inside the driver budget"
     )
+
+
+def test_changed_since_green_jumps_the_rotation():
+    """A query with a green row older than its recorded change round must
+    land inside the driver's 50-row budget (its old evidence describes
+    code that no longer runs); a self-cleaned entry (green row >= change
+    round) must NOT jump."""
+    last = entrymod._last_green_round()
+    names = list(entrymod.queries())
+    for name, rnd in entrymod._CHANGED_IN_ROUND.items():
+        assert name in names, name
+        if last.get(name, 0) and last[name] < rnd:
+            assert names.index(name) < 50, (name, names.index(name))
