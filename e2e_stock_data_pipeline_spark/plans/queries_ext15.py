@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.materialize import materialize
 from ..operators.similarity import QUANT
 from ..sources import tables
 from .registry import query
@@ -275,14 +276,23 @@ _PP_T_NUM, _PP_T_DEN = 4, 5  # Jaccard threshold 0.8 as an exact rational
     "unlike the LSH tier (q41) this join has zero false negatives, "
     "while candidate fan-out stays at prefix-posting scale (rare "
     "shingles carry the postings; boilerplate shingles rarely make a "
-    "prefix). r13 upgraded AllPairs to full PPJoin: the candidate join "
-    "also applies the exact-integer LENGTH filter (5*min(la,lb) >= "
-    "4*max) and POSITIONAL filter (9*min(la-p_a, lb-p_b) >= 4*(la+lb)) "
-    "— both implied by J >= 0.8, so still zero false negatives, but "
-    "the dense-corpus candidate fan-out collapses before the distinct. "
-    "Verification compares 5*common >= 4*union in exact "
-    "integers — never the truncated fp value. The exact membership "
-    "decision for dedup when 'probably deduplicated' is not enough.",
+    "prefix). r14 upgraded the candidate join from PPJoin's 1-prefix "
+    "to the l-prefix scheme with l=2 (AdaptJoin, Wang/Li/Feng, VLDB "
+    "2012): extend each prefix by one token (len - ceil(t*len) + 2) "
+    "and key the join on ORDERED TOKEN PAIRS from the prefix — any "
+    "pair with J >= t shares >= 2 prefix tokens (pigeonhole on the "
+    "global order: the 2nd-smallest common token sits within both "
+    "extended prefixes), so the filter stays lossless while the "
+    "posting lists move from single-token space (this corpus: ~16k "
+    "shingles, mean posting 227, 842M streamed join rows at sf10) to "
+    "token-pair space (max posting 39, 10M streamed — measured 85x "
+    "candidate collapse). The exact-integer LENGTH filter (5*min(la, "
+    "lb) >= 4*max) still prunes pre-distinct. Sets too small for the "
+    "2-prefix lemma (ceil(t*len) < 2, i.e. len < 2 at t=0.8) take a "
+    "1-prefix side branch. Verification compares 5*common >= 4*union "
+    "in exact integers — never the truncated fp value. The exact "
+    "membership decision for dedup when 'probably deduplicated' is "
+    "not enough.",
     tags=("dedup", "jaccard", "join", "text", "ext"),
 )
 def q184_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,8 +311,17 @@ def q184_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("bigint").alias("dfreq")
     )
-    # per-doc global-rarity order via struct sort: (dfreq, shingle) asc
-    ordered = (
+    # per-doc global-rarity order via struct sort: (dfreq, shingle) asc.
+    # Materialized ONCE (operators/materialize DISK_ONLY checkpoint):
+    # every downstream leg — pair generation for BOTH join sides, the
+    # small-set branch, and BOTH verify array sides — derives from this
+    # frame, and without the checkpoint Catalyst re-executes the
+    # scan+explode+groupBy pipeline five times AND (fatally at sf10)
+    # underestimates the exploded pair side's size through the
+    # aggregates, broadcasting a 17M-row build table into the heap.
+    # toks carries the same element set as the raw shingle array, so
+    # the verify's array_intersect runs on toks directly.
+    ordered = materialize(
         tok.join(df, "shingle")
         .groupBy("doc_id")
         .agg(
@@ -311,55 +330,66 @@ def q184_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " s -> s.shingle)"
             ).alias("toks"),
             F.count(F.lit(1)).cast("bigint").alias("l"),
-        )
-    )
-    plen = F.expr(
-        f"CAST(l - ((({_PP_T_NUM} * l) + {_PP_T_DEN} - 1)"
-        f" DIV {_PP_T_DEN}) + 1 AS INT)"
-    )
-    # posexplode keeps the 0-based prefix position p (== position in the
-    # full (dfreq, shingle)-sorted token list, since the prefix is a head
-    # slice) — the positional filter below needs it.
-    pre = ordered.select(
+        ),
         "doc_id",
-        "l",
-        F.posexplode(F.slice(F.col("toks"), F.lit(1), plen)).alias("p", "shingle"),
     )
-    pa = pre.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("l").alias("la"),
-        F.col("p").alias("p_a"),
-        "shingle",
+    # l-prefix scheme, l=2 (AdaptJoin): one-token-longer prefix, join
+    # keyed on ordered token PAIRS. Lossless: |A^B| >= alpha implies the
+    # 2nd-smallest common token's position in A is <= la - alpha + 2 <=
+    # la - ceil(t*la) + 2 (alpha >= ceil(t*la) whenever lb >= t*la,
+    # which the length filter requires anyway), so both of the two
+    # smallest common tokens sit inside both extended prefixes.
+    plen2 = F.expr(
+        f"CAST(l - ((({_PP_T_NUM} * l) + {_PP_T_DEN} - 1)"
+        f" DIV {_PP_T_DEN}) + 2 AS INT)"
     )
-    pb = pre.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("l").alias("lb"),
-        F.col("p").alias("p_b"),
-        "shingle",
+    # per-doc ordered prefix-token pairs, all Catalyst: C(|pref|, 2)
+    # rows per doc (|pref| ~ 0.2*l + 2, bounded), no per-doc skew
+    pairs = (
+        ordered.select("doc_id", "l", F.slice("toks", 1, plen2).alias("pref"))
+        .select(
+            "doc_id",
+            "l",
+            F.explode(
+                F.expr(
+                    "flatten(transform(pref, (x, i) ->"
+                    " transform(slice(pref, i + 2, size(pref)),"
+                    " y -> named_struct('s1', x, 's2', y))))"
+                )
+            ).alias("sp"),
+        )
+        .select("doc_id", "l", F.col("sp.s1").alias("s1"), F.col("sp.s2").alias("s2"))
     )
-    # PPJoin's two LOSSLESS candidate pruners (exact-integer forms; both
-    # are implied by J >= t, so the verified result set is unchanged):
-    #   length:     t*max(la,lb) <= min(la,lb)
-    #   positional: the max overlap still reachable after the first
-    #     common ordered shingle, min(la-p_a, lb-p_b), must cover the
-    #     required overlap alpha = ceil(t/(1+t)*(la+lb)); for integer
-    #     suffix s, s >= ceil(q/(den+num)) <=> (den+num)*s >= num*(la+lb).
+    pa = pairs.select(
+        F.col("doc_id").alias("doc_a"), F.col("l").alias("la"), "s1", "s2"
+    )
+    pb = pairs.select(
+        F.col("doc_id").alias("doc_b"), F.col("l").alias("lb"), "s1", "s2"
+    )
     cand = (
-        pa.join(pb, "shingle")
+        pa.join(pb, ["s1", "s2"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # exact-integer LENGTH filter, implied by J >= t
         .filter(
             _PP_T_DEN * F.least("la", "lb") >= _PP_T_NUM * F.greatest("la", "lb")
         )
-        .filter(
-            (_PP_T_DEN + _PP_T_NUM)
-            * F.least(F.col("la") - F.col("p_a"), F.col("lb") - F.col("p_b"))
-            >= _PP_T_NUM * (F.col("la") + F.col("lb"))
-        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
-    wa = w.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa"))
-    wb = w.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb"))
+    # sets too small for the 2-prefix lemma (ceil(t*l) < 2 <=> l < 2 at
+    # t = 4/5): fall back to the 1-prefix join among themselves (a valid
+    # partner of an l=1 set is itself a singleton)
+    small = ordered.filter(
+        F.expr(f"(({_PP_T_NUM} * l) + {_PP_T_DEN} - 1) DIV {_PP_T_DEN} < 2")
+    ).select("doc_id", F.explode("toks").alias("shingle"))
+    cand_small = (
+        small.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(small.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand = cand.unionByName(cand_small).distinct()
+    wa = ordered.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("sa"))
+    wb = ordered.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("sb"))
     verified = (
         cand.join(wa, "doc_a")
         .join(wb, "doc_b")

@@ -9,12 +9,12 @@ the remaining registry EXECUTES at sf10 — no driver collects, no
 maxResultSize trips, no heap death — using the same noop-forced
 discipline as bench.py.
 
-Known-heavy queries (sf10 evidence already recorded in BENCH_NOTES r10:
-the CC family completes in 10-13 min on an 8 GiB heap, q184's corpus-
-artifact candidate explosion is documented) are SKIPPED by default and
-PRINTED as skipped — no silent caps. --heavy includes them; --timeout
-S (default 300) cancels a runaway query via its job group and records
-it as timeout instead of hanging the sweep.
+Known-heavy queries are SKIPPED by default and PRINTED as skipped —
+no silent caps (--heavy includes them). The set is EMPTY since r14:
+q184's l=2 prefix upgrade closed the last corpus-density straggler
+(629 s -> 123 s), so the whole registry runs in the default sweep.
+--timeout S (default 300) cancels a runaway query via its job group
+and records it as timeout instead of hanging the sweep.
 
     python scripts/sf10_smoke.py [sf_dir] [--timeout 300] [--heavy]
 
@@ -42,13 +42,11 @@ from e2e_stock_data_pipeline_spark.session import get_spark  # noqa: E402
 # default sweep now; only the corpus-density candidate-explosion pair
 # remains skipped.
 # r13: q86's hot-bucket cap (mirrored in its oracle) brought it to
-# 205 s at sf10 — in-sweep under the default watchdog now; q184's
-# PPJoin upgrade (lossless length+positional filters) cut the r10
-# ">57 min, cut" run to 629 s ok, still above the 300 s default, so it
-# alone stays behind --heavy.
-KNOWN_HEAVY = {
-    "q184_set_similarity_join",
-}
+# 205 s at sf10 — in-sweep under the default watchdog now. r14: q184's
+# l=2 prefix scheme (AdaptJoin token-pair keys; posting lists moved
+# from single-shingle space, mean 227, to pair space, max 39) cut the
+# r13 629 s run to 123 s — in-sweep too; nothing is heavy-gated now.
+KNOWN_HEAVY: set[str] = set()
 
 
 def main(argv: list[str]) -> int:
