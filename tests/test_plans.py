@@ -89,6 +89,21 @@ class TestHeavyTierPlanContracts:
         plan = formatted_plan(REGISTRY["q153_cluster_split"].spark(spark, sf_dir))
         assert plan.count("BroadcastHashJoin") >= 2
 
+    def test_q184_rarity_pipeline_materialized_once(self, spark, sf_dir):
+        """r14 contract: q184's scan+explode+rarity-sort pipeline is
+        materialized ONCE and every downstream leg (both candidate join
+        sides, the small-set branch, both verify sides) consumes the
+        checkpoint — the FINAL plan must contain ZERO parquet scans.
+        Losing this re-runs the pipeline five times AND reopens the
+        Catalyst size-misestimate that broadcast the 17M-row exploded
+        pair side at sf10 (GC death)."""
+        plan = formatted_plan(REGISTRY["q184_set_similarity_join"].spark(spark, sf_dir))
+        assert plan.count("Scan parquet") == 0, (
+            "q184: a leg re-derives from parquet — rarity pipeline no "
+            "longer shared through the checkpoint"
+        )
+        assert plan.count("Scan ExistingRDD") >= 5  # pa, pb, small, wa, wb
+
 
 def test_no_eager_actions_in_plan_modules():
     """Plan construction must be pure (lazy): no count/first/collect/
