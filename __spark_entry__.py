@@ -57,6 +57,7 @@ _CHANGED_IN_ROUND = {
     "q155_minhash_calibration": 13,  # r13 hot-bucket cap (green r12)
     "q144_pagerank_copurchase": 13,  # r13 materialized-iteration re-plan
     "q185_gini_concentration": 14,  # r14 pairsum wire-type fix
+    "q184_set_similarity_join": 14,  # r14 l=2 prefix scheme (green r13)
 }
 
 
