@@ -55,7 +55,12 @@ def main(argv: list[str]) -> int:
         .config("spark.ui.enabled", "false")
     )
     # big-sf sweeps (sf1 = 100x the gate) need a real heap; default stays
-    # unset for parity with the driver's own gate process
+    # unset for parity with the driver's own gate process. Measured r14:
+    # a one-process FULL-registry sweep at sf0.1 OOMs the 1g default
+    # around query ~99 (accumulated codegen classes + broadcast blocks —
+    # no release() between queries, by design: the real gate doesn't
+    # either) — run sweeps above sf0.01 with DRIVER_SIM_MEMORY=8g+ or
+    # use --shard.
     mem = os.environ.get("DRIVER_SIM_MEMORY")
     if mem:
         builder = builder.config("spark.driver.memory", mem)
