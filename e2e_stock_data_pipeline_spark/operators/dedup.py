@@ -81,9 +81,37 @@ def universal_hash(base: Column, seed_col: Column) -> Column:
 
 UNIVERSAL_HASH_SQL = "(({seed} * 2 + 1) * {base} + ({seed} * 7919 + 13)) % 268435399"
 
+# --- v2 family (r14 finding, staged for the r15 tier migration) -------
+# The v1 multipliers (2s+1) are SMALL and the shifts are constants, so
+# whenever (2s+1)*h_min < P (typical: h_min ~ P/#shingles) the seed's
+# argmin is seed 0's argmin — measured 6.5x excess agreement at
+# sf0.001, which silently collapses "k independent bands" toward one
+# band and caps banding recall below 1-(1-J)^k on every corpus. v2
+# draws the multiplier from a golden-ratio Weyl sequence over the FULL
+# multiplicative range [1, P-1] (P prime, so every a is a bijection and
+# large a values scramble the order relation wraparound-style), keeping
+# the closed-form-in-seed shape so the DuckDB oracles can mirror it as
+# one SQL expression. a*h still fits int64: a < 2^28, h < 2^28.
+_V2_A, _V2_B = 2654435769, 2246822519  # 0x9E3779B9, 0x85EBCA77
+
+
+def universal_hash_v2(base: Column, seed_col: Column) -> Column:
+    a = (F.lit(_V2_A) * (seed_col + 1)) % (MINHASH_P - 1) + 1
+    b = (F.lit(_V2_B) * (seed_col + 1)) % MINHASH_P
+    return (a * base + b) % MINHASH_P
+
+
+UNIVERSAL_HASH_V2_SQL = (
+    f"((((%d * ({{seed}} + 1)) %% {MINHASH_P - 1}) + 1) * {{base}}"
+    f" + ((%d * ({{seed}} + 1)) %% {MINHASH_P})) %% {MINHASH_P}"
+) % (_V2_A, _V2_B)
+
 
 def minhash_signatures(
-    shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = 6
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 6,
+    family: str = "v1",
 ) -> DataFrame:
     """(id, seed, sig): min universal hash per seed over the doc's shingles.
 
@@ -92,11 +120,16 @@ def minhash_signatures(
     waste (k x the rows through the exchange); the wide result (one row
     per doc) then unpivots to the (id, seed, sig) banding layout for
     free. Same values as the explode-then-group form, 1/k the shuffle.
+
+    ``family`` selects the hash family: "v1" is the original (kept
+    verbatim — every registered oracle mirrors it), "v2" the
+    independence-fixed one (see universal_hash_v2; r15 migration).
     """
+    fam = {"v1": universal_hash, "v2": universal_hash_v2}[family]
     hashed = shingled.select(id_col, base_hash28(F.col("shingle")).alias("h"))
     wide = hashed.groupBy(id_col).agg(
         *[
-            F.min(universal_hash(F.col("h"), F.lit(s).cast("bigint"))).alias(f"_s{s}")
+            F.min(fam(F.col("h"), F.lit(s).cast("bigint"))).alias(f"_s{s}")
             for s in range(num_hashes)
         ]
     )
@@ -113,9 +146,16 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    keys: tuple[str, ...] = ("seed", "sig"),
+) -> DataFrame:
     """Distinct (doc_a, doc_b) sharing any minhash value — LSH banding with
-    one row per band. ONE shuffle on (seed, sig); no full pair matrix.
+    one row per band. ONE shuffle on the band key; no full pair matrix.
+    ``keys`` defaults to the single-hash band layout (seed, sig);
+    multi-row bands pass e.g. ("band", "s0", "s1") from
+    :func:`band_signatures`.
 
     The merge hint matters: both join inputs are the SAME signature
     pipeline (shingle explode + sha256 + min-agg), and under the default
@@ -123,14 +163,39 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     every sha256 runs twice. Forcing a sort-merge join puts identical
     shuffle exchanges on both sides, which AQE stage-reuse materializes
     ONCE (measured sf1: 2.7 s -> 1.55 s for the q41 candidate set)."""
-    a = sigs.select(F.col(id_col).alias("doc_a"), "seed", "sig")
-    b = sigs.select(F.col(id_col).alias("doc_b"), "seed", "sig")
+    a = sigs.select(F.col(id_col).alias("doc_a"), *keys)
+    b = sigs.select(F.col(id_col).alias("doc_b"), *keys)
     return (
         a.hint("merge")
-        .join(b, ["seed", "sig"])
+        .join(b, list(keys))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def band_signatures(
+    sigs: DataFrame, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fold an (id, seed, sig) signature table into multi-row LSH bands:
+    (id, band, s0..s{r-1}) with band = seed DIV r. Bucket membership
+    then requires r simultaneous min-hash matches, so bucket sizes fall
+    roughly as the r-th power of the single-hash density — the fix for
+    the r14 finding that single-hash buckets ("docs sharing ONE
+    min-shingle") grow linearly with corpus size and force the
+    hot-bucket cap to eat true pairs at sf10. Pair collision prob per
+    band is J^r; recall with b bands is 1-(1-J^r)^b. One groupBy on
+    (id, band); the r sig columns come out of the same aggregate."""
+    if rows_per_band < 1:
+        raise ValueError(f"rows_per_band must be >= 1, got {rows_per_band}")
+    g = sigs.withColumn("band", F.expr(f"seed DIV {rows_per_band}"))
+    return g.groupBy(id_col, "band").agg(
+        *[
+            F.max(
+                F.when(F.col("seed") % rows_per_band == i, F.col("sig"))
+            ).alias(f"s{i}")
+            for i in range(rows_per_band)
+        ]
     )
 
 

@@ -1842,3 +1842,117 @@ class TestNodeGatedBroadcastHint:
         assert hint is not F.broadcast
         df = spark.range(3)
         assert hint(df) is df  # identity: no hint node injected
+
+
+class TestLshV2Primitives:
+    """r14 staging for the r15 LSH tier migration: the v2 hash family
+    must restore seed independence (the v1 small-multiplier family's
+    argmin agreement measured 6.5x over chance), and multi-row banding
+    must deliver the 1-(1-J^r)^b recall the math promises — proven on
+    planted truth BEFORE any registered query moves."""
+
+    def _sigs(self, spark, family, num_hashes=6):
+        from e2e_stock_data_pipeline_spark.operators import dedup as D
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+        sh = D.exploded_shingles(docs, distinct=False)
+        return D.minhash_signatures(sh, num_hashes=num_hashes, family=family)
+
+    def test_v2_seeds_are_independent_v1_are_not(self, spark):
+        """Fraction of (doc, seed>0) rows whose sig equals the seed's
+        closed form over the doc's MIN BASE HASH — i.e. the seed picked
+        seed-0's argmin shingle. Ideal ~ 1/#shingles (~3% here); v1
+        measured ~20%."""
+        from e2e_stock_data_pipeline_spark.operators import dedup as D
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+        sh = D.exploded_shingles(docs, distinct=False)
+        minh = (
+            sh.select("doc_id", D.base_hash28(F.col("shingle")).alias("h"))
+            .groupBy("doc_id")
+            .agg(F.min("h").alias("mh"))
+        )
+        P = D.MINHASH_P
+
+        def agreement(sigs, pred_sql):
+            j = sigs.filter(F.col("seed") > 0).join(minh, "doc_id")
+            tot = j.count()
+            hit = j.filter(F.col("sig") == F.expr(pred_sql)).count()
+            return hit / tot
+
+        v1 = agreement(
+            self._sigs(spark, "v1"),
+            f"((seed * 2 + 1) * mh + (seed * 7919 + 13)) % {P}",
+        )
+        v2 = agreement(
+            self._sigs(spark, "v2"),
+            D.UNIVERSAL_HASH_V2_SQL.format(seed="seed", base="mh"),
+        )
+        assert v1 > 0.12, f"v1 correlation vanished ({v1:.3f}) — family changed?"
+        assert v2 < 0.08, f"v2 seeds still correlated: {v2:.3f}"
+
+    def test_v2_sql_template_mirrors_column_form(self, spark):
+        """UNIVERSAL_HASH_V2_SQL (the oracle-mirror template) must equal
+        universal_hash_v2 on every (h, seed) — the same parity contract
+        v1 carries."""
+        from e2e_stock_data_pipeline_spark.operators import dedup as D
+
+        df = spark.range(2000).select(
+            (F.xxhash64("id") % D.MINHASH_P).cast("bigint").alias("h"),
+            (F.col("id") % 12).cast("bigint").alias("seed"),
+        ).filter(F.col("h") >= 0)
+        bad = df.filter(
+            D.universal_hash_v2(F.col("h"), F.col("seed"))
+            != F.expr(D.UNIVERSAL_HASH_V2_SQL.format(seed="seed", base="h"))
+        ).count()
+        assert bad == 0
+
+    def test_band_signatures_layout_and_recall(self, spark, tmp_path):
+        """b=6 x r=2 banding over v2 signatures recovers every planted
+        J >= 0.9 pair ((1-0.81)^6 ~ 5e-8 miss probability — and the
+        hashes are fixed, so this is deterministic once green), while
+        the band table carries exactly b rows per doc with both sig
+        columns non-null."""
+        import pandas as pd
+
+        from e2e_stock_data_pipeline_spark.operators import dedup as D
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        rng = __import__("random").Random(7)
+        vocab = [f"w{i}" for i in range(60)]
+        rows, want = [], set()
+        for i in range(40):
+            ws = rng.choices(vocab, k=40)
+            rows.append((2 * i + 1, " ".join(ws)))
+            copy = list(ws)
+            copy[rng.randrange(2, 38)] = rng.choice(vocab)  # J >= ~0.87
+            rows.append((2 * i + 2, " ".join(copy)))
+            want.add((2 * i + 1, 2 * i + 2))
+        pd.DataFrame(
+            [dict(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+             for d, t in rows]
+        ).to_parquet(f"{tmp_path}/documents.parquet")
+        docs = tables.load(spark, str(tmp_path), "documents")
+        sigs = D.minhash_signatures(
+            D.exploded_shingles(docs, distinct=False), num_hashes=12, family="v2"
+        )
+        bands = D.band_signatures(sigs, rows_per_band=2)
+        per_doc = bands.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.col("s0").isNull().cast("int") + F.col("s1").isNull().cast("int")).alias("nulls"),
+        ).collect()
+        assert all(r.nb == 6 and r.nulls == 0 for r in per_doc)
+        cands = {
+            (r.doc_a, r.doc_b)
+            for r in D.lsh_candidate_pairs(bands, keys=("band", "s0", "s1")).collect()
+        }
+        missed = {p for p in want if p not in cands}
+        assert not missed, f"banding missed planted high-J pairs: {sorted(missed)[:5]}"
+
+    def test_band_signatures_rejects_bad_r(self, spark):
+        from e2e_stock_data_pipeline_spark.operators import dedup as D
+
+        with pytest.raises(ValueError):
+            D.band_signatures(spark.range(1).selectExpr("id doc_id", "0L seed", "0L sig"), 0)
