@@ -52,12 +52,16 @@ _DEFAULT_COST = 0.5  # queries added after the last cost sweep run early
 # re-earns a green row the entry is inert (self-cleaning — safe to leave
 # in place, but prune when obviously ancient).
 _CHANGED_IN_ROUND = {
-    "q86_neardup_pipeline": 13,  # r13 hot-bucket cap (green r10)
-    "q126_incremental_dedup": 13,  # r13 hot-bucket cap (green r12)
-    "q155_minhash_calibration": 13,  # r13 hot-bucket cap (green r12)
-    "q144_pagerank_copurchase": 13,  # r13 materialized-iteration re-plan
-    "q185_gini_concentration": 14,  # r14 pairsum wire-type fix
-    "q184_set_similarity_join": 14,  # r14 l=2 prefix scheme (green r13)
+    # r15 LSH v1 -> v2 cutover (Weyl 12-seed family, 6 bands x 2 rows):
+    # every query whose plan or oracle rides the MinHash band index
+    "q41_minhash_lsh_pairs": 15,
+    "q56_dedup_clusters": 15,
+    "q86_neardup_pipeline": 15,
+    "q105_cluster_size_histogram": 15,
+    "q126_incremental_dedup": 15,
+    "q153_cluster_split": 15,
+    "q155_minhash_calibration": 15,
+    "q158_cluster_canonicals": 15,
 }
 
 

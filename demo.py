@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from e2e_stock_data_pipeline_spark.operators.dedup import (
     exploded_shingles,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_bands,
 )
 from e2e_stock_data_pipeline_spark.pipeline.gold import price_features
 from e2e_stock_data_pipeline_spark.pipeline.metrics import write_run_metrics
@@ -100,7 +100,7 @@ def main(workdir: str | None = None) -> int:
     # 6. the training-data tier: near-dup candidates + quality over documents
     docs = tables.load(spark, SF, "documents")
     cands = lsh_candidate_pairs(
-        minhash_signatures(exploded_shingles(docs, distinct=False))
+        minhash_bands(exploded_shingles(docs, distinct=False))
     )
     print(f"[6 dedup    ] {cands.count()} MinHash-LSH candidate pairs over "
           f"{docs.count()} docs at sf0.001")

@@ -78,7 +78,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # 5. Training-data operators on the synthetic corpus
     docs = tables.load(spark, sf_dir, "documents")
     sh = D.exploded_shingles(docs)
-    pairs = D.lsh_candidate_pairs(D.minhash_signatures(sh))
+    pairs = D.lsh_candidate_pairs(D.minhash_bands(sh))
     print(f"== MinHash-LSH near-dup candidates: {pairs.count()} pairs over {docs.count()} docs")
     emb = tables.load(spark, sf_dir, "embeddings")
     knn = brute_force_topk(emb.filter(F.col("vec_id") < 3), emb.filter(F.col("vec_id") >= 3), k=3)

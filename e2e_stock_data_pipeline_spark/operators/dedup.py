@@ -10,8 +10,15 @@ oracle can reproduce results bit-for-bit.
 
 Scale design (100 TB):
 * shingling + min-hash signatures are per-row `transform`s — no shuffle;
-* LSH banding is ONE shuffle keyed on (band, band_signature) — the
-  bucket join never materializes the full pair matrix;
+* LSH banding is ONE shuffle keyed on (band, s0, s1) — b=6 bands of
+  r=2 hashes each (12-seed v2 MinHash, see minhash_bands): bucket
+  membership requires TWO simultaneous min-hash matches, so bucket
+  sizes fall quadratically with corpus density and the hot-bucket cap
+  is a never-binding safety valve (the r14 finding: single-hash
+  buckets grow linearly with corpus size, so any cap eventually eats
+  true pairs — measured 45.2% planted recall at sf10, 99.0% under
+  this scheme). The bucket join never materializes the full pair
+  matrix;
 * the exact-Jaccard verifier joins only on shared shingles; production
   deployments should cap posting-list length per shingle (drop
   ultra-frequent shingles) to bound skew — noted inline.
@@ -81,7 +88,7 @@ def universal_hash(base: Column, seed_col: Column) -> Column:
 
 UNIVERSAL_HASH_SQL = "(({seed} * 2 + 1) * {base} + ({seed} * 7919 + 13)) % 268435399"
 
-# --- v2 family (r14 finding, staged for the r15 tier migration) -------
+# --- v2 family (r14 finding; the registered family since r15) ---------
 # The v1 multipliers (2s+1) are SMALL and the shifts are constants, so
 # whenever (2s+1)*h_min < P (typical: h_min ~ P/#shingles) the seed's
 # argmin is seed 0's argmin — measured 6.5x excess agreement at
@@ -106,12 +113,19 @@ UNIVERSAL_HASH_V2_SQL = (
     f" + ((%d * ({{seed}} + 1)) %% {MINHASH_P})) %% {MINHASH_P}"
 ) % (_V2_A, _V2_B)
 
+# The registered LSH operating point since r15 (the v1 -> v2 cutover):
+# 12-seed v2 MinHash folded into b=6 bands x r=2 rows. Every registered
+# query and every oracle mirror derives from these three constants.
+LSH_NUM_HASHES = 12
+LSH_ROWS_PER_BAND = 2
+LSH_BAND_KEYS = ("band", "s0", "s1")
+
 
 def minhash_signatures(
     shingled: DataFrame,
     id_col: str = "doc_id",
-    num_hashes: int = 6,
-    family: str = "v1",
+    num_hashes: int = 12,
+    family: str = "v2",
 ) -> DataFrame:
     """(id, seed, sig): min universal hash per seed over the doc's shingles.
 
@@ -121,9 +135,11 @@ def minhash_signatures(
     per doc) then unpivots to the (id, seed, sig) banding layout for
     free. Same values as the explode-then-group form, 1/k the shuffle.
 
-    ``family`` selects the hash family: "v1" is the original (kept
-    verbatim — every registered oracle mirrors it), "v2" the
-    independence-fixed one (see universal_hash_v2; r15 migration).
+    ``family`` selects the hash family: "v2" (the default and the
+    registered family since r15) is the independence-fixed Weyl family
+    (universal_hash_v2); "v1" is the original correlated family, kept
+    only so the independence regression test can measure the defect it
+    replaced.
     """
     fam = {"v1": universal_hash, "v2": universal_hash_v2}[family]
     hashed = shingled.select(id_col, base_hash28(F.col("shingle")).alias("h"))
@@ -149,13 +165,13 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
-    keys: tuple[str, ...] = ("seed", "sig"),
+    keys: tuple[str, ...] = LSH_BAND_KEYS,
 ) -> DataFrame:
-    """Distinct (doc_a, doc_b) sharing any minhash value — LSH banding with
-    one row per band. ONE shuffle on the band key; no full pair matrix.
-    ``keys`` defaults to the single-hash band layout (seed, sig);
-    multi-row bands pass e.g. ("band", "s0", "s1") from
-    :func:`band_signatures`.
+    """Distinct (doc_a, doc_b) sharing any complete LSH band — ONE
+    shuffle on the band key; no full pair matrix. ``keys`` defaults to
+    the registered multi-row band layout (band, s0, s1) produced by
+    :func:`minhash_bands` / :func:`band_signatures`; the flat
+    single-hash layout passes ("seed", "sig").
 
     The merge hint matters: both join inputs are the SAME signature
     pipeline (shingle explode + sha256 + min-agg), and under the default
@@ -175,7 +191,10 @@ def lsh_candidate_pairs(
 
 
 def band_signatures(
-    sigs: DataFrame, rows_per_band: int = 2, id_col: str = "doc_id"
+    sigs: DataFrame,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Fold an (id, seed, sig) signature table into multi-row LSH bands:
     (id, band, s0..s{r-1}) with band = seed DIV r. Bucket membership
@@ -185,9 +204,24 @@ def band_signatures(
     min-shingle") grow linearly with corpus size and force the
     hot-bucket cap to eat true pairs at sf10. Pair collision prob per
     band is J^r; recall with b bands is 1-(1-J^r)^b. One groupBy on
-    (id, band); the r sig columns come out of the same aggregate."""
+    (id, band); the r sig columns come out of the same aggregate.
+
+    Pass ``num_hashes`` (the seed-family size feeding ``sigs``) to get
+    the divisibility guard: a family size not divisible by r would
+    leave the trailing band with NULL sig slots, and NULL join keys
+    never match — the band's hashes would be computed but contribute
+    zero recall, silently degrading the 1-(1-J^r)^b guarantee. Without
+    ``num_hashes`` the check cannot run (the seed count is not visible
+    from the frame without an action), so prefer :func:`minhash_bands`,
+    which always validates."""
     if rows_per_band < 1:
         raise ValueError(f"rows_per_band must be >= 1, got {rows_per_band}")
+    if num_hashes is not None and num_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} is not divisible by rows_per_band="
+            f"{rows_per_band}: the trailing band would carry NULL sig "
+            "slots that never join — dead hashes, silent recall loss"
+        )
     g = sigs.withColumn("band", F.expr(f"seed DIV {rows_per_band}"))
     return g.groupBy(id_col, "band").agg(
         *[
@@ -199,8 +233,27 @@ def band_signatures(
     )
 
 
+def minhash_bands(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = LSH_NUM_HASHES,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+    family: str = "v2",
+) -> DataFrame:
+    """The one-call LSH index build: v2 MinHash signatures folded into
+    multi-row bands — (id, band, s0..s{r-1}), ready for
+    ``lsh_candidate_pairs(bands, keys=LSH_BAND_KEYS)``. Composes
+    :func:`minhash_signatures` and :func:`band_signatures` with the
+    divisibility guard always on (the num_hashes is known here). Two
+    groupBys on the id key (signatures, band fold) — no extra
+    shuffle vs the flat layout, since the band fold groups on
+    (id, band) and id already co-partitions it."""
+    sigs = minhash_signatures(shingled, id_col, num_hashes, family)
+    return band_signatures(sigs, rows_per_band, id_col, num_hashes=num_hashes)
+
+
 def filter_hot_buckets(
-    sigs: DataFrame, max_bucket: int, keys: tuple[str, str] = ("seed", "sig")
+    sigs: DataFrame, max_bucket: int, keys: tuple[str, ...] = ("seed", "sig")
 ) -> DataFrame:
     """Drop LSH buckets with more than ``max_bucket`` members — the
     banding-side twin of :func:`ngram_jaccard_pairs`'s posting-list cap.
@@ -318,7 +371,7 @@ def incremental_neardup(
     is_new,
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    num_hashes: int = 6,
+    num_hashes: int = LSH_NUM_HASHES,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup check of a NEW batch against the EXISTING corpus — the
@@ -327,33 +380,37 @@ def incremental_neardup(
     scales with the batch, not the archive.
 
     ``is_new`` is a boolean Column over ``docs`` marking today's batch.
-    Stages mirror q86's recall->precision pipeline: MinHash-LSH banding
-    proposes cross-boundary candidates (one shuffle on (seed, sig));
-    exact Jaccard verifies only those candidates at ``threshold``.
+    Stages mirror q86's recall->precision pipeline: v2 MinHash banding
+    (b bands of r=2 rows, see :func:`minhash_bands`) proposes
+    cross-boundary candidates (one shuffle on (band, s0, s1)); exact
+    Jaccard verifies only those candidates at ``threshold``.
 
-    At 100 TB the corpus side's signatures are a stored index (computed
+    At 100 TB the corpus side's band index is a stored table (computed
     once, appended per batch) — here both sides derive from one frame
     for oracle replayability, which changes cost, not semantics.
     ``max_bucket`` applies :func:`filter_hot_buckets` to the combined
-    signature set before the cross-boundary banding join (the density
+    band set before the cross-boundary banding join (the density
     guard that keeps a degenerate-signature bucket from pairing the
-    whole batch against the whole corpus). Returns
+    whole batch against the whole corpus — never-binding under r=2
+    bands at every measured density, kept as the safety valve). Returns
     (doc_new, doc_old, jaccard).
     """
     flagged = docs.select(F.col(id_col), is_new.alias("_new"), F.col("text"))
-    sigs = minhash_signatures(
+    bands = minhash_bands(
         exploded_shingles(flagged, id_col, distinct=False), id_col, num_hashes
     ).join(flagged.select(id_col, "_new"), id_col)
     if max_bucket is not None:
-        sigs = filter_hot_buckets(sigs, max_bucket)
-    new_side = sigs.filter(F.col("_new")).select(
-        F.col(id_col).alias("doc_new"), "seed", "sig"
+        bands = filter_hot_buckets(bands, max_bucket, keys=LSH_BAND_KEYS)
+    new_side = bands.filter(F.col("_new")).select(
+        F.col(id_col).alias("doc_new"), *LSH_BAND_KEYS
     )
-    old_side = sigs.filter(~F.col("_new")).select(
-        F.col(id_col).alias("doc_old"), "seed", "sig"
+    old_side = bands.filter(~F.col("_new")).select(
+        F.col(id_col).alias("doc_old"), *LSH_BAND_KEYS
     )
     cands = (
-        new_side.join(old_side, ["seed", "sig"]).select("doc_new", "doc_old").distinct()
+        new_side.join(old_side, list(LSH_BAND_KEYS))
+        .select("doc_new", "doc_old")
+        .distinct()
     )
 
     shd = exploded_shingles(flagged, id_col, distinct=True)

@@ -43,7 +43,13 @@ def pagerank(
     the q144 recursion, so fixed-round results are bit-comparable. The
     edge list and the degree table are materialized once; per-round
     lineage is truncated (localCheckpoint; swap for checkpoint() on
-    durable storage at cluster scale)."""
+    durable storage at cluster scale).
+
+    ``n_iters`` must be >= 1: with zero rounds the returned frame's only
+    backing blocks would be ``deg``'s — released by the post-loop
+    unpersist below, so any later action would die on missing blocks."""
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     e = materialize(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u")
     deg = materialize(e.groupBy("u").agg(F.count(F.lit(1)).alias("d")), "u")
     ranks = deg.select(

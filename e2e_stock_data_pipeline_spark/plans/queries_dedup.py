@@ -40,6 +40,32 @@ def _sql_seeded_hash(expr: str, seed_expr: str) -> str:
     )
 
 
+# The v2 MinHash band index (r15 cutover), as oracle SQL: 12-seed Weyl
+# family folded into 6 bands of 2 rows — the exact mirror of
+# operators/dedup.minhash_bands, built from the SAME constants
+# (UNIVERSAL_HASH_V2_SQL / LSH_NUM_HASHES / LSH_ROWS_PER_BAND) so the
+# two engines cannot drift. Expects a preceding CTE
+# ``hashed(doc_id, h)`` (28-bit sha256-prefix base hash per shingle).
+_SQL_V2_HASH = D.UNIVERSAL_HASH_V2_SQL.format(seed="seed", base="h")
+
+SQL_V2_BANDS = f"""
+    seeds AS (SELECT unnest(range({D.LSH_NUM_HASHES})) AS seed),
+    sigs AS (
+      SELECT doc_id, seed, MIN({_SQL_V2_HASH}) AS sig
+      FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // {D.LSH_ROWS_PER_BAND} AS band,
+             MAX(CASE WHEN seed % 2 = 0 THEN sig END) AS s0,
+             MAX(CASE WHEN seed % 2 = 1 THEN sig END) AS s1
+      FROM sigs GROUP BY doc_id, seed // {D.LSH_ROWS_PER_BAND}
+    )
+"""
+
+# The same-band equi-join predicate every banding oracle shares.
+SQL_BAND_JOIN = "a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1"
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load(spark, sf_dir, "documents")
 
@@ -76,27 +102,22 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS h
       FROM shingled
     ),
-    seeds AS (SELECT unnest(range(6)) AS seed),
-    sigs AS (
-      SELECT doc_id, seed,
-             MIN(((seed * 2 + 1) * h + (seed * 7919 + 13)) % 268435399) AS sig
-      FROM hashed CROSS JOIN seeds
-      GROUP BY doc_id, seed
-    )
+    {SQL_V2_BANDS}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
+    FROM bands a JOIN bands b ON {SQL_BAND_JOIN} AND a.doc_id < b.doc_id
     """,
     doc="MinHash-LSH near-dup candidates: one sha256 base hash per shingle, "
-    "6-member universal-hash family, single-row bands, bucket join "
-    "(shuffle on (seed, sig) only).",
+    "12-member v2 (Weyl) universal-hash family folded into 6 bands of 2 "
+    "rows, bucket join (shuffle on (band, s0, s1) only). Pair recall "
+    "1-(1-J^2)^6; 2-row bands keep bucket sizes sub-linear in corpus "
+    "density (the r14 finding that retired single-row bands).",
     tags=("dedup", "minhash", "lsh", "ext"),
     bench=True,
 )
 def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct=False: MIN is multiset-invariant, so the dedup shuffle is pure cost
     sh = D.exploded_shingles(_docs(spark, sf_dir), distinct=False)
-    sigs = D.minhash_signatures(sh, num_hashes=6)
-    return D.lsh_candidate_pairs(sigs)
+    return D.lsh_candidate_pairs(D.minhash_bands(sh))
 
 
 @query(
@@ -246,29 +267,19 @@ def q44b_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_SHINGLES},
     hashed AS (
       SELECT doc_id, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS h
-      FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-        FROM wsplit
-      ) q
+      FROM shingled
     ),
-    seeds AS (SELECT unnest(range(6)) AS seed),
-    sigs AS (
-      SELECT doc_id, seed,
-             MIN(((seed * 2 + 1) * h + (seed * 7919 + 13)) % 268435399) AS sig
-      FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed
-    ),
+    {SQL_V2_BANDS},
     ok_buckets AS (
-      SELECT seed, sig FROM sigs GROUP BY seed, sig HAVING COUNT(*) <= 100
+      SELECT band, s0, s1 FROM bands GROUP BY band, s0, s1 HAVING COUNT(*) <= 100
     ),
-    csigs AS (
-      SELECT s.* FROM sigs s JOIN ok_buckets ob
-        ON s.seed = ob.seed AND s.sig = ob.sig
+    cbands AS (
+      SELECT b.* FROM bands b JOIN ok_buckets ob
+        ON b.band = ob.band AND b.s0 = ob.s0 AND b.s1 = ob.s1
     ),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM csigs a JOIN csigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
+      FROM cbands a JOIN cbands b ON {SQL_BAND_JOIN} AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
     inter AS (
@@ -286,23 +297,25 @@ def q44b_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) >= 0.5
     """,
     doc="THE production near-dup decision as one plan: MinHash-LSH proposes "
-    "candidates (recall stage), exact Jaccard verifies ONLY those "
-    "candidates at 0.5 (precision stage). Unlike q42's all-co-shingle "
-    "verification, the verify join here fans out from the candidate "
-    "list, so its cost scales with |candidates| — the property that "
-    "makes the two-stage pipeline viable at 100 TB. Hot LSH buckets "
-    "(>100 members = near-degenerate signatures) are dropped before "
-    "banding, mirrored in the oracle; the cap cannot bind through sf1 "
-    "(max bucket 79, BENCH_NOTES r13 census), so results are "
-    "bit-identical to the uncapped plan at every oracle-checked sf.",
+    "candidates (recall stage: 12-seed v2 family, 6 bands x 2 rows — "
+    "measured sf10 planted recall 99.0% vs the retired v1 scheme's "
+    "45.2%), exact Jaccard verifies ONLY those candidates at 0.5 "
+    "(precision stage). Unlike q42's all-co-shingle verification, the "
+    "verify join here fans out from the candidate list, so its cost "
+    "scales with |candidates| — the property that makes the two-stage "
+    "pipeline viable at 100 TB. Hot band buckets (>100 members = "
+    "near-degenerate signatures) are dropped before banding, mirrored "
+    "in the oracle; under 2-row bands the cap is a never-binding "
+    "safety valve at every measured density (r14 rehearsal: zero "
+    "planted pairs lost to it at sf10).",
     tags=("dedup", "minhash", "lsh", "jaccard", "pipeline", "ext"),
 )
 def q86_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sigs = D.minhash_signatures(
-        D.exploded_shingles(docs, distinct=False), num_hashes=6
+    bands = D.minhash_bands(D.exploded_shingles(docs, distinct=False))
+    cands = D.lsh_candidate_pairs(
+        D.filter_hot_buckets(bands, max_bucket=100, keys=D.LSH_BAND_KEYS)
     )
-    cands = D.lsh_candidate_pairs(D.filter_hot_buckets(sigs, max_bucket=100))
     shd = D.exploded_shingles(docs, distinct=True)
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = shd.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -30,6 +30,7 @@ from ..operators import pq
 from ..operators.grouped import per_key_ema
 from ..sources import tables
 from ..streaming.late import late_audit_plan
+from .queries_dedup import SQL_BAND_JOIN, SQL_V2_BANDS
 from .registry import query
 
 _SQL_Q = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
@@ -225,7 +226,7 @@ def q125_ema_unbounded_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q126_incremental_dedup",
-    oracle="""
+    oracle=f"""
     WITH words AS (
       SELECT doc_id, regexp_split_to_array(text, ' +') AS ws,
              doc_id % 5 = 0 AS is_new
@@ -238,27 +239,22 @@ def q125_ema_unbounded_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM words
     ),
     hashed AS (
-      SELECT doc_id, is_new,
-             CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS h
+      SELECT doc_id, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS h
       FROM shingled
     ),
-    seeds AS (SELECT unnest(range(6)) AS seed),
-    sigs AS (
-      SELECT doc_id, is_new, seed,
-             MIN(((seed * 2 + 1) * h + (seed * 7919 + 13)) % 268435399) AS sig
-      FROM hashed CROSS JOIN seeds GROUP BY doc_id, is_new, seed
-    ),
+    {SQL_V2_BANDS},
     ok_buckets AS (
-      SELECT seed, sig FROM sigs GROUP BY seed, sig HAVING COUNT(*) <= 100
+      SELECT band, s0, s1 FROM bands GROUP BY band, s0, s1 HAVING COUNT(*) <= 100
     ),
-    csigs AS (
-      SELECT s.* FROM sigs s JOIN ok_buckets ob
-        ON s.seed = ob.seed AND s.sig = ob.sig
+    cbands AS (
+      SELECT b.* FROM bands b JOIN ok_buckets ob
+        ON b.band = ob.band AND b.s0 = ob.s0 AND b.s1 = ob.s1
     ),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
-      FROM csigs a JOIN csigs b
-        ON a.seed = b.seed AND a.sig = b.sig AND a.is_new AND NOT b.is_new
+      FROM cbands a JOIN cbands b ON {SQL_BAND_JOIN}
+      JOIN words wa ON wa.doc_id = a.doc_id AND wa.is_new
+      JOIN words wb ON wb.doc_id = b.doc_id AND NOT wb.is_new
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
     inter AS (
@@ -277,17 +273,17 @@ def q125_ema_unbounded_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Incremental near-dup: today's batch (doc_id % 5 = 0 here) "
     "checked against the existing corpus only — candidates pair "
-    "strictly across the boundary (MinHash-LSH banding, one shuffle on "
-    "(seed, sig)), then exact Jaccard verifies just those candidates "
-    "at 0.5. The daily-ingest composition at 100 TB: work scales with "
-    "the batch, never corpus x corpus, and the corpus signatures are a "
-    "stored index appended per batch (operators/dedup.py "
-    "incremental_neardup). Banding buckets over 100 members are "
-    "dropped (filter_hot_buckets, the q42b density guard): a bucket "
-    "that hot is a degenerate signature, and uncapped it pairs the "
-    "batch against the corpus quadratically — the cap never binds "
-    "through sf1 (max bucket 79) but removes 96% of sf10's 417M "
-    "candidate pairs (r13 measurement).",
+    "strictly across the boundary (v2 MinHash banding, 6 bands x 2 "
+    "rows, one shuffle on (band, s0, s1)), then exact Jaccard verifies "
+    "just those candidates at 0.5. The daily-ingest composition at "
+    "100 TB: work scales with the batch, never corpus x corpus, and "
+    "the corpus band index is a stored table appended per batch "
+    "(operators/dedup.py incremental_neardup). Band buckets over 100 "
+    "members are dropped (filter_hot_buckets, the q42b density "
+    "guard): a bucket that hot is a degenerate signature, and uncapped "
+    "it pairs the batch against the corpus quadratically — under "
+    "2-row bands the cap is a never-binding safety valve at every "
+    "measured density (r14: zero planted pairs lost to it at sf10).",
     tags=("dedup", "minhash", "lsh", "incremental", "ext"),
 )
 def q126_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

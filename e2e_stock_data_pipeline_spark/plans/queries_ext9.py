@@ -28,7 +28,7 @@ from ..operators import dedup as D
 from ..operators import ranking as R
 from ..operators import similarity as S
 from ..sources import tables
-from .queries_dedup import _SQL_SHINGLES
+from .queries_dedup import _SQL_SHINGLES, SQL_BAND_JOIN, SQL_V2_BANDS
 from .queries_similarity import _SQL_Q
 from .registry import query
 
@@ -587,7 +587,7 @@ def q153_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.materialize import materialize
 
     pairs = materialize(
-        D.lsh_candidate_pairs(D.minhash_signatures(sh, num_hashes=6)),
+        D.lsh_candidate_pairs(D.minhash_bands(sh)),
         "doc_a",
         widen=False,
     )
@@ -717,11 +717,13 @@ def q154_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q155: MinHash estimator calibration — for every LSH candidate pair,
-# the sketch's Jaccard estimate (matching signatures / 6) against the
+# the sketch's Jaccard estimate (matching signatures / 12) against the
 # exact Jaccard, bucketed by match count: the empirical accuracy table
-# that justifies the sketch's banding thresholds. Exact-verify fans out
-# from the candidate list (the q86 property), per-pair fixed-point
-# jaccard floors BEFORE the integer sum (q114 convention).
+# that justifies the sketch's banding thresholds. Candidates come from
+# the registered v2 band index (6 bands x 2 rows, capped); the match
+# count then fans out from the candidate list over the 12-seed
+# signature table — so does exact-verify (the q86 property). Per-pair
+# fixed-point jaccard floors BEFORE the integer sum (q114 convention).
 # --------------------------------------------------------------------------
 
 
@@ -733,23 +735,24 @@ def q154_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS h
       FROM shingled
     ),
-    seeds AS (SELECT unnest(range(6)) AS seed),
-    sigs AS (
-      SELECT doc_id, seed,
-             MIN(((seed * 2 + 1) * h + (seed * 7919 + 13)) % 268435399) AS sig
-      FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed
-    ),
+    {SQL_V2_BANDS},
     ok_buckets AS (
-      SELECT seed, sig FROM sigs GROUP BY seed, sig HAVING COUNT(*) <= 100
+      SELECT band, s0, s1 FROM bands GROUP BY band, s0, s1 HAVING COUNT(*) <= 100
     ),
-    csigs AS (
-      SELECT s.* FROM sigs s JOIN ok_buckets ob
-        ON s.seed = ob.seed AND s.sig = ob.sig
+    cbands AS (
+      SELECT b.* FROM bands b JOIN ok_buckets ob
+        ON b.band = ob.band AND b.s0 = ob.s0 AND b.s1 = ob.s1
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cbands a JOIN cbands b ON {SQL_BAND_JOIN} AND a.doc_id < b.doc_id
     ),
     match AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_match_sigs
-      FROM csigs a JOIN csigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_match_sigs
+      FROM cands c
+      JOIN sigs a ON a.doc_id = c.doc_a
+      JOIN sigs b ON b.doc_id = c.doc_b AND b.seed = a.seed AND b.sig = a.sig
+      GROUP BY c.doc_a, c.doc_b
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
     inter AS (
@@ -772,29 +775,34 @@ def q154_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(jaccard_fp) AS BIGINT) AS sum_jaccard_fp
     FROM jfp GROUP BY n_match_sigs
     """,
-    doc="MinHash sketch calibration: LSH candidate pairs bucketed by how "
-    "many of the 6 signatures matched, with pair count and the exact-"
-    "Jaccard mass (fixed-point, floored per pair before the integer "
-    "sum) per bucket — expected jaccard ~ n_match/6, and this table IS "
-    "that empirical check. Exact verification fans out from the "
-    "candidate list only (q86's scale property); collision-only "
-    "candidates with zero shared shingles stay in the table at "
-    "jaccard 0 via the LEFT join. Banding buckets over 100 members "
-    "are dropped (filter_hot_buckets, the q42b density guard): never "
-    "binds through sf1 (max bucket 79), removes 96% of sf10's 417M "
-    "candidate pairs — a calibration table does not need collision-"
-    "noise pairs from degenerate signatures.",
+    doc="MinHash sketch calibration: v2-band LSH candidate pairs bucketed "
+    "by how many of the 12 signatures matched, with pair count and the "
+    "exact-Jaccard mass (fixed-point, floored per pair before the "
+    "integer sum) per bucket — expected jaccard ~ n_match/12, and this "
+    "table IS that empirical check. Candidacy is the registered "
+    "operating point (6 bands x 2 rows, hot band buckets over 100 "
+    "members dropped — the never-binding safety valve under 2-row "
+    "bands); both the signature-match count and the exact verification "
+    "fan out from the candidate list only (q86's scale property). "
+    "Collision-only candidates with zero shared shingles stay in the "
+    "table at jaccard 0 via the LEFT join.",
     tags=("dedup", "minhash", "sketch", "calibration", "ext"),
 )
 def q155_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = D.exploded_shingles(docs, distinct=True)
-    sigs = D.filter_hot_buckets(D.minhash_signatures(sh, num_hashes=6), 100)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), "seed", "sig")
-    b = sigs.select(F.col("doc_id").alias("doc_b"), "seed", "sig")
+    sigs = D.minhash_signatures(sh)
+    bands = D.filter_hot_buckets(
+        D.band_signatures(sigs, num_hashes=D.LSH_NUM_HASHES),
+        100,
+        keys=D.LSH_BAND_KEYS,
+    )
+    cands = D.lsh_candidate_pairs(bands)
+    siga = sigs.select(F.col("doc_id").alias("doc_a"), "seed", "sig")
+    sigb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", "sig")
     match = (
-        a.join(b, ["seed", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cands.join(siga, "doc_a")
+        .join(sigb, ["doc_b", "seed", "sig"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_match_sigs"))
     )
@@ -987,7 +995,7 @@ _REP_B = 10**12  # ord = n_chars * B - doc_id: unique, int64-safe
 def q158_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = D.exploded_shingles(docs, distinct=False)
-    pairs = D.lsh_candidate_pairs(D.minhash_signatures(sh, num_hashes=6))
+    pairs = D.lsh_candidate_pairs(D.minhash_bands(sh))
     labels = D.connected_components(docs.select("doc_id"), pairs, assume_canonical=True)
     joined = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
     return joined.groupBy("cluster_id").agg(

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..sources import tables
-from .queries_dedup import _SQL_SHINGLES
+from .queries_dedup import _SQL_SHINGLES, SQL_BAND_JOIN, SQL_V2_BANDS
 from .registry import query
 
 _SQL_WORDS = "regexp_split_to_array(trim(text), ' +')"
@@ -167,15 +167,10 @@ SQL_CLUSTER_LABELS = f"""
       SELECT doc_id, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS h
       FROM shingled
     ),
-    seeds AS (SELECT unnest(range(6)) AS seed),
-    sigs AS (
-      SELECT doc_id, seed,
-             MIN(((seed * 2 + 1) * h + (seed * 7919 + 13)) % 268435399) AS sig
-      FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed
-    ),
+    {SQL_V2_BANDS},
     edges AS MATERIALIZED (
       SELECT a.doc_id AS src, b.doc_id AS dst
-      FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.sig = b.sig AND a.doc_id <> b.doc_id
+      FROM bands a JOIN bands b ON {SQL_BAND_JOIN} AND a.doc_id <> b.doc_id
       GROUP BY 1, 2
     ),
     {_unrolled_min_label(_CC_ROUNDS)},
@@ -201,8 +196,7 @@ SQL_CLUSTER_LABELS = f"""
 def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = D.exploded_shingles(docs, distinct=False)
-    sigs = D.minhash_signatures(sh, num_hashes=6)
-    pairs = D.lsh_candidate_pairs(sigs)
+    pairs = D.lsh_candidate_pairs(D.minhash_bands(sh))
     return D.connected_components(docs.select("doc_id"), pairs, assume_canonical=True)
 
 

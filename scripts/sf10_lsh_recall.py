@@ -1,13 +1,14 @@
 """Measured LSH recall at sf10 for the production near-dup pipeline
 (q86) — the probabilistic twin of scripts/sf10_planted_neardup.py.
 
-q86 is a recall-then-precision pipeline: 6 single-hash MinHash bands
-propose candidates (theoretical pair recall 1 - (1-J)^6, >= 98.4% at
-J = 0.5, >= 99.998% at J = 0.8), a hot-bucket cap (>100 members) drops
-degenerate signatures, and exact Jaccard >= 0.5 verifies. The cap and
-the bands are the two places a true pair can be lost, and neither is
-observable from the (pair-free) gen_sf1 corpus — so PLANT truth and
-measure:
+q86 is a recall-then-precision pipeline: since the r15 cutover, 12-seed
+v2 MinHash folded into 6 bands of 2 rows proposes candidates
+(theoretical pair recall 1 - (1-J^2)^6: ~96% at J = 0.7, >= 99.9% at
+J = 0.8), a hot-bucket cap (>100 members, never-binding under 2-row
+bands) drops degenerate signatures, and exact Jaccard >= 0.5 verifies.
+The cap and the bands are the two places a true pair can be lost, and
+neither is observable from the (pair-free) gen_sf1 corpus — so PLANT
+truth and measure:
 
 * sample K real sf10 docs (seeded), append one single-word-mutated copy
   of each — every planted pair's exact Jaccard is >= 0.5 by construction

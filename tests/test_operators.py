@@ -1631,7 +1631,7 @@ class TestGraphPagerank:
         want = [tuple(r) for r in pagerank_plan(li).collect()]
 
         # build edges via the SAME helper the registry query uses, so
-        # this bit-equality pin covers the exact registered path
+        # this bit-equality pin covers the exact registered path...
         edges = copurchase_sym_edges(li)
         got = [
             tuple(r)
@@ -1642,6 +1642,33 @@ class TestGraphPagerank:
             .collect()
         ]
         assert got == want
+
+        # ...which makes the helper itself a shared blind spot (a bug in
+        # it would hit both sides identically). Cross-check the edge SET
+        # against an INDEPENDENT construction: the order-key self-join
+        # with != + distinct, symmetrized by construction.
+        lp = li.select("l_orderkey", "l_partkey").distinct()
+        indep = {
+            (r.u, r.v)
+            for r in lp.alias("x")
+            .join(lp.alias("y"), "l_orderkey")
+            .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+            .select(
+                F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v")
+            )
+            .distinct()
+            .collect()
+        }
+        assert {(r.u, r.v) for r in edges.collect()} == indep
+
+    def test_rejects_zero_iters(self, spark):
+        """n_iters=0 would return a frame whose only backing blocks were
+        just unpersisted (ADVICE r14) — must refuse, not crash later."""
+        from e2e_stock_data_pipeline_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame([(1, 2), (2, 1)], ["u", "v"])
+        with pytest.raises(ValueError):
+            pagerank(edges, n_iters=0)
 
 
 class TestSaltedGroupTopk:

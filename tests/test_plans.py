@@ -127,13 +127,69 @@ def test_no_eager_actions_in_plan_modules():
     pat = re.compile(
         r"\.(count|first|collect|toPandas|head)\(\)"
         r"|\.(localCheckpoint|checkpoint|cache|persist)\("
+        # operators.materialize routes the same eager work (DISK_ONLY
+        # localCheckpoint + count) through a helper the method regexes
+        # above can't see — an eager plan builder must be a CONSCIOUS
+        # decision, recorded in the allowlist below with its rationale
+        r"|materialize\("
     )
+    # plan builders allowed to be eager, file:line-independent:
+    #   queries_ext15.py (q184): `ordered` feeds all 5 legs of the l=2
+    #     prefix join — materializing once at build time is the measured
+    #     629s->123s sf10 win AND suppresses a Catalyst through-aggregate
+    #     size underestimate that broadcast a 17M-row side;
+    #   queries_ext9.py (q153): the LSH pair set has THREE consumers
+    #     (CC fixpoint + both leak audits); checkpointing once at query
+    #     level replaced 3x full banding re-executions (r12, sf10).
+    allowed_eager = {"queries_ext15.py", "queries_ext9.py"}
     offenders = []
     for f in targets:
         for i, line in enumerate(f.read_text().splitlines(), 1):
             if pat.search(line.split("#")[0]):
+                if "materialize(" in line and f.name in allowed_eager:
+                    continue
                 offenders.append(f"{f.name}:{i}")
     assert not offenders, offenders
+
+
+def test_lsh_family_consistency_v2_everywhere():
+    """r15 cutover contract: the v1 MinHash family (correlated seeds —
+    measured 6.5x excess argmin agreement, 45.2% planted recall at
+    sf10) must be fully retired from the registered surface. Every
+    oracle that builds a MinHash index must embed the SHARED v2 band
+    fragment (seeds from range(LSH_NUM_HASHES), the Weyl hash from
+    UNIVERSAL_HASH_V2_SQL) — a partial rollback or a hand-edited copy
+    that drifts from the constants fails here, not at sf10."""
+    from e2e_stock_data_pipeline_spark.operators import dedup as D
+    from e2e_stock_data_pipeline_spark.plans.queries_dedup import SQL_V2_BANDS
+
+    v1_relics = [
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle and ("* 7919 +" in s.oracle or "seed * 2 + 1" in s.oracle)
+    ]
+    assert not v1_relics, f"v1 MinHash family still in oracles: {v1_relics}"
+
+    v2_hash = D.UNIVERSAL_HASH_V2_SQL.format(seed="seed", base="h")
+    assert v2_hash in SQL_V2_BANDS  # fragment derives from the constant
+    minhash_queries = [
+        n for n, s in REGISTRY.items() if s.oracle and "MIN(" in s.oracle
+        and "sha256(shingle)" in s.oracle
+    ]
+    assert sorted(minhash_queries) == sorted([
+        "q41_minhash_lsh_pairs",
+        "q56_dedup_clusters",
+        "q86_neardup_pipeline",
+        "q105_cluster_size_histogram",
+        "q126_incremental_dedup",
+        "q153_cluster_split",
+        "q155_minhash_calibration",
+        "q158_cluster_canonicals",
+    ]), "MinHash oracle census drifted — update this contract deliberately"
+    for n in minhash_queries:
+        assert SQL_V2_BANDS in REGISTRY[n].oracle, (
+            f"{n} oracle does not embed the shared v2 band fragment"
+        )
 
 
 def test_bench_queries_all_have_oracles():
@@ -298,8 +354,8 @@ def test_cc_oracle_propagation_budget(spark):
         pytest.skip("gate-scale dataset not present")
     docs = _docs(spark, gate_sf)
     sh = D.exploded_shingles(docs, distinct=False)
-    sigs = D.minhash_signatures(sh, num_hashes=6)
-    pairs = D.lsh_candidate_pairs(sigs).collect()
+    # mirror q56's registered configuration (v2 family, 6 bands x 2 rows)
+    pairs = D.lsh_candidate_pairs(D.minhash_bands(sh)).collect()
     adj = collections.defaultdict(set)
     for r in pairs:
         adj[r.doc_a].add(r.doc_b)

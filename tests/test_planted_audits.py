@@ -34,18 +34,15 @@ class TestPlantedAudits:
         assert "missing=0" in out and "unsound=0" in out
 
     def test_lsh_tier_recall_and_values(self, spark, capsys):
-        """The script's exit code encodes the POST-r15-fix bar (recall
-        >= 0.98) and is allowed to fail pre-fix — this smoke pins the
-        instrument itself: it runs end-to-end, returned jaccard values
-        match the Python brute force exactly, and recall stays above
-        the measured pre-fix floor for this sf (0.95 at sf0.001; the
-        misses are the documented correlated-seed banding losses, see
-        BENCH_NOTES r14)."""
+        """Post-r15-cutover bar: the registered q86 (v2 family, 6 bands
+        x 2 rows) must clear the script's own exit bar (recall >= 0.98,
+        zero value drift) at this sf — at sf0.001 density every planted
+        pair should band-collide, so recall is 1.0 in practice."""
         import re
 
         mod = _load("sf10_lsh_recall")
-        mod.main([SF, "20"])  # exit code intentionally unchecked pre-fix
+        assert mod.main([SF, "20"]) == 0
         out = capsys.readouterr().out
         assert "value_drift=0" in out
         recall = float(re.search(r"recall=([\d.]+)", out).group(1))
-        assert recall >= 0.9
+        assert recall >= 0.98
