@@ -62,6 +62,8 @@ _CHANGED_IN_ROUND = {
     "q153_cluster_split": 15,
     "q155_minhash_calibration": 15,
     "q158_cluster_canonicals": 15,
+    # r15 ANN planted audit fix: density-scaled ADC shortlist
+    "q123_pq_rerank": 15,
 }
 
 

@@ -170,6 +170,7 @@ def pq_rerank_topk_seeded(
     n_seeds: int = 16,
     shortlist: int = 32,
     k_top: int = 5,
+    shortlist_scale_div: int | None = 16,
 ) -> DataFrame:
     """PQ shortlist -> exact rerank, fully lazy and integer-exact.
 
@@ -189,6 +190,20 @@ def pq_rerank_topk_seeded(
     float vectors) and shortlisting is a per-query top-k window over an
     aggregated |Q| x |C| code-distance frame; the exact stage reads full
     vectors for `shortlist` rows per query only.
+
+    ``shortlist_scale_div`` is the density guard the r15 planted audit
+    demanded (sf10: a FIXED 32-deep shortlist is 6.5% of the gate corpus
+    but 0.016% of 200k candidates — measured recall@5 fell to 22.8%):
+    the effective shortlist is max(shortlist, n_candidates DIV div),
+    computed per query as a COUNT window over the same partition the
+    top-k window already shuffles — no extra exchange, and at gate
+    scales (< div * shortlist candidates) the output is bit-unchanged.
+    A fixed FRACTION is the honest operating point for THIS codebook:
+    the 16-seed sampled codebook's distortion does not improve with
+    corpus size, so a fixed-count shortlist must lose recall as density
+    grows. At true 100 TB scale, swap in a trained codebook
+    (pq_fit_codebooks) and a fixed-count shortlist; pass None to
+    disable scaling.
 
     Returns (query_id, cand_id, adc_dist2, exact_d2, rnk) — all bigint
     but the int rnk; ties break on cand_id everywhere.
@@ -251,11 +266,20 @@ def pq_rerank_topk_seeded(
         .agg(F.sum("d2").cast("bigint").alias("adc_dist2"))
     )
     ws = Window.partitionBy("query_id").orderBy("adc_dist2", "cand_id")
-    short = (
-        adc.withColumn("_r", F.row_number().over(ws))
-        .filter(F.col("_r") <= shortlist)
-        .drop("_r")
-    )
+    short = adc.withColumn("_r", F.row_number().over(ws))
+    if shortlist_scale_div:
+        short = short.withColumn(
+            "_nc", F.count(F.lit(1)).over(Window.partitionBy("query_id"))
+        ).filter(
+            F.col("_r")
+            <= F.greatest(
+                F.lit(shortlist).cast("bigint"),
+                F.expr(f"_nc DIV {shortlist_scale_div}"),
+            )
+        )
+    else:
+        short = short.filter(F.col("_r") <= shortlist)
+    short = short.drop("_r", "_nc")
 
     # Exact rerank of survivors only.
     exact = _d2_q(F.col("_qq"), F.col("_cq"))

@@ -33,6 +33,19 @@ class TestPlantedAudits:
         assert "PLANTED-PAIR AUDIT: PASS" in out
         assert "missing=0" in out and "unsound=0" in out
 
+    def test_ann_tier_recall_and_calibration(self, spark, capsys):
+        """Pin the embedding-ANN planted audit (r15, VERDICT item 4): at
+        sf0.001 the registered q123/q128 must recover every planted
+        near-identical source at rank 1 (recall losses at this density
+        would be bugs, not shortlist/probe pruning), and q51's planted
+        bucket-collision count must sit inside the (1-theta/pi)^8
+        calibration band."""
+        mod = _load("sf10_ann_recall")
+        assert mod.main([SF, "2", "50"]) == 0
+        out = capsys.readouterr().out
+        assert "ok=True" in out
+        assert "CALIBRATION FAILURE" not in out
+
     def test_lsh_tier_recall_and_values(self, spark, capsys):
         """Post-r15-cutover bar: the registered q86 (v2 family, 6 bands
         x 2 rows) must clear the script's own exit bar (recall >= 0.98,
