@@ -20,7 +20,14 @@ truth and measure:
   math; a miss at J = 0.95 would be a bug or a cap collision — printed
   loudly either way).
 
-    python scripts/sf10_lsh_recall.py [sf10_dir] [K]
+    python scripts/sf10_lsh_recall.py [sf10_dir] [K] [--query q126]
+
+``--query q126`` audits the REGISTERED incremental path instead: plants
+get ids on the new-batch side of q126's boundary (doc_id % 5 = 0),
+sources are sampled from the corpus side (% 5 != 0), and recovery is
+measured through q126_incremental_dedup's (doc_new, doc_old, jaccard)
+output — closing the loop on the one v2-family query whose candidate
+join crosses a partition boundary instead of self-joining.
 """
 
 from __future__ import annotations
@@ -47,6 +54,14 @@ def shingles(text: str) -> frozenset[str]:
 
 
 def main(argv: list[str]) -> int:
+    qname = "q86_neardup_pipeline"
+    if "--query" in argv:
+        i = argv.index("--query")
+        qname = {"q86": "q86_neardup_pipeline", "q126": "q126_incremental_dedup"}[
+            argv[i + 1]
+        ]
+        argv = argv[:i] + argv[i + 2 :]
+    incremental = qname.startswith("q126")
     sf_dir = argv[0] if argv else ".bench_sf1/sf10"
     k = int(argv[1]) if len(argv) > 1 else 500
     rng = random.Random(86)
@@ -56,12 +71,19 @@ def main(argv: list[str]) -> int:
     max_id = max(d["doc_id"] for d in docs)
     vocab = sorted({w for d in rng.sample(docs, 200) for w in d["text"].split()})
 
+    pool = [d for d in docs if len(d["text"].split()) >= 16]
+    if incremental:
+        # sources must sit on the corpus side of q126's boundary; plants
+        # take ids on the new-batch side (doc_id % 5 = 0)
+        pool = [d for d in pool if d["doc_id"] % 5 != 0]
+        next_new = (max_id // 5 + 1) * 5
     planted, expected = [], {}
-    for i, src in enumerate(rng.sample([d for d in docs if len(d["text"].split()) >= 16], k)):
+    for i, src in enumerate(rng.sample(pool, k)):
         ws = src["text"].split()
         pos = rng.randrange(2, len(ws) - 2)
         ws[pos] = rng.choice([w for w in vocab if w != ws[pos]])
-        copy = dict(src, doc_id=max_id + 1 + i, text=" ".join(ws))
+        new_id = next_new + 5 * i if incremental else max_id + 1 + i
+        copy = dict(src, doc_id=new_id, text=" ".join(ws))
         copy["n_chars"] = len(copy["text"])
         planted.append(copy)
         sa, sb = shingles(src["text"]), shingles(copy["text"])
@@ -69,19 +91,26 @@ def main(argv: list[str]) -> int:
         u = len(sa) + len(sb) - c
         j = c / u if u else 0.0
         if j >= 0.5:
-            a, b = sorted((src["doc_id"], copy["doc_id"]))
-            expected[(a, b)] = j
+            key = (
+                (copy["doc_id"], src["doc_id"])
+                if incremental
+                else tuple(sorted((src["doc_id"], copy["doc_id"])))
+            )
+            expected[key] = j
     print(f"planted {len(planted)}, expected (J >= 0.5) pairs {len(expected)}")
 
     with tempfile.TemporaryDirectory() as tmp:
         pq.write_table(
             pa.Table.from_pylist(docs + planted, schema=tbl.schema), f"{tmp}/documents.parquet"
         )
-        spark = get_spark(app_name="q86-recall")
+        spark = get_spark(app_name="lsh-recall")
         t0 = time.time()
-        rows = load_all_query_modules()["q86_neardup_pipeline"].spark(spark, tmp).collect()
+        rows = load_all_query_modules()[qname].spark(spark, tmp).collect()
         wall = time.time() - t0
-    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    if incremental:
+        got = {(r.doc_new, r.doc_old): r.jaccard for r in rows}
+    else:
+        got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
 
     hits = {p: j for p, j in expected.items() if p in got}
     drift = [p for p, j in hits.items() if abs(got[p] - j) > 1e-12]

@@ -59,3 +59,16 @@ class TestPlantedAudits:
         assert "value_drift=0" in out
         recall = float(re.search(r"recall=([\d.]+)", out).group(1))
         assert recall >= 0.98
+
+    def test_lsh_incremental_recall(self, spark, capsys):
+        """Same bar through the REGISTERED q126 (cross-boundary
+        candidates): plants take new-batch ids (doc_id % 5 = 0),
+        sources stay corpus-side."""
+        import re
+
+        mod = _load("sf10_lsh_recall")
+        assert mod.main([SF, "20", "--query", "q126"]) == 0
+        out = capsys.readouterr().out
+        assert "value_drift=0" in out
+        recall = float(re.search(r"recall=([\d.]+)", out).group(1))
+        assert recall >= 0.98
