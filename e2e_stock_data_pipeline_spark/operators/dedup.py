@@ -86,6 +86,9 @@ def universal_hash(base: Column, seed_col: Column) -> Column:
     return (a * base + b) % MINHASH_P
 
 
+# RETIRED r15 (no oracle uses it — enforced by the family-consistency
+# contract test); kept with universal_hash so the independence
+# regression test can still measure the defect the v2 family fixed.
 UNIVERSAL_HASH_SQL = "(({seed} * 2 + 1) * {base} + ({seed} * 7919 + 13)) % 268435399"
 
 # --- v2 family (r14 finding; the registered family since r15) ---------
