@@ -64,6 +64,8 @@ _CHANGED_IN_ROUND = {
     "q158_cluster_canonicals": 15,
     # r15 ANN planted audit fix: density-scaled ADC shortlist
     "q123_pq_rerank": 15,
+    # r15 broadcast-gated pagerank rounds (physical only; bit-equal)
+    "q144_pagerank_copurchase": 15,
 }
 
 

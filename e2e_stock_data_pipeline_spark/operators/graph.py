@@ -52,14 +52,30 @@ def pagerank(
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     e = materialize(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u")
     deg = materialize(e.groupBy("u").agg(F.count(F.lit(1)).alias("d")), "u")
+    # The per-round joins pair the EDGE set against two NODE-sized tables
+    # (ranks, deg). materialize()'s LogicalRDD stats deliberately
+    # suppress auto-broadcast, so without a hint every round sort-merge
+    # shuffles the full edge set on u — the dominant per-round cost at
+    # sf10 (the same finding that drove connected_components' gated
+    # broadcasts). Gate on the node count (deg is checkpointed blocks,
+    # so the count is one cheap scan): under the CC bound, each round
+    # becomes edge-scan -> broadcast hash joins -> ONE shuffle (the
+    # per-target reduce); above it, fall back to AQE's choice.
+    from .dedup import _BCAST_NODE_LIMIT
+
+    n_nodes = deg.count()
+    bcast = F.broadcast if 0 < n_nodes <= _BCAST_NODE_LIMIT else (lambda f: f)
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
     )
     prev = None
     for _ in range(n_iters):
         contrib = (
-            ranks.join(deg, ranks.node == deg.u)
-            .select("node", F.expr("rank DIV d").alias("c"))
+            bcast(
+                ranks.join(bcast(deg), ranks.node == deg.u).select(
+                    "node", F.expr("rank DIV d").alias("c")
+                )
+            )
             .join(e, F.col("node") == e.u)
             .select("v", "c")
         )
