@@ -52,20 +52,14 @@ _DEFAULT_COST = 0.5  # queries added after the last cost sweep run early
 # re-earns a green row the entry is inert (self-cleaning — safe to leave
 # in place, but prune when obviously ancient).
 _CHANGED_IN_ROUND = {
-    # r15 LSH v1 -> v2 cutover (Weyl 12-seed family, 6 bands x 2 rows):
-    # every query whose plan or oracle rides the MinHash band index
-    "q41_minhash_lsh_pairs": 15,
-    "q56_dedup_clusters": 15,
-    "q86_neardup_pipeline": 15,
-    "q105_cluster_size_histogram": 15,
-    "q126_incremental_dedup": 15,
-    "q153_cluster_split": 15,
-    "q155_minhash_calibration": 15,
-    "q158_cluster_canonicals": 15,
-    # r15 ANN planted audit fix: density-scaled ADC shortlist
-    "q123_pq_rerank": 15,
-    # r15 broadcast-gated pagerank rounds (physical only; bit-equal)
-    "q144_pagerank_copurchase": 15,
+    # (r15 entries pruned: every r15-changed query re-earned a green
+    # driver row in CORRECTNESS_r15, so those entries went inert.)
+    # r16 density-scaled geometry fixes (VERDICT r15 items 1-2): banded
+    # hyperplane LSH for the incremental embedding near-dup, sqrt-scaled
+    # IVF cells/probes. Both bit-unchanged at gate density, but plan AND
+    # oracle changed — front-load them for re-green.
+    "q130_incremental_embed_neardup": 16,
+    "q128_ivf_rerank": 16,
 }
 
 

@@ -42,6 +42,12 @@ from pyspark.sql import functions as F
 
 from .similarity import dot_q, quantized
 
+# Density divisor for the ADC shortlist (the r15 planted-audit fix):
+# effective shortlist = max(shortlist, n_candidates DIV this). Module-
+# level so the registered q123 call AND its DuckDB oracle f-string
+# reference the same constant and cannot drift (ADVICE r15).
+SHORTLIST_SCALE_DIV = 16
+
 
 def _subvec(vec_col: str, j: int, dsub: int):
     return F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub)
@@ -170,7 +176,7 @@ def pq_rerank_topk_seeded(
     n_seeds: int = 16,
     shortlist: int = 32,
     k_top: int = 5,
-    shortlist_scale_div: int | None = 16,
+    shortlist_scale_div: int | None = SHORTLIST_SCALE_DIV,
 ) -> DataFrame:
     """PQ shortlist -> exact rerank, fully lazy and integer-exact.
 
@@ -267,7 +273,12 @@ def pq_rerank_topk_seeded(
     )
     ws = Window.partitionBy("query_id").orderBy("adc_dist2", "cand_id")
     short = adc.withColumn("_r", F.row_number().over(ws))
-    if shortlist_scale_div:
+    if shortlist_scale_div is not None and shortlist_scale_div < 1:
+        raise ValueError(
+            f"shortlist_scale_div must be >= 1 or None to disable the "
+            f"density guard, got {shortlist_scale_div}"
+        )
+    if shortlist_scale_div is not None:
         short = short.withColumn(
             "_nc", F.count(F.lit(1)).over(Window.partitionBy("query_id"))
         ).filter(

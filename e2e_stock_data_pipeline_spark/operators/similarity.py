@@ -329,6 +329,25 @@ def _d2_int(a: Column, b: Column) -> Column:
     return dot_q(a, a) - F.lit(2).cast("bigint") * dot_q(a, b) + dot_q(b, b)
 
 
+# Density scaling for the seeded IVF (VERDICT r15 item 2, the q123
+# shortlist-guard shape applied to the coarse quantizer): with
+# density_scaled=True the cell count follows the classic IVF rule
+# n_cells ~ sqrt(N) — concretely LEAST(IVF_CELLS_MAX, GREATEST(n_cells,
+# FLOOR(SQRT(n_cand DIV IVF_CELLS_SCALE_DIV)))) — and the probe count
+# keeps the probed-cell FRACTION constant at 1/IVF_PROBE_DIV
+# (GREATEST(n_probe, cells DIV IVF_PROBE_DIV)), so the probed
+# population stays the same share of the corpus while the cells
+# themselves get finer (recall can only improve over the fixed
+# geometry). FLOOR(SQRT(.)) over a bigint is IEEE-exact on both
+# engines, so the oracle replays the geometry from the same count.
+# IVF_CELLS_MAX bounds the static seed scan (smallest-id top-K) —
+# past ~IVF_CELLS_SCALE_DIV * IVF_CELLS_MAX^2 candidate rows the cell
+# count stops scaling; raise it with the seed-scan budget at 100 TB.
+IVF_CELLS_SCALE_DIV = 4
+IVF_PROBE_DIV = 4
+IVF_CELLS_MAX = 1024
+
+
 def ivf_rerank_topk_seeded(
     queries: DataFrame,
     candidates: DataFrame,
@@ -338,6 +357,7 @@ def ivf_rerank_topk_seeded(
     n_cells: int = 16,
     n_probe: int = 4,
     k_top: int = 5,
+    density_scaled: bool = False,
 ) -> DataFrame:
     """IVF probe -> exact rerank, fully lazy and integer-exact.
 
@@ -382,12 +402,47 @@ def ivf_rerank_topk_seeded(
     qn = queries.select(F.col(id_col).alias("query_id"), checked_q("query").alias("_q"))
     cn = candidates.select(F.col(id_col).alias("cand_id"), checked_q("candidate").alias("_q"))
 
-    seeds = (
-        cn.orderBy("cand_id")
-        .limit(n_cells)
-        .withColumn("c", F.row_number().over(Window.orderBy("cand_id")) - 1)
-        .select("c", F.col("_q").alias("_cent"))
-    )
+    if density_scaled:
+        # one lazy one-row count picks the geometry (no driver probe);
+        # the static smallest-id seed scan stays a TakeOrdered of
+        # IVF_CELLS_MAX rows, then the data-dependent cell count clips it
+        params = (
+            cn.agg(F.count(F.lit(1)).alias("_n"))
+            .select(
+                F.least(
+                    F.lit(IVF_CELLS_MAX).cast("bigint"),
+                    F.greatest(
+                        F.lit(n_cells).cast("bigint"),
+                        F.floor(
+                            F.sqrt(F.expr(f"_n DIV {IVF_CELLS_SCALE_DIV}"))
+                        ).cast("bigint"),
+                    ),
+                ).alias("_ncells")
+            )
+            .select(
+                "_ncells",
+                F.greatest(
+                    F.lit(n_probe).cast("bigint"),
+                    F.expr(f"_ncells DIV {IVF_PROBE_DIV}"),
+                ).alias("_nprobe"),
+            )
+        )
+        seeds = (
+            cn.orderBy("cand_id")
+            .limit(IVF_CELLS_MAX)
+            .crossJoin(F.broadcast(params))
+            .withColumn("c", F.row_number().over(Window.orderBy("cand_id")) - 1)
+            .filter(F.col("c") < F.col("_ncells"))
+            .select("c", F.col("_q").alias("_cent"))
+        )
+    else:
+        params = None
+        seeds = (
+            cn.orderBy("cand_id")
+            .limit(n_cells)
+            .withColumn("c", F.row_number().over(Window.orderBy("cand_id")) - 1)
+            .select("c", F.col("_q").alias("_cent"))
+        )
     d2c = _d2_int(F.col("_q"), F.col("_cent"))
 
     def assign(to_cells: DataFrame) -> DataFrame:
@@ -420,12 +475,19 @@ def ivf_rerank_topk_seeded(
     indexed = assign(cent).join(cn, "cand_id")  # (cand_id, cell, _q)
 
     wp = Window.partitionBy("query_id").orderBy("_d2", "c")
-    probes = (
+    ranked = (
         qn.crossJoin(F.broadcast(cent))
         .select("query_id", "_q", d2c.alias("_d2"), "c")
         .withColumn("_r", F.row_number().over(wp))
-        .filter(F.col("_r") <= n_probe)
-        .select("query_id", F.col("_q").alias("_qq"), F.col("c").alias("cell"))
+    )
+    if density_scaled:
+        ranked = ranked.crossJoin(F.broadcast(params)).filter(
+            F.col("_r") <= F.col("_nprobe")
+        )
+    else:
+        ranked = ranked.filter(F.col("_r") <= n_probe)
+    probes = ranked.select(
+        "query_id", F.col("_q").alias("_qq"), F.col("c").alias("cell")
     )
 
     wk = Window.partitionBy("query_id").orderBy("exact_d2", "cand_id")
@@ -442,11 +504,48 @@ def ivf_rerank_topk_seeded(
     )
 
 
+# Density-scaled banded hyperplane geometry, shared by the Spark plan and
+# the SQL oracle (the pq.py shortlist-guard pattern applied to bucket
+# cardinality — VERDICT r15 item 1). Depth r is the smallest plane count
+# in [EMBED_BASE_PLANES, EMBED_R_MAX] with 2^r buckets >= n_old /
+# EMBED_DENSITY_DIV (so per-band bucket population stays ~EMBED_DENSITY_DIV
+# as the corpus grows), and the band count B = max(1, r - base) adds one
+# independent hash table per extra plane of depth to pay back the recall
+# each deeper band costs. At gate density (n_old <= 640) this reduces to
+# exactly one band of EMBED_BASE_PLANES planes — the pre-r16 geometry,
+# bit-for-bit. Past EMBED_R_MAX (65536 buckets/band) buckets stop scaling:
+# that cap bounds the plan-literal plane pool; raise it with the bit
+# budget if a deployment's daily corpus exceeds DIV * 2^R_MAX rows.
+EMBED_BASE_PLANES = 4
+EMBED_DENSITY_DIV = 40
+EMBED_R_MAX = 16
+
+
+def embed_r_sql(n_old_expr: str, base: int = EMBED_BASE_PLANES) -> str:
+    """The depth ladder as an ANSI-SQL CASE over an old-corpus count
+    expression — integer-exact (no float log2), so DuckDB and Spark can
+    never disagree on the geometry for the same count."""
+    arms = " ".join(
+        f"WHEN ({n_old_expr}) <= {EMBED_DENSITY_DIV * (1 << r)} THEN {r}"
+        for r in range(base, EMBED_R_MAX)
+    )
+    return f"CASE {arms} ELSE {EMBED_R_MAX} END"
+
+
+def embed_r_col(n_old: Column, base: int = EMBED_BASE_PLANES) -> Column:
+    """embed_r_sql's ladder as a Catalyst Column (same thresholds)."""
+    expr = None
+    for r in range(base, EMBED_R_MAX):
+        cond = n_old <= F.lit(EMBED_DENSITY_DIV * (1 << r))
+        expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))
+    return expr.otherwise(F.lit(EMBED_R_MAX)).cast("int")
+
+
 def incremental_embed_neardup(
     df: DataFrame,
     new_pred: Column,
     threshold: float = 0.2,
-    n_planes: int = 4,
+    base_planes: int = EMBED_BASE_PLANES,
     seed: int = 13,
     dim: int | None = None,
     id_col: str = "vec_id",
@@ -457,23 +556,96 @@ def incremental_embed_neardup(
     dedup.incremental_neardup (q126).
 
     Candidate pairs come from hyperplane-LSH bucket collisions strictly
-    ACROSS the new/old boundary, so work scales with the batch, never
-    corpus x corpus; only colliding pairs pay the exact quantized-cosine
-    verify. At 100 TB the corpus side's (id, bucket) frame is a stored
-    index appended per batch — recomputing it here from one frame keeps
-    the registered query oracle-replayable (same trade q126 documents).
+    ACROSS the new/old boundary; only colliding pairs pay the exact
+    quantized-cosine verify. The geometry is DENSITY-SCALED inside the
+    plan (no driver probe): one lazy one-row count of the old corpus
+    picks the plane depth r via embed_r_col's integer ladder and the
+    band count B = max(1, r - base_planes), so per-band bucket
+    population holds ~EMBED_DENSITY_DIV rows at any corpus size —
+    candidate volume stays batch x DIV x B instead of growing linearly
+    with the corpus as a fixed 2^base bucket table would (the r15
+    density defect), while the extra bands keep planted-pair recall at
+    or above the fixed-geometry scheme. Plane identities are fixed per
+    (band, slot) global index, so growing r only extends each band's
+    slot range; at gate density the scheme IS the one band of
+    ``base_planes`` legacy planes, bit-for-bit. At 100 TB the corpus
+    side's (id, band, bucket) frame is a stored index appended per
+    batch — recomputing it here from one frame keeps the registered
+    query oracle-replayable (same trade q126 documents).
 
     Returns (vec_new, vec_old, cos_sim) for verified pairs >= threshold.
     """
-    new_b = hyperplane_lsh_buckets(
-        df.filter(new_pred), id_col=id_col, vec_col=vec_col,
-        n_planes=n_planes, seed=seed, dim=dim,
-    ).select(F.col(id_col).alias("vec_new"), "bucket")
-    old_b = hyperplane_lsh_buckets(
-        df.filter(~new_pred), id_col=id_col, vec_col=vec_col,
-        n_planes=n_planes, seed=seed, dim=dim,
-    ).select(F.col(id_col).alias("vec_old"), "bucket")
-    cand = new_b.join(old_b, "bucket").select("vec_new", "vec_old").distinct()
+    import hashlib
+
+    def sign(g: int, d: int) -> int:
+        h = hashlib.sha256(f"plane:{seed}:{g}:{d}".encode()).hexdigest()
+        return 1 if int(h[:2], 16) % 2 == 0 else -1
+
+    lit_dim = dim if dim is not None else MAX_PLANE_DIM
+    b_max = max(1, EMBED_R_MAX - base_planes)
+    # plane pool literal: global index g = band * EMBED_R_MAX + slot, so
+    # band 0 slots 0..base-1 are exactly the legacy plane:seed:p keys
+    pool = F.lit(
+        [
+            [sign(g, d) for d in range(lit_dim)]
+            for g in range(b_max * EMBED_R_MAX)
+        ]
+    )
+
+    old = df.filter(~new_pred)
+    params = (
+        old.agg(F.count(F.lit(1)).alias("_n_old"))
+        .select(embed_r_col(F.col("_n_old"), base_planes).alias("_r"))
+        .select(
+            "_r",
+            F.greatest(F.lit(1), F.col("_r") - F.lit(base_planes)).alias("_b"),
+        )
+    )
+
+    def plane(g: Column) -> Column:
+        full = F.element_at(pool, (g + 1).cast("int"))
+        if dim is not None:
+            return full
+        return F.slice(full, 1, F.size(F.col("_q")))
+
+    def bit(g: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(F.col("_q"), plane(g), lambda x, c: x * c),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.col("_r") - 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc * F.lit(2).cast("bigint")
+        + bit(F.col("_band") * F.lit(EMBED_R_MAX) + s),
+    )
+
+    def bucketed(side: DataFrame, out_id: str) -> DataFrame:
+        q = quantized(vec_col)
+        if dim is None:
+            q = F.slice(q, 1, F.least(F.size(q), F.lit(MAX_PLANE_DIM)))
+        return (
+            side.select(F.col(id_col).alias(out_id), q.alias("_q"))
+            .crossJoin(F.broadcast(params))  # one-row geometry frame
+            .select(
+                out_id,
+                "_q",
+                "_r",
+                F.explode(F.sequence(F.lit(0), F.col("_b") - 1)).alias("_band"),
+            )
+            .select(out_id, "_band", bucket.alias("_bucket"))
+        )
+
+    new_b = bucketed(df.filter(new_pred), "vec_new")
+    old_b = bucketed(old, "vec_old")
+    cand = (
+        new_b.join(old_b, ["_band", "_bucket"])
+        .select("vec_new", "vec_old")
+        .distinct()
+    )
 
     n = with_quantized_norm(df, vec_col)
     a = n.select(

@@ -48,6 +48,14 @@ def _sql_seeded_hash(expr: str, seed_expr: str) -> str:
 # ``hashed(doc_id, h)`` (28-bit sha256-prefix base hash per shingle).
 _SQL_V2_HASH = D.UNIVERSAL_HASH_V2_SQL.format(seed="seed", base="h")
 
+# The fragment below hardcodes TWO row slots (s0/s1 via `seed % 2`); a
+# change to LSH_ROWS_PER_BAND must regenerate it or the oracle silently
+# desyncs from band_signatures until a gate run fails (ADVICE r15).
+assert D.LSH_ROWS_PER_BAND == 2, (
+    "SQL_V2_BANDS is written for 2 rows per band; regenerate its slot "
+    f"columns for LSH_ROWS_PER_BAND={D.LSH_ROWS_PER_BAND}"
+)
+
 SQL_V2_BANDS = f"""
     seeds AS (SELECT unnest(range({D.LSH_NUM_HASHES})) AS seed),
     sigs AS (

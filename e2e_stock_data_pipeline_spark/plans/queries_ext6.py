@@ -103,7 +103,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY adc_dist2, cand_id) AS r,
                COUNT(*) OVER (PARTITION BY query_id) AS nc
         FROM adc
-      ) WHERE r <= greatest({_SHORTLIST}, nc // 16)
+      ) WHERE r <= greatest({_SHORTLIST}, nc // {pq.SHORTLIST_SCALE_DIV})
     )
     SELECT query_id, cand_id, adc_dist2, exact_d2, CAST(rnk AS INT) AS rnk FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -143,6 +143,7 @@ def q123_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_seeds=_N_SEEDS,
         shortlist=_SHORTLIST,
         k_top=_K,
+        shortlist_scale_div=pq.SHORTLIST_SCALE_DIV,
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64_sql
+from ..operators import similarity as similarity_ops
 from ..operators.similarity import ivf_rerank_topk_seeded
 from ..sources import tables
 from .queries_dedup import _SQL_SHINGLES
@@ -26,8 +27,16 @@ from .queries_ext6 import _D2, _SQL_Q
 from .registry import query
 
 # IVF geometry shared by the Spark plan and the SQL oracle: 64-dim
-# vectors, 16 cells, 4 probes per query, top-5.
+# vectors, top-5; the cell and probe counts are DENSITY-SCALED from the
+# candidate count (r16, VERDICT r15 item 2): cells = clamp(floor(sqrt(
+# n_cand DIV similarity.IVF_CELLS_SCALE_DIV)), 16, IVF_CELLS_MAX) and
+# probes = max(4, cells DIV IVF_PROBE_DIV) — the probed-cell FRACTION
+# stays 1/4 while the cells get finer as the corpus grows. At gate
+# density (n_cand <= 1024) this is exactly the pre-r16 16/4 geometry.
 _DIM, _N_CELLS, _N_PROBE, _K = 64, 16, 4, 5
+_CSD = similarity_ops.IVF_CELLS_SCALE_DIV
+_PDIV = similarity_ops.IVF_PROBE_DIV
+_CMAX = similarity_ops.IVF_CELLS_MAX
 
 
 @query(
@@ -36,9 +45,20 @@ _DIM, _N_CELLS, _N_PROBE, _K = 64, 16, 4, 5
     WITH e AS (SELECT vec_id, {_SQL_Q} AS q FROM embeddings),
     qs AS (SELECT vec_id, q FROM e WHERE vec_id < 5),
     cand AS (SELECT vec_id, q FROM e WHERE vec_id >= 5),
+    params AS (
+      SELECT ncells, GREATEST({_N_PROBE}, ncells // {_PDIV}) AS nprobe
+      FROM (
+        SELECT LEAST({_CMAX}, GREATEST({_N_CELLS},
+                 CAST(FLOOR(SQRT((SELECT COUNT(*) FROM cand) // {_CSD})) AS BIGINT)
+               )) AS ncells
+      )
+    ),
     seeds AS (
-      SELECT q AS cent, row_number() OVER (ORDER BY vec_id) - 1 AS c
-      FROM (SELECT vec_id, q FROM cand ORDER BY vec_id LIMIT {_N_CELLS})
+      SELECT q AS cent, rn - 1 AS c
+      FROM (
+        SELECT q, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM (SELECT vec_id, q FROM cand ORDER BY vec_id LIMIT {_CMAX})
+      ) WHERE rn <= (SELECT ncells FROM params)
     ),
     a0 AS (
       SELECT cand_id, cell FROM (
@@ -71,7 +91,7 @@ _DIM, _N_CELLS, _N_PROBE, _K = 64, 16, 4, 5
                row_number() OVER (PARTITION BY qq.vec_id
                                   ORDER BY {_D2.format(a="qq.q", b="ct.cent")}, ct.c) AS r
         FROM qs qq CROSS JOIN cent ct
-      ) WHERE r <= {_N_PROBE}
+      ) WHERE r <= (SELECT nprobe FROM params)
     )
     SELECT query_id, cand_id, CAST(cell AS INT) AS cell, exact_d2,
            CAST(rnk AS INT) AS rnk FROM (
@@ -88,15 +108,21 @@ _DIM, _N_CELLS, _N_PROBE, _K = 64, 16, 4, 5
     ) WHERE rnk <= {_K}
     """,
     doc="IVF ANN with an oracle-replayable learned index: seed "
-    "centroids (16 smallest-id candidates) + one exact Lloyd step "
+    "centroids (smallest-id candidates) + one exact Lloyd step "
     "(centroid = component-wise sum div count, truncating division "
     "identical in Spark and DuckDB), candidates indexed by refined "
-    "cell, each query probes its 4 nearest cells and exact-reranks "
-    "only in-cell candidates to top-5. Every centroid frame is "
-    "broadcast and the search joins candidates to the BROADCAST probe "
-    "frame — candidates are never shuffled on the 16-value cell key. "
-    "Closes the last ANN path without oracle evidence (ivf_topk is "
-    "the KMeans-fit production twin, recall-tested).",
+    "cell, each query probes its nearest cells and exact-reranks "
+    "only in-cell candidates to top-5. The cell/probe counts are "
+    "DENSITY-SCALED from a lazy one-row candidate count (cells ~ "
+    "sqrt(n_cand DIV 4) clamped to [16, 1024], probes = cells DIV 4 "
+    "floored at 4 — constant probed fraction over ever-finer cells, "
+    "so recall no longer decays as the corpus outgrows a pinned 16-"
+    "cell table; at gate density this is exactly the pre-r16 16/4 "
+    "geometry). Every centroid frame is broadcast and the search "
+    "joins candidates to the BROADCAST probe frame — candidates are "
+    "never shuffled on the low-cardinality cell key. Closes the last "
+    "ANN path without oracle evidence (ivf_topk is the KMeans-fit "
+    "production twin, recall-tested).",
     tags=("similarity", "ann", "ivf", "ext"),
 )
 def q128_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,6 +134,7 @@ def q128_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=_N_CELLS,
         n_probe=_N_PROBE,
         k_top=_K,
+        density_scaled=True,
     )
 
 
@@ -163,9 +190,14 @@ def q129_source_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Embedding-modality incremental near-dup (q126's daily-ingest pattern on
-# vectors): 4 hyperplanes -> 16 buckets, candidates strictly new x old,
-# exact quantized cosine verify at 0.2 (q50 conventions).
-_INP, _ISEED, _ITHRESH = 4, 13, 0.2
+# vectors): DENSITY-SCALED banded hyperplane LSH — depth r from
+# similarity.embed_r_sql's integer ladder over the old-corpus count,
+# B = max(1, r - base) bands, candidates strictly new x old, exact
+# quantized cosine verify at 0.2 (q50 conventions). At gate density
+# (n_old <= 640) this is exactly the pre-r16 single band of 4 planes.
+_IBASE, _ISEED, _ITHRESH = similarity_ops.EMBED_BASE_PLANES, 13, 0.2
+_IRMAX = similarity_ops.EMBED_R_MAX
+_IR_SQL = similarity_ops.embed_r_sql("SELECT n_old FROM nold", base=_IBASE)
 
 
 @query(
@@ -174,31 +206,39 @@ _INP, _ISEED, _ITHRESH = 4, 13, 0.2
     WITH e AS (
       SELECT vec_id, {_SQL_Q} AS q, vec_id % 5 = 0 AS is_new FROM embeddings
     ),
+    nold AS (SELECT COUNT(*) AS n_old FROM e WHERE NOT is_new),
+    params AS (
+      SELECT r, GREATEST(1, r - {_IBASE}) AS nb
+      FROM (SELECT ({_IR_SQL}) AS r)
+    ),
     comp AS (
       SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM e
     ),
     planes AS (
-      SELECT pp.p, dd.d,
-             CASE WHEN CAST(('0x' || substr(sha256('plane:{_ISEED}:' || CAST(pp.p AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
+      SELECT gg.g, dd.d,
+             CASE WHEN CAST(('0x' || substr(sha256('plane:{_ISEED}:' || CAST(gg.g AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
                   THEN 1 ELSE -1 END AS c
-      FROM (SELECT unnest(range({_INP})) AS p) pp
+      FROM (SELECT unnest(range({(_IRMAX - _IBASE) * _IRMAX})) AS g) gg
       CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+      WHERE (gg.g % {_IRMAX}) < (SELECT r FROM params)
+        AND (gg.g // {_IRMAX}) < (SELECT nb FROM params)
     ),
     dots AS (
-      SELECT comp.vec_id, planes.p, SUM(comp.x * planes.c) AS dot
+      SELECT comp.vec_id, planes.g // {_IRMAX} AS band,
+             planes.g % {_IRMAX} AS s, SUM(comp.x * planes.c) AS dot
       FROM comp JOIN planes ON comp.d - 1 = planes.d
-      GROUP BY comp.vec_id, planes.p
+      GROUP BY comp.vec_id, band, s
     ),
     b AS (
-      SELECT vec_id,
-             CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-      FROM dots GROUP BY vec_id
+      SELECT vec_id, band,
+             CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, s) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id, band
     ),
     cand AS (
       SELECT DISTINCT bn.vec_id AS vec_new, bo.vec_id AS vec_old
       FROM b bn
       JOIN e en ON en.vec_id = bn.vec_id AND en.is_new
-      JOIN b bo ON bo.bucket = bn.bucket
+      JOIN b bo ON bo.band = bn.band AND bo.bucket = bn.bucket
       JOIN e eo ON eo.vec_id = bo.vec_id AND NOT eo.is_new
     ),
     n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn FROM e)
@@ -211,13 +251,19 @@ _INP, _ISEED, _ITHRESH = 4, 13, 0.2
     """,
     doc="Incremental EMBEDDING near-dup: today's batch (vec_id % 5 = 0) "
     "against the existing corpus only — the vector-modality twin of "
-    "q126's MinHash composition. Candidates come from hyperplane-LSH "
-    "bucket collisions strictly across the new/old boundary (work "
-    "scales with the batch, never corpus x corpus; the corpus bucket "
-    "frame is a stored index at 100 TB), then only colliding pairs pay "
-    "the exact quantized-cosine verify at 0.2. Same integer-exact "
-    "plane/cosine conventions as q50b/q51, so DuckDB replays the "
-    "bucket assignment and the verdict bit-for-bit.",
+    "q126's MinHash composition. Candidates come from DENSITY-SCALED "
+    "banded hyperplane-LSH collisions strictly across the new/old "
+    "boundary: plane depth r grows one step per doubling of the old "
+    "corpus past 640 rows (similarity.embed_r_sql's integer ladder, "
+    "computed lazily from a one-row count — no driver probe) and "
+    "B = max(1, r-4) independent bands pay back the recall each extra "
+    "plane costs, so per-band bucket population and therefore candidate "
+    "volume per batch row stay ~constant at any corpus size (the r15 "
+    "fixed-16-bucket geometry was linear in corpus). Only colliding "
+    "pairs pay the exact quantized-cosine verify at 0.2. Same "
+    "integer-exact plane/cosine conventions as q50b/q51, so DuckDB "
+    "replays the count, the ladder, the bucket assignment, and the "
+    "verdict bit-for-bit.",
     tags=("similarity", "dedup", "incremental", "lsh", "ext"),
 )
 def q130_incremental_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +274,7 @@ def q130_incremental_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         e,
         F.col("vec_id") % 5 == 0,
         threshold=_ITHRESH,
-        n_planes=_INP,
+        base_planes=_IBASE,
         seed=_ISEED,
         dim=64,
     )

@@ -29,6 +29,12 @@ What it plants and what it measures:
   calibration shape that exposed the v1 MinHash family (a correlated
   plane family would sit far from its prediction; sigma is reported).
 
+* q130 (r16): the density-scaled banded geometry gets the q126-shaped
+  cross-boundary planted-pair audit — plants take new-batch ids, the
+  observed recall through the REGISTERED query is calibrated against
+  1-(1-s^r)^B and must not undershoot the r15 fixed-geometry
+  prediction s^base (the "recall >= current" bar for the fix).
+
     python scripts/sf10_ann_recall.py [sf_dir] [reps] [n_pairs]
 """
 
@@ -218,6 +224,81 @@ def main(argv: list[str]) -> int:
     if abs(z) > 4.0:
         ok = False
         print("  CALIBRATION FAILURE: plane family deviates from independence math")
+
+    # ---- q130: cross-boundary planted pairs through the REGISTERED
+    # density-scaled banded geometry (r16). Plants get new-batch ids
+    # (vec_id % 5 = 0), sources stay corpus-side; a pair is recalled iff
+    # it appears in q130's output (its cos is far above the 0.2 verify,
+    # so the only loss stage is band collision). Observed recall is
+    # calibrated against the banding math 1-(1-s^r)^B and compared with
+    # the r15 fixed single-band prediction s^base — the "recall >= the
+    # old geometry" evidence the density fix must carry.
+    from e2e_stock_data_pipeline_spark.operators.similarity import (
+        EMBED_BASE_PLANES,
+        EMBED_DENSITY_DIV,
+        EMBED_R_MAX,
+    )
+
+    def embed_geometry(n_old: int) -> tuple[int, int]:
+        for r in range(EMBED_BASE_PLANES, EMBED_R_MAX):
+            if n_old <= EMBED_DENSITY_DIV * (1 << r):
+                break
+        else:
+            r = EMBED_R_MAX
+        return r, max(1, r - EMBED_BASE_PLANES)
+
+    rng = random.Random(130)
+    nprng = np.random.default_rng(130)
+    ids, X, labels = ids0.copy(), X0.copy(), labels0.copy()
+    n_old = int((ids % 5 != 0).sum())
+    r_depth, n_bands = embed_geometry(n_old)
+    hi = (int(ids.max()) // 5 + 1) * 5  # planted ids stay % 5 == 0 (new)
+    old_pool = list(np.where(ids % 5 != 0)[0])
+    pick = rng.sample(old_pool, min(n_pairs, len(old_pool)))
+    pl_ids, pl_X, pl_lab, pairs, p_new, p_old = [], [], [], [], [], []
+    for j, si in enumerate(pick):
+        sigma = 0.05 + 0.45 * rng.random()
+        v = X[si] + nprng.normal(0.0, sigma * scale, dim).astype(np.float32)
+        qa, qb = quantize(v), quantize(X[si])
+        c = float(qa @ qb) / (math.sqrt(qa @ qa) * math.sqrt(qb @ qb))
+        s = 1.0 - math.acos(max(-1.0, min(1.0, c))) / math.pi
+        p_new.append(1.0 - (1.0 - s**r_depth) ** n_bands)
+        p_old.append(s**EMBED_BASE_PLANES)
+        pl_ids.append(hi + 5 * j)
+        pl_X.append(v)
+        pl_lab.append(int(labels[si]))
+        pairs.append((hi + 5 * j, int(ids[si])))
+    all_ids = np.concatenate([ids, np.array(pl_ids, dtype=np.int64)])
+    all_X = np.vstack([X, np.array(pl_X, dtype=np.float32)])
+    all_lab = np.concatenate([labels, np.array(pl_lab, dtype=np.int32)]).astype(
+        np.int32
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_corpus(tmp, all_ids, all_X, all_lab)
+        got_pairs = {
+            (r.vec_new, r.vec_old)
+            for r in registry["q130_incremental_embed_neardup"]
+            .spark(spark, tmp)
+            .select("vec_new", "vec_old")
+            .collect()
+        }
+    observed = sum(1 for p in pairs if p in got_pairs)
+    expected = sum(p_new)
+    sd = math.sqrt(sum(p * (1 - p) for p in p_new))
+    z = (observed - expected) / sd if sd else 0.0
+    print(
+        f"q130_incremental_embed_neardup: planted cross-boundary recall "
+        f"{observed}/{len(pairs)} ({observed / len(pairs):.4f}) at geometry "
+        f"r={r_depth} B={n_bands} (n_old={n_old}); predicted "
+        f"{expected:.1f} by 1-(1-s^r)^B (sd {sd:.1f}, z={z:+.2f}); "
+        f"r15 fixed single-band geometry would predict {sum(p_old):.1f}"
+    )
+    if abs(z) > 4.0:
+        ok = False
+        print("  CALIBRATION FAILURE: banded family deviates from independence math")
+    if observed + 3.0 * sd < sum(p_old):
+        ok = False
+        print("  RECALL REGRESSION: observed below the fixed-geometry prediction")
 
     print(f"RESULT wall={time.time() - t0:.1f}s ok={ok}")
     return 0 if ok else 1

@@ -141,13 +141,19 @@ def test_no_eager_actions_in_plan_modules():
     #   queries_ext9.py (q153): the LSH pair set has THREE consumers
     #     (CC fixpoint + both leak audits); checkpointing once at query
     #     level replaced 3x full banding re-executions (r12, sf10).
-    allowed_eager = {"queries_ext15.py", "queries_ext9.py"}
+    # Keyed by file -> EXPECTED materialize() occurrence count, so a new
+    # eager call site added to an already-allowlisted file still fails
+    # here and must be consciously recorded (ADVICE r15).
+    allowed_eager = {"queries_ext15.py": 1, "queries_ext9.py": 1}
     offenders = []
+    eager_seen: dict[str, int] = {}
     for f in targets:
         for i, line in enumerate(f.read_text().splitlines(), 1):
             if pat.search(line.split("#")[0]):
                 if "materialize(" in line and f.name in allowed_eager:
-                    continue
+                    eager_seen[f.name] = eager_seen.get(f.name, 0) + 1
+                    if eager_seen[f.name] <= allowed_eager[f.name]:
+                        continue
                 offenders.append(f"{f.name}:{i}")
     assert not offenders, offenders
 
