@@ -16,7 +16,21 @@ q184's l=2 prefix upgrade closed the last corpus-density straggler
 --timeout S (default 300) cancels a runaway query via its job group
 and records it as timeout instead of hanging the sweep.
 
+Checkpoint/resume (r16, after the r15 external-SIGKILL incident killed
+a sweep at ~146/196 with no traceback): every per-query record is
+ALSO appended to a state file (--state PATH, default
+``.smoke_state/<sf_dir basename>.jsonl`` under the repo root — never
+inside sf_dir, which may be read-only) the moment it lands, and --resume
+replays that file — queries already recorded ok/skipped are emitted
+from the state without re-running (flagged "resumed": true) and count
+in the closing summary; error/timeout rows are retried. So after any
+kill the one-command recovery is re-running with --resume added.
+Each record also carries the JVM's peak RSS observed while the query
+ran (2 s sampler on /proc/<jvm>/status VmRSS) so the next external
+kill can be attributed to the query that was inflating the heap.
+
     python scripts/sf10_smoke.py [sf_dir] [--timeout 300] [--heavy]
+                                 [--resume] [--state PATH]
 
 Prints one JSON line per query and a closing summary.
 """
@@ -49,6 +63,70 @@ from e2e_stock_data_pipeline_spark.session import get_spark  # noqa: E402
 KNOWN_HEAVY: set[str] = set()
 
 
+def _jvm_pid() -> int | None:
+    """Pid of the Spark JVM (the java child of this driver process)."""
+    me = str(os.getpid())
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().split()
+                if parts[3] == me and "java" in parts[1]:
+                    return int(pid)
+            except OSError:
+                continue
+    except OSError:
+        pass
+    return None
+
+
+def _rss_mb(pid: int) -> int | None:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) // 1024
+    except OSError:
+        return None
+    return None
+
+
+class _RssSampler:
+    """Max JVM VmRSS observed between reset() calls (2 s poll). The
+    kernel's VmHWM can't attribute a peak to a QUERY (it's a process-
+    lifetime high-water mark); a coarse sampler can."""
+
+    def __init__(self) -> None:
+        self.pid: int | None = None
+        self.peak = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self) -> None:
+        while not self._stop.wait(2.0):
+            if self.pid is None:
+                self.pid = _jvm_pid()
+            if self.pid is not None:
+                rss = _rss_mb(self.pid)
+                if rss is None:  # JVM died/rebuilt — rediscover
+                    self.pid = None
+                elif rss > self.peak:
+                    self.peak = rss
+
+    def reset(self) -> None:
+        self.peak = 0
+        if self.pid is not None:
+            rss = _rss_mb(self.pid)
+            if rss:
+                self.peak = rss
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
 def main(argv: list[str]) -> int:
     timeout = 300.0
     if "--timeout" in argv:
@@ -65,7 +143,36 @@ def main(argv: list[str]) -> int:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2 :]
+    resume = "--resume" in argv
+    if resume:
+        argv.remove("--resume")
+    state_path = None
+    if "--state" in argv:
+        i = argv.index("--state")
+        state_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else ".bench_sf1/sf10"
+    if state_path is None:
+        os.makedirs(".smoke_state", exist_ok=True)
+        state_path = os.path.join(
+            ".smoke_state", os.path.basename(os.path.normpath(sf_dir)) + ".jsonl"
+        )
+    done: dict[str, dict] = {}
+    if resume and os.path.exists(state_path):
+        with open(state_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # a kill mid-write leaves a torn last line
+                status = rec.get("status", "")
+                if rec.get("query") and (
+                    status == "ok" or status.startswith("skip")
+                ):
+                    done[rec["query"]] = rec
+    elif not resume and os.path.exists(state_path):
+        os.replace(state_path, state_path + ".prev")  # fresh sweep, keep one back
+    state = open(state_path, "a", buffering=1)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     def fresh_session():
@@ -77,42 +184,51 @@ def main(argv: list[str]) -> int:
 
     spark = fresh_session()
     reg = load_all_query_modules()
+    sampler = _RssSampler()
+
+    def emit(rec: dict) -> None:
+        line = json.dumps(rec)
+        print(line, flush=True)
+        state.write(line + "\n")
 
     ok = errors = timeouts = skipped = 0
     t_all = time.perf_counter()
     for name, spec in reg.items():
         if only is not None and name not in only:
             continue
+        if name in done:
+            rec = dict(done[name], resumed=True)
+            if rec["status"] == "ok":
+                ok += 1
+            else:
+                skipped += 1
+            print(json.dumps(rec), flush=True)  # already in the state file
+            continue
         if spec.pinned_sf_dir:
             skipped += 1
-            print(json.dumps({"query": name, "status": "skip_pinned"}), flush=True)
+            emit({"query": name, "status": "skip_pinned"})
             continue
         if name in KNOWN_HEAVY and not heavy:
             skipped += 1
-            print(
-                json.dumps({"query": name, "status": "skip_heavy_evidenced"}),
-                flush=True,
-            )
+            emit({"query": name, "status": "skip_heavy_evidenced"})
             continue
         if "baseline" in (spec.tags or ()) and spec.scale_twin and not heavy:
             # by-design quadratic correctness anchors (q42/q50): their
             # declared scale_twin IS the sf10 path; running the anchor at
             # sf10 just burns the timeout proving what the tag already says
             skipped += 1
-            print(
-                json.dumps(
-                    {
-                        "query": name,
-                        "status": "skip_baseline_anchor",
-                        "scale_twin": spec.scale_twin,
-                    }
-                ),
-                flush=True,
+            emit(
+                {
+                    "query": name,
+                    "status": "skip_baseline_anchor",
+                    "scale_twin": spec.scale_twin,
+                }
             )
             continue
         group = f"smoke-{name}"
         cancelled = threading.Event()
         timer = None
+        sampler.reset()
         t0 = time.perf_counter()
         rec: dict = {"query": name}
         try:
@@ -149,6 +265,8 @@ def main(argv: list[str]) -> int:
             except Exception:  # noqa: BLE001
                 pass
         rec["sec"] = round(time.perf_counter() - t0, 2)
+        if sampler.peak:
+            rec["jvm_peak_rss_mb"] = sampler.peak
         # between-queries lifecycle hygiene (VERDICT r11 item 3): release
         # localCheckpoint blocks, broadcast references and the plan cache
         # so a 196-query single session doesn't accumulate to heap death
@@ -173,7 +291,7 @@ def main(argv: list[str]) -> int:
 
             _tables._DF_CACHE.clear()  # cached frames belong to the dead context
             spark = fresh_session()
-        print(json.dumps(rec), flush=True)
+        emit(rec)
 
     print(
         json.dumps(
@@ -190,6 +308,8 @@ def main(argv: list[str]) -> int:
         ),
         flush=True,
     )
+    sampler.stop()
+    state.close()
     spark.stop()
     return 1 if errors else 0
 
