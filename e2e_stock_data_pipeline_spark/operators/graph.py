@@ -50,34 +50,44 @@ def pagerank(
     unpersist below, so any later action would die on missing blocks."""
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
-    e = materialize(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u")
-    deg = materialize(e.groupBy("u").agg(F.count(F.lit(1)).alias("d")), "u")
-    # The per-round joins pair the EDGE set against two NODE-sized tables
-    # (ranks, deg). materialize()'s LogicalRDD stats deliberately
-    # suppress auto-broadcast, so without a hint every round sort-merge
-    # shuffles the full edge set on u — the dominant per-round cost at
-    # sf10 (the same finding that drove connected_components' gated
-    # broadcasts). Gate on the node count (deg is checkpointed blocks,
-    # so the count is one cheap scan): under the CC bound, each round
-    # becomes edge-scan -> broadcast hash joins -> ONE shuffle (the
-    # per-target reduce); above it, fall back to AQE's choice.
+    # Checkpoint the ADJACENCY form, not the edge list (r16): one
+    # groupBy(u).collect_set(v) turns the edge set into node-count rows
+    # of neighbor arrays. Compared to the r15 edge-list checkpoint this
+    # (a) writes/scans n_nodes rows instead of n_edges rows per round
+    # (sf10: 2M vs 180M — the write alone was ~27 s), (b) makes the
+    # degree table FREE (size(_nb) — the r15 version paid a separate
+    # edge-sized aggregation plus its own checkpoint), and (c) turns
+    # each round's broadcast-hash probe count from per-edge into
+    # per-node; the explode then re-expands to edge volume only INSIDE
+    # the round's single aggregation pipeline. collect_set also dedups
+    # defensively (the q144 edge builder already feeds distinct pairs).
+    # Set order is storage-nondeterministic, which is safe: the only
+    # consumer is an integer SUM, order-independent and exact.
+    adj = materialize(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .groupBy("u")
+        .agg(F.collect_set("v").alias("_nb")),
+        "u",
+    )
+    # Per-round join pairs the adjacency against the NODE-sized ranks
+    # table. materialize()'s LogicalRDD stats deliberately suppress
+    # auto-broadcast, so gate an explicit hint on the node count (the
+    # count is one cheap scan of checkpointed blocks — the same probe
+    # connected_components runs): under the CC bound each round is
+    # adjacency-scan -> broadcast hash join -> explode -> ONE shuffle
+    # (the per-target reduce); above it, fall back to AQE's choice.
     from .dedup import _BCAST_NODE_LIMIT
 
-    n_nodes = deg.count()
+    n_nodes = adj.count()
     bcast = F.broadcast if 0 < n_nodes <= _BCAST_NODE_LIMIT else (lambda f: f)
-    ranks = deg.select(
+    ranks = adj.select(
         F.col("u").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
     )
     prev = None
     for _ in range(n_iters):
-        contrib = (
-            bcast(
-                ranks.join(bcast(deg), ranks.node == deg.u).select(
-                    "node", F.expr("rank DIV d").alias("c")
-                )
-            )
-            .join(e, F.col("node") == e.u)
-            .select("v", "c")
+        contrib = adj.join(bcast(ranks), adj.u == ranks.node).select(
+            F.expr("rank DIV size(_nb)").alias("c"),
+            F.explode("_nb").alias("v"),
         )
         ranks = materialize(
             contrib.groupBy(F.col("v").alias("node")).agg(
@@ -90,11 +100,10 @@ def pagerank(
         if prev is not None:
             unpersist_materialized(prev)  # superseded round's blocks
         prev = ranks
-    # ranks is checkpointed/self-contained — the data-sized edge-list
-    # and degree blocks are dead once the loop ends (bfs_hops releases
-    # sym the same way)
-    unpersist_materialized(e)
-    unpersist_materialized(deg)
+    # ranks is checkpointed/self-contained — the data-sized adjacency
+    # blocks are dead once the loop ends (bfs_hops releases sym the
+    # same way)
+    unpersist_materialized(adj)
     return ranks
 
 

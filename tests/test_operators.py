@@ -1102,6 +1102,155 @@ class TestDistributedGlobalRanking:
         assert sizes[1] == 30001 and all(sizes[t] == 30000 for t in range(2, 11))
 
 
+class TestDensityScaledGeometry:
+    """r16 (VERDICT r15 items 1-2): the similarity tier's two remaining
+    fixed geometries became density-scaled — banded hyperplane LSH for
+    the incremental embedding near-dup and sqrt-scaled IVF cells/probes.
+    These tests pin (a) Spark/SQL ladder agreement, (b) bit-equivalence
+    with the legacy geometry below the density thresholds, and (c) the
+    banding invariants (exact duplicates always collide; output is a
+    subset of true pairs) at a density that engages the scaling."""
+
+    def test_embed_r_ladder_spark_matches_sql(self, spark):
+        import duckdb
+
+        from e2e_stock_data_pipeline_spark.operators.similarity import (
+            EMBED_R_MAX,
+            embed_r_col,
+            embed_r_sql,
+        )
+
+        counts = [0, 1, 40, 640, 641, 1280, 1281, 159_999, 163_840,
+                  163_841, 40 * (1 << 15), 40 * (1 << 15) + 1, 10**9]
+        df = spark.createDataFrame([(c,) for c in counts], ["n"])
+        got = {
+            r.n: r.r
+            for r in df.select("n", embed_r_col(F.col("n")).alias("r")).collect()
+        }
+        con = duckdb.connect()
+        for c in counts:
+            assert got[c] == con.execute(f"SELECT {embed_r_sql(str(c))}").fetchone()[0]
+        # the thresholds that matter: gate density stays at the legacy 4
+        # planes; sf10's 160k old corpus lands on r=12; the cap holds
+        assert got[640] == 4 and got[641] == 5
+        assert got[159_999] == 12 and got[163_841] == 13
+        assert got[10**9] == EMBED_R_MAX
+
+    def test_banded_neardup_finds_duplicates_and_stays_sound(self, spark):
+        """At a density that engages banding (n_old=2000 -> r=6, B=2):
+        planted EXACT duplicates must always surface (identical vectors
+        give identical sign bits in every band — collision probability
+        1, not probabilistic), and every emitted pair must be a true
+        quantized-cosine >= threshold pair (the verify is exact)."""
+        import math
+        import random
+
+        from e2e_stock_data_pipeline_spark.operators.similarity import (
+            incremental_embed_neardup,
+        )
+
+        rng = random.Random(7)
+        dim = 8
+        rows = [
+            (i, [rng.uniform(-1.0, 1.0) for _ in range(dim)])
+            for i in range(2500)
+        ]
+        # plant 5 exact duplicates: new ids (% 5 == 0) copying old vectors
+        planted = []
+        for k, old_id in enumerate([2499, 2497, 2493, 2491, 2489]):  # % 5 != 0
+            new_id = 5 * k
+            rows[new_id] = (new_id, list(rows[old_id][1]))
+            planted.append((new_id, old_id))
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = incremental_embed_neardup(
+            df, F.col("vec_id") % 5 == 0, threshold=0.9, dim=dim
+        )
+        got = {(r.vec_new, r.vec_old): r.cos_sim for r in out.collect()}
+        for p in planted:
+            assert p in got, f"exact duplicate {p} missed by banding"
+            assert abs(got[p] - 1.0) < 1e-12
+        # soundness: every emitted pair really clears the threshold on
+        # the quantized-integer cosine (exact recompute in python)
+        vec = {i: [math.floor(x * 10000) for x in v] for i, v in rows}
+        for (a, b), cs in got.items():
+            qa, qb = vec[a], vec[b]
+            dot = sum(x * y for x, y in zip(qa, qb))
+            na = math.sqrt(sum(x * x for x in qa))
+            nb = math.sqrt(sum(x * x for x in qb))
+            assert a % 5 == 0 and b % 5 != 0
+            assert dot / (na * nb) >= 0.9
+            assert abs(dot / (na * nb) - cs) < 1e-12
+
+    def test_ivf_density_scaled_matches_legacy_below_threshold(self, spark, sf_dir):
+        """n_cand < 1024 -> the scaled geometry IS 16 cells / 4 probes:
+        the registered q128 stays bit-unchanged at gate density."""
+        from e2e_stock_data_pipeline_spark.operators.similarity import (
+            ivf_rerank_topk_seeded,
+        )
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        e = tables.load(spark, sf_dir, "embeddings")
+        q, c = e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5)
+        legacy = sorted(map(tuple, ivf_rerank_topk_seeded(q, c, k_top=5).collect()))
+        scaled = sorted(
+            map(
+                tuple,
+                ivf_rerank_topk_seeded(q, c, k_top=5, density_scaled=True).collect(),
+            )
+        )
+        assert legacy == scaled
+
+    def test_ivf_density_scaled_matches_explicit_geometry_above(self, spark):
+        """Above the threshold the scaled path must equal an explicit
+        call at the geometry the expressions pick: n_cand=1595 ->
+        cells = floor(sqrt(1595 DIV 4)) = 19, probes = max(4, 19 DIV 4)
+        = 4 — proving the lazy count drives the same plan."""
+        import random
+
+        from e2e_stock_data_pipeline_spark.operators.similarity import (
+            ivf_rerank_topk_seeded,
+        )
+
+        rng = random.Random(11)
+        dim = 16
+        df = spark.createDataFrame(
+            [(i, [rng.uniform(-1.0, 1.0) for _ in range(dim)]) for i in range(1600)],
+            ["vec_id", "embedding"],
+        )
+        q, c = df.filter(F.col("vec_id") < 5), df.filter(F.col("vec_id") >= 5)
+        scaled = sorted(
+            map(
+                tuple,
+                ivf_rerank_topk_seeded(
+                    q, c, dim=dim, k_top=3, density_scaled=True
+                ).collect(),
+            )
+        )
+        explicit = sorted(
+            map(
+                tuple,
+                ivf_rerank_topk_seeded(
+                    q, c, dim=dim, n_cells=19, n_probe=4, k_top=3
+                ).collect(),
+            )
+        )
+        assert scaled == explicit
+
+    def test_pq_shortlist_div_zero_rejected(self, spark, sf_dir):
+        """ADVICE r15: shortlist_scale_div=0 used to silently disable
+        the density guard (falsy), diverging from the documented
+        None-to-disable contract — now it raises."""
+        import pytest
+
+        from e2e_stock_data_pipeline_spark.operators.pq import pq_rerank_topk_seeded
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        e = tables.load(spark, sf_dir, "embeddings")
+        q, c = e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5)
+        with pytest.raises(ValueError, match="shortlist_scale_div"):
+            pq_rerank_topk_seeded(q, c, shortlist_scale_div=0)
+
+
 class TestTextEmbedding:
     def test_deterministic_normalized_and_semantic(self, spark):
         from e2e_stock_data_pipeline_spark.operators.embed import embed_text
