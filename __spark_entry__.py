@@ -60,6 +60,10 @@ _CHANGED_IN_ROUND = {
     # oracle changed — front-load them for re-green.
     "q130_incremental_embed_neardup": 16,
     "q128_ivf_rerank": 16,
+    # r16 banded density scaling extended to the remaining fixed-
+    # geometry pair (same family; bit-unchanged at gate density)
+    "q50b_neardup_lsh_blocked": 16,
+    "q87_multisignal_neardup": 16,
     # r16 pagerank adjacency checkpoint + collect_set edge build
     # (physical only; bit-equal, oracle unchanged)
     "q144_pagerank_copurchase": 16,

@@ -216,6 +216,7 @@ def lsh_blocked_neardup_pairs(
     n_planes: int = 4,
     seed: int = 13,
     dim: int | None = None,
+    density_scaled: bool = False,
 ) -> DataFrame:
     """Near-dup pairs blocked on (LSH bucket [, label]) — the scale path
     for q50-style cosine near-dup. The within-label all-pairs join is
@@ -224,13 +225,53 @@ def lsh_blocked_neardup_pairs(
     pair work shrinks by ~4^n_planes while same-bucket probability for
     truly similar vectors stays high ((1 - theta/pi)^n_planes).
 
+    With ``density_scaled=True`` (r16) the fixed single table becomes
+    the banded density-scaled geometry (embed_band_params over the
+    corpus count, ``n_planes`` as the base): per-band bucket population
+    stays ~EMBED_DENSITY_DIV rows however big the corpus, so in-block
+    pair volume no longer grows n^2/2^base — the same fix shape as the
+    incremental embedding near-dup, and bit-unchanged below the
+    640-row density floor where the geometry reduces to the legacy
+    single band.
+
     Output is a SUBSET of the exact pairs (precision 1 at the same
-    threshold); recall is the tunable (fewer planes or multi-probe seed
-    unions raise it). Returns (vec_a, vec_b, cos_sim).
+    threshold); recall is the tunable (extra bands raise it where a
+    deeper single table would cut it). Returns (vec_a, vec_b, cos_sim).
     """
+    keep = [label_col] if label_col else []
+    if density_scaled:
+        params = embed_band_params(df, n_planes)
+        bk = banded_hyperplane_buckets(
+            df, params, id_col, vec_col, seed, dim, n_planes, keep_cols=keep
+        )
+        keys = ["_band", "_bucket", *keep]
+        a = bk.select(F.col(id_col).alias("vec_a"), *keys)
+        c = bk.select(F.col(id_col).alias("vec_b"), *keys)
+        cand = (
+            a.join(c, keys)
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()  # a close pair collides in several bands
+        )
+        n = with_quantized_norm(df, vec_col)
+        qa = n.select(
+            F.col(id_col).alias("vec_a"),
+            F.col("_q").alias("_qa"), F.col("_nn").alias("_na"),
+        )
+        qb = n.select(
+            F.col(id_col).alias("vec_b"),
+            F.col("_q").alias("_qb"), F.col("_nn").alias("_nb"),
+        )
+        cos = cosine_q(F.col("_qa"), F.col("_qb"), F.col("_na"), F.col("_nb"))
+        return (
+            cand.join(qa, "vec_a")
+            .join(qb, "vec_b")
+            .select("vec_a", "vec_b", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
     b = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, seed, dim)
     e = with_quantized_norm(df, vec_col).join(b, id_col)
-    keys = ["bucket"] + ([label_col] if label_col else [])
+    keys = ["bucket", *keep]
     a = e.select(
         F.col(id_col).alias("vec_a"), *keys,
         F.col("_q").alias("_qa"), F.col("_nn").alias("_na"),
@@ -541,6 +582,133 @@ def embed_r_col(n_old: Column, base: int = EMBED_BASE_PLANES) -> Column:
     return expr.otherwise(F.lit(EMBED_R_MAX)).cast("int")
 
 
+def embed_band_params(df: DataFrame, base_planes: int = EMBED_BASE_PLANES) -> DataFrame:
+    """One-row (_r, _b) geometry frame from a lazy count of ``df`` —
+    the density driver every banded operator broadcasts (no driver
+    probe; the count folds into the plan)."""
+    return (
+        df.agg(F.count(F.lit(1)).alias("_n"))
+        .select(embed_r_col(F.col("_n"), base_planes).alias("_r"))
+        .select(
+            "_r",
+            F.greatest(F.lit(1), F.col("_r") - F.lit(base_planes)).alias("_b"),
+        )
+    )
+
+
+def banded_hyperplane_buckets(
+    df: DataFrame,
+    params: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+    dim: int | None = None,
+    base_planes: int = EMBED_BASE_PLANES,
+    keep_cols: Sequence[str] = (),
+    out_id: str | None = None,
+) -> DataFrame:
+    """(id, *keep_cols, _band, _bucket) under the density-scaled banded
+    geometry: one row per (vector, band), bucket = the band's _r sign
+    bits. Plane identities are fixed per (band, slot) global index
+    g = band * EMBED_R_MAX + slot with the legacy ``plane:{seed}:{g}:{d}``
+    sha256 derivation, so band 0's first ``base_planes`` slots ARE the
+    pre-r16 single-band planes — at gate density (params picks r=base,
+    B=1) the bucket partition is bit-identical to the old scheme."""
+    import hashlib
+
+    def sign(g: int, d: int) -> int:
+        h = hashlib.sha256(f"plane:{seed}:{g}:{d}".encode()).hexdigest()
+        return 1 if int(h[:2], 16) % 2 == 0 else -1
+
+    lit_dim = dim if dim is not None else MAX_PLANE_DIM
+    b_max = max(1, EMBED_R_MAX - base_planes)
+    pool = F.lit(
+        [[sign(g, d) for d in range(lit_dim)] for g in range(b_max * EMBED_R_MAX)]
+    )
+
+    def plane(g: Column) -> Column:
+        full = F.element_at(pool, (g + 1).cast("int"))
+        if dim is not None:
+            return full
+        return F.slice(full, 1, F.size(F.col("_q")))
+
+    def bit(g: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(F.col("_q"), plane(g), lambda x, c: x * c),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.col("_r") - 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc * F.lit(2).cast("bigint")
+        + bit(F.col("_band") * F.lit(EMBED_R_MAX) + s),
+    )
+    out = out_id or id_col
+    q = quantized(vec_col)
+    if dim is None:
+        q = F.slice(q, 1, F.least(F.size(q), F.lit(MAX_PLANE_DIM)))
+    return (
+        df.select(F.col(id_col).alias(out), *keep_cols, q.alias("_q"))
+        .crossJoin(F.broadcast(params))  # one-row geometry frame
+        .select(
+            out,
+            *keep_cols,
+            "_q",
+            "_r",
+            F.explode(F.sequence(F.lit(0), F.col("_b") - 1)).alias("_band"),
+        )
+        .select(out, *keep_cols, "_band", bucket.alias("_bucket"))
+    )
+
+
+def embed_banded_sql(
+    src_cte: str,
+    n_expr: str,
+    seed: int = 13,
+    base: int = EMBED_BASE_PLANES,
+    dim: int = 64,
+) -> str:
+    """The SQL mirror of :func:`banded_hyperplane_buckets`: CTE chain
+    ``params, comp, planes, dots, b`` computing b(vec_id, band, bucket)
+    from a preceding CTE ``src_cte(vec_id, q, ...)``. Splice inside a
+    WITH after ``src_cte``; ``n_expr`` is the corpus-count SQL the
+    ladder reads (e.g. a scalar subquery)."""
+    r_sql = embed_r_sql(n_expr, base=base)
+    rmax = EMBED_R_MAX
+    pool = (rmax - base) * rmax
+    return f"""
+    params AS (
+      SELECT r, GREATEST(1, r - {base}) AS nb
+      FROM (SELECT ({r_sql}) AS r)
+    ),
+    comp AS (
+      SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM {src_cte}
+    ),
+    planes AS (
+      SELECT gg.g, dd.d,
+             CASE WHEN CAST(('0x' || substr(sha256('plane:{seed}:' || CAST(gg.g AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
+                  THEN 1 ELSE -1 END AS c
+      FROM (SELECT unnest(range({pool})) AS g) gg
+      CROSS JOIN (SELECT unnest(range({dim})) AS d) dd
+      WHERE (gg.g % {rmax}) < (SELECT r FROM params)
+        AND (gg.g // {rmax}) < (SELECT nb FROM params)
+    ),
+    dots AS (
+      SELECT comp.vec_id, planes.g // {rmax} AS band,
+             planes.g % {rmax} AS s, SUM(comp.x * planes.c) AS dot
+      FROM comp JOIN planes ON comp.d - 1 = planes.d
+      GROUP BY comp.vec_id, band, s
+    ),
+    b AS (
+      SELECT vec_id, band,
+             CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, s) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id, band
+    )"""
+
+
 def incremental_embed_neardup(
     df: DataFrame,
     new_pred: Column,
@@ -575,72 +743,15 @@ def incremental_embed_neardup(
 
     Returns (vec_new, vec_old, cos_sim) for verified pairs >= threshold.
     """
-    import hashlib
-
-    def sign(g: int, d: int) -> int:
-        h = hashlib.sha256(f"plane:{seed}:{g}:{d}".encode()).hexdigest()
-        return 1 if int(h[:2], 16) % 2 == 0 else -1
-
-    lit_dim = dim if dim is not None else MAX_PLANE_DIM
-    b_max = max(1, EMBED_R_MAX - base_planes)
-    # plane pool literal: global index g = band * EMBED_R_MAX + slot, so
-    # band 0 slots 0..base-1 are exactly the legacy plane:seed:p keys
-    pool = F.lit(
-        [
-            [sign(g, d) for d in range(lit_dim)]
-            for g in range(b_max * EMBED_R_MAX)
-        ]
-    )
-
     old = df.filter(~new_pred)
-    params = (
-        old.agg(F.count(F.lit(1)).alias("_n_old"))
-        .select(embed_r_col(F.col("_n_old"), base_planes).alias("_r"))
-        .select(
-            "_r",
-            F.greatest(F.lit(1), F.col("_r") - F.lit(base_planes)).alias("_b"),
-        )
+    params = embed_band_params(old, base_planes)
+    new_b = banded_hyperplane_buckets(
+        df.filter(new_pred), params, id_col, vec_col, seed, dim,
+        base_planes, out_id="vec_new",
     )
-
-    def plane(g: Column) -> Column:
-        full = F.element_at(pool, (g + 1).cast("int"))
-        if dim is not None:
-            return full
-        return F.slice(full, 1, F.size(F.col("_q")))
-
-    def bit(g: Column) -> Column:
-        dot = F.aggregate(
-            F.zip_with(F.col("_q"), plane(g), lambda x, c: x * c),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
-
-    bucket = F.aggregate(
-        F.sequence(F.lit(0), F.col("_r") - 1),
-        F.lit(0).cast("bigint"),
-        lambda acc, s: acc * F.lit(2).cast("bigint")
-        + bit(F.col("_band") * F.lit(EMBED_R_MAX) + s),
+    old_b = banded_hyperplane_buckets(
+        old, params, id_col, vec_col, seed, dim, base_planes, out_id="vec_old"
     )
-
-    def bucketed(side: DataFrame, out_id: str) -> DataFrame:
-        q = quantized(vec_col)
-        if dim is None:
-            q = F.slice(q, 1, F.least(F.size(q), F.lit(MAX_PLANE_DIM)))
-        return (
-            side.select(F.col(id_col).alias(out_id), q.alias("_q"))
-            .crossJoin(F.broadcast(params))  # one-row geometry frame
-            .select(
-                out_id,
-                "_q",
-                "_r",
-                F.explode(F.sequence(F.lit(0), F.col("_b") - 1)).alias("_band"),
-            )
-            .select(out_id, "_band", bucket.alias("_bucket"))
-        )
-
-    new_b = bucketed(df.filter(new_pred), "vec_new")
-    old_b = bucketed(old, "vec_old")
     cand = (
         new_b.join(old_b, ["_band", "_bucket"])
         .select("vec_new", "vec_old")

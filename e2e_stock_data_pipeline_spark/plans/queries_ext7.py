@@ -196,8 +196,6 @@ def q129_source_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantized cosine verify at 0.2 (q50 conventions). At gate density
 # (n_old <= 640) this is exactly the pre-r16 single band of 4 planes.
 _IBASE, _ISEED, _ITHRESH = similarity_ops.EMBED_BASE_PLANES, 13, 0.2
-_IRMAX = similarity_ops.EMBED_R_MAX
-_IR_SQL = similarity_ops.embed_r_sql("SELECT n_old FROM nold", base=_IBASE)
 
 
 @query(
@@ -207,33 +205,7 @@ _IR_SQL = similarity_ops.embed_r_sql("SELECT n_old FROM nold", base=_IBASE)
       SELECT vec_id, {_SQL_Q} AS q, vec_id % 5 = 0 AS is_new FROM embeddings
     ),
     nold AS (SELECT COUNT(*) AS n_old FROM e WHERE NOT is_new),
-    params AS (
-      SELECT r, GREATEST(1, r - {_IBASE}) AS nb
-      FROM (SELECT ({_IR_SQL}) AS r)
-    ),
-    comp AS (
-      SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM e
-    ),
-    planes AS (
-      SELECT gg.g, dd.d,
-             CASE WHEN CAST(('0x' || substr(sha256('plane:{_ISEED}:' || CAST(gg.g AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
-                  THEN 1 ELSE -1 END AS c
-      FROM (SELECT unnest(range({(_IRMAX - _IBASE) * _IRMAX})) AS g) gg
-      CROSS JOIN (SELECT unnest(range(64)) AS d) dd
-      WHERE (gg.g % {_IRMAX}) < (SELECT r FROM params)
-        AND (gg.g // {_IRMAX}) < (SELECT nb FROM params)
-    ),
-    dots AS (
-      SELECT comp.vec_id, planes.g // {_IRMAX} AS band,
-             planes.g % {_IRMAX} AS s, SUM(comp.x * planes.c) AS dot
-      FROM comp JOIN planes ON comp.d - 1 = planes.d
-      GROUP BY comp.vec_id, band, s
-    ),
-    b AS (
-      SELECT vec_id, band,
-             CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, s) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-      FROM dots GROUP BY vec_id, band
-    ),
+    {similarity_ops.embed_banded_sql("e", "SELECT n_old FROM nold", seed=_ISEED, base=_IBASE)},
     cand AS (
       SELECT DISTINCT bn.vec_id AS vec_new, bo.vec_id AS vec_old
       FROM b bn

@@ -111,38 +111,32 @@ def q50_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q50b_neardup_lsh_blocked",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, {_SQL_Q} AS q FROM embeddings),
-    comp AS (
-      SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM e
+    {S.embed_banded_sql("e", "SELECT COUNT(*) FROM e")},
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM b x
+      JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+               AND x.vec_id < y.vec_id
+      JOIN e ea ON ea.vec_id = x.vec_id
+      JOIN e eb ON eb.vec_id = y.vec_id AND ea.label = eb.label
     ),
-    planes AS (
-      SELECT pp.p, dd.d,
-             CASE WHEN CAST(('0x' || substr(sha256('plane:13:' || CAST(pp.p AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
-                  THEN 1 ELSE -1 END AS c
-      FROM (SELECT unnest(range(4)) AS p) pp CROSS JOIN (SELECT unnest(range(64)) AS d) dd
-    ),
-    dots AS (
-      SELECT comp.vec_id, planes.p, SUM(comp.x * planes.c) AS dot
-      FROM comp JOIN planes ON comp.d - 1 = planes.d
-      GROUP BY comp.vec_id, planes.p
-    ),
-    buckets AS (
-      SELECT vec_id,
-             CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-      FROM dots GROUP BY vec_id
-    ),
-    n AS (
-      SELECT e.vec_id, e.label, b.bucket, e.q, list_dot_product(e.q, e.q) AS nn
-      FROM e JOIN buckets b ON e.vec_id = b.vec_id
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) AS cos_sim
-    FROM n a JOIN n b ON a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.2
+    n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn FROM e)
+    SELECT c.vec_a, c.vec_b,
+           list_dot_product(x.q, y.q) / (sqrt(x.nn) * sqrt(y.nn)) AS cos_sim
+    FROM cand c
+    JOIN n x ON x.vec_id = c.vec_a
+    JOIN n y ON y.vec_id = c.vec_b
+    WHERE list_dot_product(x.q, y.q) / (sqrt(x.nn) * sqrt(y.nn)) >= 0.2
     """,
-    doc="q50's 100 TB form: near-dup pairs blocked on (LSH bucket AND label) "
-    "— per-block pair work shrinks ~4^n_planes vs within-label all-pairs; "
-    "output is a subset of q50 (precision 1), recall tunable via planes/"
-    "multi-probe.",
+    doc="q50's 100 TB form: near-dup pairs blocked on (LSH bucket AND "
+    "label), with the bucket table DENSITY-SCALED (r16): plane depth r "
+    "follows similarity.embed_r_sql's integer ladder over the corpus "
+    "count and B = max(1, r-4) bands pay the recall back, so per-block "
+    "pair volume stays ~constant per row instead of n^2/16 (the same "
+    "fixed-geometry defect class q130/q123 carried). At gate density "
+    "the geometry IS the legacy single 4-plane band, bit-for-bit. "
+    "Output is a subset of q50 (precision 1), recall tunable via "
+    "base planes/bands.",
     tags=("similarity", "dedup", "lsh", "ext"),
 )
 def q50b_neardup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,6 +144,7 @@ def q50b_neardup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir), label_col="label", threshold=0.2, n_planes=4, seed=13,
         dim=64,  # matches the oracle's hardcoded range(64); lazy-slice
         # fallback costs ~2x in codegen width when dim is known
+        density_scaled=True,
     )
 
 
@@ -248,34 +243,23 @@ def q72_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE CAST(i.n_common AS DOUBLE) / (x.n + y.n - i.n_common) >= 0.5
     ),
     e AS (SELECT vec_id, label, {_SQL_Q} AS q FROM embeddings),
-    comp AS (
-      SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d FROM e
+    {S.embed_banded_sql("e", "SELECT COUNT(*) FROM e")},
+    ecand AS (
+      SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
+      FROM b x
+      JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+               AND x.vec_id < y.vec_id
+      JOIN e ea ON ea.vec_id = x.vec_id
+      JOIN e eb ON eb.vec_id = y.vec_id AND ea.label = eb.label
     ),
-    planes AS (
-      SELECT pp.p, dd.d,
-             CASE WHEN CAST(('0x' || substr(sha256('plane:13:' || CAST(pp.p AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
-                  THEN 1 ELSE -1 END AS c
-      FROM (SELECT unnest(range(4)) AS p) pp CROSS JOIN (SELECT unnest(range(64)) AS d) dd
-    ),
-    dots AS (
-      SELECT comp.vec_id, planes.p, SUM(comp.x * planes.c) AS dot
-      FROM comp JOIN planes ON comp.d - 1 = planes.d
-      GROUP BY comp.vec_id, planes.p
-    ),
-    buckets AS (
-      SELECT vec_id,
-             CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-      FROM dots GROUP BY vec_id
-    ),
-    n AS (
-      SELECT e.vec_id, e.label, b.bucket, e.q, list_dot_product(e.q, e.q) AS nn
-      FROM e JOIN buckets b ON e.vec_id = b.vec_id
-    ),
+    n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn FROM e),
     emb_pairs AS (
-      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-             list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) AS cos_sim
-      FROM n a JOIN n b ON a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.q, b.q) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.2
+      SELECT c.doc_a, c.doc_b,
+             list_dot_product(x.q, y.q) / (sqrt(x.nn) * sqrt(y.nn)) AS cos_sim
+      FROM ecand c
+      JOIN n x ON x.vec_id = c.doc_a
+      JOIN n y ON y.vec_id = c.doc_b
+      WHERE list_dot_product(x.q, y.q) / (sqrt(x.nn) * sqrt(y.nn)) >= 0.2
     )
     SELECT COALESCE(t.doc_a, v.doc_a) AS doc_a,
            COALESCE(t.doc_b, v.doc_b) AS doc_b,
@@ -286,8 +270,8 @@ def q72_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multi-signal near-dup verdict: text Jaccard pairs (>= 0.5, q42b's "
     "doc-freq-5 posting-list cap) FULL OUTER JOINed with (LSH bucket AND "
-    "label)-blocked embedding-cosine pairs (>= 0.2, 4 hyperplanes seed "
-    "13 — q50b's blocking) on the shared doc/vec id space — the "
+    "label)-blocked embedding-cosine pairs (>= 0.2, q50b's density-"
+    "scaled banded blocking, r16) on the shared doc/vec id space — the "
     "realistic LLM-pipeline dedup decision that scores a pair by how "
     "many independent signals fire. r11: both legs now run their "
     "production (capped/blocked) forms — the uncapped text leg and "
@@ -306,7 +290,7 @@ def q87_multisignal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", "jaccard")
     emb_pairs = S.lsh_blocked_neardup_pairs(
         _emb(spark, sf_dir), label_col="label", threshold=0.2,
-        n_planes=4, seed=13,
+        n_planes=4, seed=13, density_scaled=True,
     ).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "cos_sim"
     )
