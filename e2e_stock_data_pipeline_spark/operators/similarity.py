@@ -622,8 +622,18 @@ def banded_hyperplane_buckets(
 
     lit_dim = dim if dim is not None else MAX_PLANE_DIM
     b_max = max(1, EMBED_R_MAX - base_planes)
-    pool = F.lit(
-        [[sign(g, d) for d in range(lit_dim)] for g in range(b_max * EMBED_R_MAX)]
+    # One F.expr over a rendered array(...) string, NOT F.lit over the
+    # nested python list: py4j converts nested lists element-by-element
+    # (~5 s per call for the 192x64 pool, 4x that for the lazy-dim 256
+    # build — measured r16); the SQL string is one py4j call and a
+    # sub-ms Catalyst parse.
+    pool = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{sign(g, d)}L" for d in range(lit_dim)) + ")"
+            for g in range(b_max * EMBED_R_MAX)
+        )
+        + ")"
     )
 
     def plane(g: Column) -> Column:
