@@ -484,14 +484,26 @@ def ivf_rerank_topk_seeded(
             .withColumn("c", F.row_number().over(Window.orderBy("cand_id")) - 1)
             .select("c", F.col("_q").alias("_cent"))
         )
-    d2c = _d2_int(F.col("_q"), F.col("_cent"))
+    # Cell RANKING uses the norm-decomposed reduced distance
+    # |cent|^2 - 2<x, cent>: the row's own |x|^2 is constant across the
+    # cells it is ranked against, so dropping it cannot reorder any
+    # argmin/row_number — assignments and probes are bit-identical to
+    # the full d2 the oracle sorts by, at one array fold per pair
+    # instead of three (r16: the density-scaled 223-cell assignment was
+    # 3x-paying dot(x,x) per (candidate, cell); sf10 111 s -> measured
+    # below). |cent|^2 rides the broadcast centroid frame.
+    with_cn2 = lambda cells: cells.withColumn(  # noqa: E731
+        "_cn2", dot_q(F.col("_cent"), F.col("_cent"))
+    )
+    d2r = F.col("_cn2") - F.lit(2).cast("bigint") * dot_q(F.col("_q"), F.col("_cent"))
 
     def assign(to_cells: DataFrame) -> DataFrame:
         """Argmin cell per candidate vs a broadcast centroid frame —
-        min over a lexicographic (d2, c) struct is partial-aggregable."""
+        min over a lexicographic (reduced d2, c) struct is
+        partial-aggregable."""
         return (
-            cn.crossJoin(F.broadcast(to_cells))
-            .select("cand_id", d2c.alias("_d2"), "c")
+            cn.crossJoin(F.broadcast(with_cn2(to_cells)))
+            .select("cand_id", d2r.alias("_d2"), "c")
             .groupBy("cand_id")
             .agg(F.min(F.struct("_d2", "c")).alias("_mc"))
             .select("cand_id", F.col("_mc.c").alias("cell"))
@@ -517,8 +529,8 @@ def ivf_rerank_topk_seeded(
 
     wp = Window.partitionBy("query_id").orderBy("_d2", "c")
     ranked = (
-        qn.crossJoin(F.broadcast(cent))
-        .select("query_id", "_q", d2c.alias("_d2"), "c")
+        qn.crossJoin(F.broadcast(with_cn2(cent)))
+        .select("query_id", "_q", d2r.alias("_d2"), "c")
         .withColumn("_r", F.row_number().over(wp))
     )
     if density_scaled:
