@@ -64,6 +64,8 @@ _CHANGED_IN_ROUND = {
     # geometry pair (same family; bit-unchanged at gate density)
     "q50b_neardup_lsh_blocked": 16,
     "q87_multisignal_neardup": 16,
+    # r16 split the mixed distinct+HLL aggregate (plan only; same values)
+    "q37_approx_distinct": 16,
     # r16 pagerank adjacency checkpoint + collect_set edge build
     # (physical only; bit-equal, oracle unchanged)
     "q144_pagerank_copurchase": 16,
