@@ -66,6 +66,8 @@ _CHANGED_IN_ROUND = {
     "q87_multisignal_neardup": 16,
     # r16 split the mixed distinct+HLL aggregate (plan only; same values)
     "q37_approx_distinct": 16,
+    # r16 basket-form pair generation (plan only; same values)
+    "q138_copurchase_pairs": 16,
     # r16 pagerank adjacency checkpoint + collect_set edge build
     # (physical only; bit-equal, oracle unchanged)
     "q144_pagerank_copurchase": 16,

@@ -144,27 +144,51 @@ def drawdown_plan(e: DataFrame) -> DataFrame:
     )
 
 
+def order_part_pairs(li: DataFrame) -> DataFrame:
+    """(u, v) with u < v, ONE ROW PER (order, unordered part pair):
+    one groupBy(l_orderkey).collect_set (the set dedups (order, part)
+    inside the aggregation) plus an in-row pair explosion over the
+    sorted part array. A single fact-table exchange replaces the
+    textbook distinct -> self-join shape (distinct exchange + two join
+    sorts); per-order fan-out is bounded by basket size (<= 7 parts in
+    TPC-H shapes). Shared by the q138 pair counter and the q144 edge
+    builder so both walk the identical pair multiset."""
+    ps = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_ps"))
+        .filter(F.size("_ps") >= 2)
+        .select("_ps")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ps"), i + 2, F.size(F.col("_ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return ps.select(F.explode(pairs).alias("_p")).select(
+        F.col("_p.u").alias("u"), F.col("_p.v").alias("v")
+    )
+
+
 def copurchase_plan(
     li: DataFrame, min_support: int = 2, top: int = 50
 ) -> DataFrame:
     """lineitem(l_orderkey, l_partkey) -> top co-occurrence pairs.
 
-    Apriori cut first (an item in < min_support baskets cannot be in a
-    frequent pair), then the same-basket self-join keyed on the basket id
-    — fan-out bounded by basket size, never a cross product."""
-    li = li.select("l_orderkey", "l_partkey").distinct()
-    freq = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_support)
-        .select("l_partkey")
-    )
-    lf = li.join(F.broadcast(freq), "l_partkey").select("l_orderkey", "l_partkey")
-    a = lf.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = lf.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b"))
+    Pairs are generated in-row from per-order part sets
+    (order_part_pairs — one fact-table exchange), then counted per
+    unordered pair. The min_support filter on the COUNTED pairs
+    subsumes the classic apriori pre-cut: a part in < min_support
+    baskets cannot appear in a pair with n_orders >= min_support, so
+    pruning it early changes nothing downstream — the r16 basket form
+    drops that pre-join entirely (sf10: 33.8 -> measured in
+    BENCH_NOTES) while keeping the oracle untouched."""
     return (
-        a.join(b, (a.l_orderkey == b._ok) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
+        order_part_pairs(li.select("l_orderkey", "l_partkey"))
+        .groupBy(F.col("u").alias("part_a"), F.col("v").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= min_support)
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
@@ -656,37 +680,13 @@ def copurchase_sym_edges(li: DataFrame) -> DataFrame:
     intermediate), then mirrored. Shared by the oracle-form lazy unroll
     and the registry query so both walk the identical graph.
 
-    Built as ONE groupBy(l_orderkey).collect_set (the set dedups
-    (order, part) inside the aggregation) followed by an in-row pair
-    explosion over the sorted part array — not a self-join. The join
-    form cost a distinct exchange on (order, part) PLUS a sort-merge
-    join sorting 60M rows twice at sf10; this is one order-keyed
-    exchange with map-side partial sets, and the per-order fan-out is
-    bounded by basket size (<= 7 parts in TPC-H shapes) so the set
-    state is tiny. Same distinct (u, v) pair set, bit-for-bit (r16:
-    edge build 87.5 s -> measured win recorded in BENCH_NOTES)."""
-    ps = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_ps"))
-        .filter(F.size("_ps") >= 2)
-        .select("_ps")
-    )
-    # ordered pairs from the sorted array: for element i, pair with
-    # every later element — u < v by construction
-    pairs = F.flatten(
-        F.transform(
-            F.col("_ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ps"), i + 2, F.size(F.col("_ps"))),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    half = (
-        ps.select(F.explode(pairs).alias("_p"))
-        .select(F.col("_p.u").alias("u"), F.col("_p.v").alias("v"))
-        .distinct()
-    )
+    Built on order_part_pairs (one order-keyed exchange with map-side
+    partial sets — not a self-join; the join form cost a distinct
+    exchange on (order, part) PLUS a sort-merge join sorting 60M rows
+    twice at sf10) followed by the (u, v) distinct. Same distinct pair
+    set, bit-for-bit (r16: edge build 87.5 s -> measured win recorded
+    in BENCH_NOTES)."""
+    half = order_part_pairs(li.select("l_orderkey", "l_partkey")).distinct()
     return half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
