@@ -68,6 +68,11 @@ _CHANGED_IN_ROUND = {
     "q37_approx_distinct": 16,
     # r16 basket-form pair generation (plan only; same values)
     "q138_copurchase_pairs": 16,
+    # r16 merge-hinted verify joins (physical only; the sf10 smoke
+    # caught Catalyst statically broadcasting the 50M-row exploded-
+    # shingle sides — an edge-of-heap flake)
+    "q86_neardup_pipeline": 16,
+    "q126_incremental_dedup": 16,
     # r16 pagerank adjacency checkpoint + collect_set edge build
     # (physical only; bit-equal, oracle unchanged)
     "q144_pagerank_copurchase": 16,

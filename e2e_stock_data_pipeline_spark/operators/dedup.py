@@ -420,9 +420,12 @@ def incremental_neardup(
     sizes = shd.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = shd.select(F.col(id_col).alias("doc_new"), "shingle")
     sb = shd.select(F.col(id_col).alias("doc_old"), "shingle")
+    # merge-hint the exploded-shingle sides (q86's r16 smoke flake):
+    # Catalyst's through-explode size estimate statically broadcast the
+    # edge-of-heap ~50M-row (id, shingle) frames at sf10; SMJ spills.
     inter = (
-        cands.join(sa, "doc_new")
-        .join(sb, ["doc_old", "shingle"])
+        cands.join(sa.hint("merge"), "doc_new")
+        .join(sb.hint("merge"), ["doc_old", "shingle"])
         .groupBy("doc_new", "doc_old")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -328,9 +328,15 @@ def q86_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = shd.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = shd.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # merge-hint the exploded-shingle sides: Catalyst's size estimate
+    # THROUGH the explode undershoots so badly it statically broadcast
+    # the ~50M-row (doc, shingle) string frames at sf10 — a multi-GB
+    # HashedRelation build that OOMs the driver heap by luck of GC
+    # timing (r16 smoke flake). SMJ is spillable and this verify join
+    # is shuffle-sized anyway.
     inter = (
-        cands.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        cands.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
