@@ -212,11 +212,25 @@ _TRI_KB = 10**12  # orientation key = degree * _TRI_KB + node_id (int64-safe)
 _TRI_P6 = 1_000_000  # parts-per-million fixed point
 
 
+# Session-scoped memo for copurchase_edges_plan's materialized frame
+# (VERDICT r15 item 4's "build the edge set once per session"): FIVE
+# registered graph queries (q170/q177/q187/q193/q194) derive from the
+# IDENTICAL min-support edge set, each paying the ~25 s sf10 build.
+# Key = (applicationId, analyzed-plan semanticHash of the input,
+# min_support); a hit is only served while its backing checkpoint RDD
+# is still in the context's persistent map — registry.release() (the
+# sweep/gate between-queries sweep) unpersists all checkpoint blocks,
+# and a checkpointed frame is UNRECOMPUTABLE once its blocks drop, so
+# a stale hit must rebuild rather than hand out a dead frame.
+_EDGE_PLAN_CACHE: dict[tuple, tuple[DataFrame, int]] = {}
+
+
 def copurchase_edges_plan(li: DataFrame, min_support: int = 2) -> DataFrame:
     """(l_orderkey, l_partkey) basket rows -> undirected co-purchase
     edge list (pa < pb, pairs sharing >= min_support baskets),
-    materialized ONCE (localCheckpoint) because every consumer reads it
-    from several branches.
+    materialized ONCE PER SESSION (localCheckpoint + validated memo)
+    because every consumer reads it from several branches and five
+    registered queries share the identical frame.
 
     Pair generation via per-order part arrays: ONE shuffle of the fact
     table builds each order's sorted distinct part list (order-line
@@ -225,6 +239,25 @@ def copurchase_edges_plan(li: DataFrame, min_support: int = 2) -> DataFrame:
     shuffles the fact table three times (distinct, both join sides).
     sort_array makes pa < pb by construction; array_distinct subsumes
     the (orderkey, partkey) distinct."""
+    spark = li.sparkSession
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            li._jdf.queryExecution().analyzed().semanticHash(),
+            min_support,
+        )
+    except Exception:  # noqa: BLE001 — unhashable input: skip the memo
+        key = None
+    if key is not None and key in _EDGE_PLAN_CACHE:
+        df, rid = _EDGE_PLAN_CACHE[key]
+        alive = False
+        try:
+            alive = spark.sparkContext._jsc.getPersistentRDDs().containsKey(rid)
+        except Exception:  # noqa: BLE001
+            alive = False
+        if alive:
+            return df
+        del _EDGE_PLAN_CACHE[key]
     baskets = li.groupBy("l_orderkey").agg(
         F.array_distinct(F.sort_array(F.collect_list("l_partkey"))).alias("ps")
     )
@@ -237,12 +270,19 @@ def copurchase_edges_plan(li: DataFrame, min_support: int = 2) -> DataFrame:
             )
         ).alias("pr")
     ).select("pr.pa", "pr.pb")
-    return materialize(
+    out = materialize(
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_support)
         .select("pa", "pb")
     )
+    if key is not None:
+        try:
+            rid = out._jdf.queryExecution().analyzed().rdd().id()
+            _EDGE_PLAN_CACHE[key] = (out, rid)
+        except Exception:  # noqa: BLE001 — non-LogicalRDD plan: no memo
+            pass
+    return out
 
 
 def node_degrees(edges: DataFrame) -> DataFrame:
