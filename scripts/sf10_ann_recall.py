@@ -300,6 +300,63 @@ def main(argv: list[str]) -> int:
         ok = False
         print("  RECALL REGRESSION: observed below the fixed-geometry prediction")
 
+    # ---- q50b: same banded mechanism through the (bucket AND label)
+    # blocked pair query. Plants copy their source's LABEL (the label
+    # conjunction can then never drop a planted pair), so the only loss
+    # stage is again band collision — observed recall must match the
+    # banding math and not undershoot the fixed-geometry prediction.
+    rng = random.Random(50)
+    nprng = np.random.default_rng(50)
+    ids, X, labels = ids0.copy(), X0.copy(), labels0.copy()
+    n_corpus = len(ids)
+    r_depth, n_bands = embed_geometry(n_corpus + n_pairs)
+    hi = int(ids.max()) + 1
+    pick = rng.sample(range(len(ids)), min(n_pairs, len(ids)))
+    pl_ids, pl_X, pl_lab, pairs, p_new, p_old = [], [], [], [], [], []
+    for j, si in enumerate(pick):
+        sigma = 0.05 + 0.45 * rng.random()
+        v = X[si] + nprng.normal(0.0, sigma * scale, dim).astype(np.float32)
+        qa, qb = quantize(v), quantize(X[si])
+        c = float(qa @ qb) / (math.sqrt(qa @ qa) * math.sqrt(qb @ qb))
+        s = 1.0 - math.acos(max(-1.0, min(1.0, c))) / math.pi
+        p_new.append(1.0 - (1.0 - s**r_depth) ** n_bands)
+        p_old.append(s**EMBED_BASE_PLANES)
+        pl_ids.append(hi + j)
+        pl_X.append(v)
+        pl_lab.append(int(labels[si]))  # same label as the source
+        pairs.append((int(ids[si]), hi + j))  # vec_a < vec_b order
+    all_ids = np.concatenate([ids, np.array(pl_ids, dtype=np.int64)])
+    all_X = np.vstack([X, np.array(pl_X, dtype=np.float32)])
+    all_lab = np.concatenate([labels, np.array(pl_lab, dtype=np.int32)]).astype(
+        np.int32
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_corpus(tmp, all_ids, all_X, all_lab)
+        got_pairs = {
+            (r.vec_a, r.vec_b)
+            for r in registry["q50b_neardup_lsh_blocked"]
+            .spark(spark, tmp)
+            .select("vec_a", "vec_b")
+            .collect()
+        }
+    observed = sum(1 for p in pairs if p in got_pairs)
+    expected = sum(p_new)
+    sd = math.sqrt(sum(p * (1 - p) for p in p_new))
+    z = (observed - expected) / sd if sd else 0.0
+    print(
+        f"q50b_neardup_lsh_blocked: planted same-label pair recall "
+        f"{observed}/{len(pairs)} ({observed / len(pairs):.4f}) at geometry "
+        f"r={r_depth} B={n_bands} (n={n_corpus + len(pairs)}); predicted "
+        f"{expected:.1f} by 1-(1-s^r)^B (sd {sd:.1f}, z={z:+.2f}); "
+        f"r15 fixed single-band geometry would predict {sum(p_old):.1f}"
+    )
+    if abs(z) > 4.0:
+        ok = False
+        print("  CALIBRATION FAILURE: banded family deviates from independence math")
+    if observed + 3.0 * sd < sum(p_old):
+        ok = False
+        print("  RECALL REGRESSION: observed below the fixed-geometry prediction")
+
     print(f"RESULT wall={time.time() - t0:.1f}s ok={ok}")
     return 0 if ok else 1
 
