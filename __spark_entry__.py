@@ -52,30 +52,21 @@ _DEFAULT_COST = 0.5  # queries added after the last cost sweep run early
 # re-earns a green row the entry is inert (self-cleaning — safe to leave
 # in place, but prune when obviously ancient).
 _CHANGED_IN_ROUND = {
-    # (r15 entries pruned: every r15-changed query re-earned a green
-    # driver row in CORRECTNESS_r15, so those entries went inert.)
-    # r16 density-scaled geometry fixes (VERDICT r15 items 1-2): banded
-    # hyperplane LSH for the incremental embedding near-dup, sqrt-scaled
-    # IVF cells/probes. Both bit-unchanged at gate density, but plan AND
-    # oracle changed — front-load them for re-green.
-    "q130_incremental_embed_neardup": 16,
-    "q128_ivf_rerank": 16,
-    # r16 banded density scaling extended to the remaining fixed-
-    # geometry pair (same family; bit-unchanged at gate density)
-    "q50b_neardup_lsh_blocked": 16,
-    "q87_multisignal_neardup": 16,
-    # r16 split the mixed distinct+HLL aggregate (plan only; same values)
-    "q37_approx_distinct": 16,
-    # r16 basket-form pair generation (plan only; same values)
-    "q138_copurchase_pairs": 16,
-    # r16 merge-hinted verify joins (physical only; the sf10 smoke
-    # caught Catalyst statically broadcasting the 50M-row exploded-
-    # shingle sides — an edge-of-heap flake)
-    "q86_neardup_pipeline": 16,
-    "q126_incremental_dedup": 16,
-    # r16 pagerank adjacency checkpoint + collect_set edge build
-    # (physical only; bit-equal, oracle unchanged)
-    "q144_pagerank_copurchase": 16,
+    # (r16 entries pruned: all 9 r16-changed queries re-earned green
+    # driver rows in CORRECTNESS_r16 — 50/50 with the changed set
+    # front-loaded — so those entries went inert.)
+    # r17 ADVICE fixes (r16 low items). Banded bucket encoding aligned
+    # MSB->LSB to match embed_banded_sql's pow(2,s) — partition-
+    # bijective so pair outputs are value-identical, but the plan
+    # changed:
+    "q130_incremental_embed_neardup": 17,
+    "q50b_neardup_lsh_blocked": 17,
+    "q87_multisignal_neardup": 17,
+    # r17 NULL-safe COUNT(DISTINCT) split + left-join re-shape (plan
+    # only; same values on NULL-free generators):
+    "q37_approx_distinct": 17,
+    # r17 pagerank broadcast re-gate after round 1 (physical only):
+    "q144_pagerank_copurchase": 17,
 }
 
 

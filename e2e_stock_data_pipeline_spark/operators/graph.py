@@ -59,8 +59,12 @@ def pagerank(
     # edge-sized aggregation plus its own checkpoint), and (c) turns
     # each round's broadcast-hash probe count from per-edge into
     # per-node; the explode then re-expands to edge volume only INSIDE
-    # the round's single aggregation pipeline. collect_set also dedups
-    # defensively (the q144 edge builder already feeds distinct pairs).
+    # the round's single aggregation pipeline. PRECONDITION: the edge
+    # list must be DISTINCT pairs — collect_set dedups parallel edges,
+    # so a multigraph input would silently lose the duplicate-edge
+    # weighting a count(*)-based degree gives (r16 ADVICE; the q144
+    # builder and every in-repo caller feed distinct pairs — callers
+    # with multigraph semantics must pre-aggregate an explicit weight).
     # Set order is storage-nondeterministic, which is safe: the only
     # consumer is an integer SUM, order-independent and exact.
     adj = materialize(
@@ -79,12 +83,13 @@ def pagerank(
     from .dedup import _BCAST_NODE_LIMIT
 
     n_nodes = adj.count()
-    bcast = F.broadcast if 0 < n_nodes <= _BCAST_NODE_LIMIT else (lambda f: f)
+    bcast_ok = 0 < n_nodes <= _BCAST_NODE_LIMIT
     ranks = adj.select(
         F.col("u").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
     )
     prev = None
-    for _ in range(n_iters):
+    for i in range(n_iters):
+        bcast = F.broadcast if bcast_ok else (lambda f: f)
         contrib = adj.join(bcast(ranks), adj.u == ranks.node).select(
             F.expr("rank DIV size(_nb)").alias("c"),
             F.explode("_nb").alias("v"),
@@ -97,6 +102,14 @@ def pagerank(
             ),
             "node",
         )
+        if i == 0 and bcast_ok:
+            # After round 1 ranks holds the reduce TARGETS (nodes with
+            # in-edges), which on a sink-heavy directed graph can exceed
+            # the out-node count the gate measured (r16 ADVICE). The
+            # target set is identical every later round, so ONE recount
+            # of the just-checkpointed node-sized frame re-gates all
+            # remaining broadcasts exactly.
+            bcast_ok = ranks.count() <= _BCAST_NODE_LIMIT
         if prev is not None:
             unpersist_materialized(prev)  # superseded round's blocks
         prev = ranks
@@ -248,6 +261,14 @@ def copurchase_edges_plan(li: DataFrame, min_support: int = 2) -> DataFrame:
         )
     except Exception:  # noqa: BLE001 — unhashable input: skip the memo
         key = None
+    if key is not None:
+        # Evict entries from stopped applications wholesale: the liveness
+        # probe below only clears the entry it hits, so a long process
+        # cycling sessions would otherwise accumulate dead DataFrame
+        # wrappers forever (r16 ADVICE).
+        app_id = key[0]
+        for k in [k for k in _EDGE_PLAN_CACHE if k[0] != app_id]:
+            del _EDGE_PLAN_CACHE[k]
     if key is not None and key in _EDGE_PLAN_CACHE:
         df, rid = _EDGE_PLAN_CACHE[key]
         alive = False

@@ -621,7 +621,12 @@ def banded_hyperplane_buckets(
 ) -> DataFrame:
     """(id, *keep_cols, _band, _bucket) under the density-scaled banded
     geometry: one row per (vector, band), bucket = the band's _r sign
-    bits. Plane identities are fixed per (band, slot) global index
+    bits encoded LSB-first (bucket = SUM(bit_s * 2^s) — the same weight
+    rule as :func:`embed_banded_sql`'s ``pow(2, s)`` fold and
+    :func:`hyperplane_lsh_buckets`, so raw bucket VALUES, not just the
+    partition, are engine-identical; a persisted (id, band, bucket)
+    stored index written by either engine replays on the other — r16
+    ADVICE). Plane identities are fixed per (band, slot) global index
     g = band * EMBED_R_MAX + slot with the legacy ``plane:{seed}:{g}:{d}``
     sha256 derivation, so band 0's first ``base_planes`` slots ARE the
     pre-r16 single-band planes — at gate density (params picks r=base,
@@ -662,8 +667,11 @@ def banded_hyperplane_buckets(
         )
         return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
 
+    # Descending fold => LSB-first weights: folding s = _r-1 .. 0 with
+    # acc*2 + bit_s yields SUM(bit_s * 2^s) in pure bigint arithmetic —
+    # exactly embed_banded_sql's pow(2, s) encoding, no float pow.
     bucket = F.aggregate(
-        F.sequence(F.lit(0), F.col("_r") - 1),
+        F.sequence(F.col("_r") - 1, F.lit(0), F.lit(-1)),
         F.lit(0).cast("bigint"),
         lambda acc, s: acc * F.lit(2).cast("bigint")
         + bit(F.col("_band") * F.lit(EMBED_R_MAX) + s),

@@ -185,8 +185,13 @@ def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Split, the HLL buffer exists once per event_type and the distinct
     # side is a plain two-level hash agg: 45 -> ~6 s, same output.
     e = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    # NULL user_id must not count as a distinct user: COUNT(DISTINCT x)
+    # (the oracle and the pre-split F.countDistinct) excludes NULLs, but
+    # distinct().count() would keep the (event_type, NULL) row (r16
+    # ADVICE — latent today, generators never emit NULL user_id).
     exact = (
-        e.distinct()
+        e.filter(F.col("user_id").isNotNull())
+        .distinct()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_users"))
     )
@@ -195,14 +200,16 @@ def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), approx.alias("_approx")
     )
     return (
-        exact.join(rest, "event_type")
+        # left join from the unfiltered side: an all-NULL group has no
+        # exact row but COUNT(DISTINCT) semantics still report it with 0
+        rest.join(exact, "event_type", "left")
         .select(
             "event_type",
-            "exact_users",
+            F.coalesce("exact_users", F.lit(0)).alias("exact_users"),
             "n",
             (
-                F.abs(F.col("_approx") - F.col("exact_users"))
-                <= F.col("exact_users") * F.lit(0.05)
+                F.abs(F.col("_approx") - F.coalesce("exact_users", F.lit(0)))
+                <= F.coalesce("exact_users", F.lit(0)) * F.lit(0.05)
             ).alias("approx_within_5pct"),
         )
     )
