@@ -67,6 +67,10 @@ _CHANGED_IN_ROUND = {
     "q37_approx_distinct": 17,
     # r17 pagerank broadcast re-gate after round 1 (physical only):
     "q144_pagerank_copurchase": 17,
+    # r17 q184 redesign (VERDICT item 1): hoisted parse, single
+    # checkpointed token pass, integer rarity ranks downstream —
+    # output bijection-identical, sf10 110.8 -> 51.5 s:
+    "q184_set_similarity_join": 17,
 }
 
 

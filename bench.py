@@ -30,6 +30,17 @@ trusting prose:
   rounds. It tracks CPU/JVM condition independent of the registry, so a
   cross-round headline swing with a matching canary swing is machine
   condition, and one without is a real regression.
+
+Load-tail guard (r17, VERDICT r16 item 5): the r16 driver bench landed
+in the post-sweep load tail (floor 0.878 vs the 0.09-0.13 quiet band)
+and read as a +19% regression until cross-referenced with BENCH_NOTES.
+Now, when the measured floor exceeds ``_FLOOR_RETRY_AT`` (3x the top of
+the recorded quiet band), bench.py sleeps ``SPARK_GRAFT_BENCH_COOLDOWN``
+seconds (default 60) and re-probes, up to twice, BEFORE the timed
+passes; ``floor_retries`` in the JSON stamps how many cooldowns ran and
+``floor_history`` the floor seen before each. A headline produced after
+a still-hot final probe is thus self-describing: retries exhausted +
+high floor = machine state, trust the controls not the headline.
 """
 
 from __future__ import annotations
@@ -91,8 +102,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # machine-condition probes (see module docstring)
+    # machine-condition probes (see module docstring). Quiet-band floor
+    # on this box is 0.09-0.13 s (BENCH_NOTES r14-r16); retry the probe
+    # after a cooldown when it reads >3x that band so the timed passes
+    # don't inherit a load tail (r16: post-sweep floor hit 0.878).
+    _FLOOR_RETRY_AT = 0.40
+    cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "60"))
+    floor_history: list[float] = []
+    floor_retries = 0
     floor_sec = _probe(spark, lambda s: s.range(32))
+    while floor_sec > _FLOOR_RETRY_AT and floor_retries < 2:
+        floor_history.append(floor_sec)
+        floor_retries += 1
+        time.sleep(cooldown)
+        floor_sec = _probe(spark, lambda s: s.range(32))
     canary_sec = _probe(spark, _canary_df)
 
     # warmup: two full untimed passes so timings reflect steady state
@@ -133,6 +156,8 @@ def main() -> None:
                 "spread": {"min": min(totals), "max": max(totals)},
                 "floor_sec": floor_sec,
                 "canary_sec": canary_sec,
+                "floor_retries": floor_retries,
+                "floor_history": floor_history,
             }
         )
     )

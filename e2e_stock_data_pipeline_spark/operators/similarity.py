@@ -399,6 +399,8 @@ def ivf_rerank_topk_seeded(
     n_probe: int = 4,
     k_top: int = 5,
     density_scaled: bool = False,
+    lloyd_steps: int = 1,
+    probe_div: int = IVF_PROBE_DIV,
 ) -> DataFrame:
     """IVF probe -> exact rerank, fully lazy and integer-exact.
 
@@ -464,7 +466,7 @@ def ivf_rerank_topk_seeded(
                 "_ncells",
                 F.greatest(
                     F.lit(n_probe).cast("bigint"),
-                    F.expr(f"_ncells DIV {IVF_PROBE_DIV}"),
+                    F.expr(f"_ncells DIV {int(probe_div)}"),
                 ).alias("_nprobe"),
             )
         )
@@ -509,21 +511,36 @@ def ivf_rerank_topk_seeded(
             .select("cand_id", F.col("_mc.c").alias("cell"))
         )
 
-    # one exact Lloyd step: cell centroid = component-wise sum div count
-    comp = assign(seeds).join(cn, "cand_id").select(
-        "cell", F.posexplode("_q").alias("pos", "val")
-    )
-    cent = (
-        comp.groupBy("cell", "pos")
-        .agg(F.sum("val").alias("_s"), F.count(F.lit(1)).alias("_n"))
-        .select("cell", "pos", F.expr("_s div _n").alias("_cv"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "_cv"))).alias("_a"))
-        .select(
-            F.col("cell").alias("c"),
-            F.transform(F.col("_a"), lambda s: s["_cv"]).alias("_cent"),
+    # exact Lloyd step(s): cell centroid = component-wise sum div count.
+    # Each extra step pays one more corpus x cells assignment pass plus
+    # a (cells x dim)-row update agg; the oracle replays the same fixed
+    # number of (a_i, cent_i) CTE rounds.
+    if lloyd_steps < 1:
+        raise ValueError(f"lloyd_steps must be >= 1, got {lloyd_steps}")
+    cent = seeds
+    for step in range(lloyd_steps):
+        if step > 0:
+            # truncate the previous step's corpus-sized lineage: the
+            # centroid frame itself is only cells x dim values, but
+            # un-checkpointed it would re-execute the whole prior
+            # assignment pass once per downstream reference
+            from .materialize import materialize
+
+            cent = materialize(cent)
+        comp = assign(cent).join(cn, "cand_id").select(
+            "cell", F.posexplode("_q").alias("pos", "val")
         )
-    )
+        cent = (
+            comp.groupBy("cell", "pos")
+            .agg(F.sum("val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select("cell", "pos", F.expr("_s div _n").alias("_cv"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "_cv"))).alias("_a"))
+            .select(
+                F.col("cell").alias("c"),
+                F.transform(F.col("_a"), lambda s: s["_cv"]).alias("_cent"),
+            )
+        )
 
     indexed = assign(cent).join(cn, "cand_id")  # (cand_id, cell, _q)
 

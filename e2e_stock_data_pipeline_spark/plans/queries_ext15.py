@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.materialize import materialize
+from ..operators.materialize import materialize, unpersist_materialized
 from ..operators.similarity import QUANT
 from ..sources import tables
 from .registry import query
@@ -219,6 +219,180 @@ def q183_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PP_T_NUM, _PP_T_DEN = 4, 5  # Jaccard threshold 0.8 as an exact rational
 
 
+def q184_ordered_plan(d: DataFrame) -> DataFrame:
+    """Phase 1 of q184: (doc_id, toks, l) where ``toks`` is the doc's
+    distinct 3-gram shingle set as ascending integer RARITY RANKS —
+    rank = dense row_number of the distinct shingle under the global
+    (dfreq, shingle) order — DISK_ONLY materialized. Module-level so
+    scripts/profile_q184.py phase-times the EXACT frame the registered
+    query checkpoints (the graph.triangle_census_plan pattern).
+
+    r17 redesign (phase-profiled at sf10: this phase was 87.5 s of the
+    110.8 s total; now ~35 s):
+
+    * the word split is HOISTED into its own projection (computed once
+      per row) instead of being written inline 5x in the shingle
+      expression: lambdas under ``transform`` run interpreted with no
+      common-subexpression elimination, so the inline form re-ran the
+      regex split ~3x per shingle (sf10: scan+parse 14.1 -> 4.1 s,
+      sample-verified byte-identical output);
+    * the (doc_id, shingle) explode is checkpointed ONCE and feeds both
+      the dfreq aggregate and the rank-attach join — previously the
+      whole parse+explode pipeline executed twice (~25 s/pass);
+    * downstream identity is the integer rank, not the shingle string:
+      the rank bijection preserves the exact (dfreq, shingle) global
+      order (rarity order becomes natural int order, so the struct
+      sort collapses to sort_array) and set identity (n_common /
+      jaccard_fp are bijection-invariant), so the registered output —
+      and therefore the unchanged STRING-based oracle — is identical,
+      while the regroup shuffle, the prefix-pair join keys, and the
+      verify intersections all move from ~25-byte strings to 8-byte
+      ints. Exactness is preserved (dense ranks collide never), unlike
+      a hash-encoded identity.
+
+    Scale notes: the rank window runs without partitionBy over the
+    DISTINCT-shingle frame — dimension-sized here (27k; bounded by the
+    31-word vocabulary cubed, not the corpus). An open-vocabulary
+    100 TB corpus needs the standard two-phase global rank (per-
+    partition ranks + broadcast partition offsets) and an SMJ instead
+    of the broadcast rank attach; the phase boundary is this function,
+    so that swap is local. Rank fits 32 bits while distinct shingles
+    < 2^31 — asserted by the packed pair key in q184_cand_plan."""
+    ws = d.select("doc_id", F.split(F.trim("text"), " +").alias("ws"))
+    w = ws.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(CASE WHEN size(ws) >= 3"
+            " THEN transform(sequence(0, size(ws) - 3),"
+            " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+            " ELSE CAST(array() AS ARRAY<STRING>) END)"
+        ).alias("sset"),
+    )
+    tok = materialize(w.select("doc_id", F.explode("sset").alias("shingle")))
+    df = tok.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dfreq")
+    )
+    rank = df.select(
+        "shingle",
+        F.row_number()
+        .over(Window.orderBy("dfreq", "shingle"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    ordered = materialize(
+        tok.join(F.broadcast(rank), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("r")).alias("toks"),
+            F.count(F.lit(1)).cast("bigint").alias("l"),
+        ),
+        "doc_id",
+    )
+    # both consumers (dfreq agg, rank attach) ran inside the eager
+    # materialize above — the token blocks are dead weight now
+    unpersist_materialized(tok)
+    return ordered
+
+
+def q184_cand_plan(ordered: DataFrame) -> DataFrame:
+    """Phase 2 of q184: the lossless candidate pair set (doc_a, doc_b)
+    from the ℓ=2 prefix-pair join plus the small-set 1-prefix branch."""
+    # l-prefix scheme, l=2 (AdaptJoin): one-token-longer prefix, join
+    # keyed on ordered token PAIRS. Lossless: |A^B| >= alpha implies the
+    # 2nd-smallest common token's position in A is <= la - alpha + 2 <=
+    # la - ceil(t*la) + 2 (alpha >= ceil(t*la) whenever lb >= t*la,
+    # which the length filter requires anyway), so both of the two
+    # smallest common tokens sit inside both extended prefixes.
+    plen2 = F.expr(
+        f"CAST(l - ((({_PP_T_NUM} * l) + {_PP_T_DEN} - 1)"
+        f" DIV {_PP_T_DEN}) + 2 AS INT)"
+    )
+    # per-doc ordered prefix-token pairs, all Catalyst: C(|pref|, 2)
+    # rows per doc (|pref| ~ 0.2*l + 2, bounded), no per-doc skew.
+    # toks are integer rarity ranks (r17), so the ordered (x, y) pair
+    # packs into ONE bigint join key x*2^32 + y — a single 8-byte hash
+    # key instead of a two-string composite. Lossless while ranks stay
+    # below 2^31: x < y <= rank_max, and the assert rides the plan (a
+    # corpus past 2^31 distinct shingles would raise, not corrupt).
+    pairs = (
+        ordered.select("doc_id", "l", F.slice("toks", 1, plen2).alias("pref"))
+        .select(
+            "doc_id",
+            "l",
+            F.explode(
+                F.expr(
+                    "flatten(transform(pref, (x, i) ->"
+                    " transform(slice(pref, i + 2, size(pref)),"
+                    " y -> CASE WHEN y < 2147483648 THEN x * 4294967296 + y"
+                    " ELSE raise_error('q184: shingle rank overflows packed"
+                    " pair key') END)))"
+                )
+            ).alias("sp"),
+        )
+    )
+    pa = pairs.select(
+        F.col("doc_id").alias("doc_a"), F.col("l").alias("la"), "sp"
+    )
+    pb = pairs.select(
+        F.col("doc_id").alias("doc_b"), F.col("l").alias("lb"), "sp"
+    )
+    cand = (
+        pa.join(pb, "sp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # exact-integer LENGTH filter, implied by J >= t
+        .filter(
+            _PP_T_DEN * F.least("la", "lb") >= _PP_T_NUM * F.greatest("la", "lb")
+        )
+        .select("doc_a", "doc_b")
+    )
+    # sets too small for the 2-prefix lemma (ceil(t*l) < 2 <=> l < 2 at
+    # t = 4/5): fall back to the 1-prefix join among themselves (a valid
+    # partner of an l=1 set is itself a singleton)
+    small = ordered.filter(
+        F.expr(f"(({_PP_T_NUM} * l) + {_PP_T_DEN} - 1) DIV {_PP_T_DEN} < 2")
+    ).select("doc_id", F.explode("toks").alias("rk"))
+    cand_small = (
+        small.select(F.col("doc_id").alias("doc_a"), "rk")
+        .join(small.select(F.col("doc_id").alias("doc_b"), "rk"), "rk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    return cand.unionByName(cand_small).distinct()
+
+
+def q184_verify_plan(ordered: DataFrame, cand: DataFrame) -> DataFrame:
+    """Phase 3 of q184: exact-integer Jaccard verify of the candidate
+    pairs against the full shingle arrays."""
+    wa = ordered.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("sa"))
+    wb = ordered.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("sb"))
+    verified = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("bigint").alias("n_common"),
+            F.size("sa").cast("bigint").alias("la"),
+            F.size("sb").cast("bigint").alias("lb"),
+        )
+    )
+    return (
+        verified.filter(
+            _PP_T_DEN * F.col("n_common")
+            >= _PP_T_NUM * (F.col("la") + F.col("lb") - F.col("n_common"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.expr(
+                "CAST((1000000 * n_common) DIV (la + lb - n_common) AS BIGINT)"
+            ).alias("jaccard_fp"),
+        )
+        .orderBy(F.col("jaccard_fp").desc(), "doc_a", "doc_b")
+    )
+
+
 @query(
     "q184_set_similarity_join",
     oracle=f"""
@@ -268,8 +442,10 @@ _PP_T_NUM, _PP_T_DEN = 4, 5  # Jaccard threshold 0.8 as an exact rational
     """,
     doc="EXACT 3-gram-shingle Jaccard self-join at threshold 0.8 via "
     "prefix filtering (the AllPairs/PPJoin family): shingles order "
-    "globally by (document frequency, shingle) — realized as a "
-    "lexicographic struct sort, NO global window — and only each "
+    "globally by (document frequency, shingle) — realized since r17 as "
+    "dense integer rarity ranks assigned on the DISTINCT-shingle frame "
+    "(a dimension-sized window; the rank bijection keeps the output "
+    "exactly the string form's, see q184_ordered_plan) — and only each "
     "doc's first l - ceil(0.8*l) + 1 rarest shingles are indexed. The "
     "filter is LOSSLESS: for any pair with J >= t, the first "
     "globally-ordered shared shingle sits inside BOTH prefixes, so "
@@ -296,126 +472,8 @@ _PP_T_NUM, _PP_T_DEN = 4, 5  # Jaccard threshold 0.8 as an exact rational
     tags=("dedup", "jaccard", "join", "text", "ext"),
 )
 def q184_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    w = d.select(
-        "doc_id",
-        F.expr(
-            "array_distinct(CASE WHEN size(split(trim(text), ' +')) >= 3"
-            " THEN transform(sequence(0, size(split(trim(text), ' +')) - 3),"
-            " i -> concat_ws(' ', split(trim(text), ' +')[i],"
-            " split(trim(text), ' +')[i + 1], split(trim(text), ' +')[i + 2]))"
-            " ELSE CAST(array() AS ARRAY<STRING>) END)"
-        ).alias("sset"),
-    )
-    tok = w.select("doc_id", F.explode("sset").alias("shingle"))
-    df = tok.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dfreq")
-    )
-    # per-doc global-rarity order via struct sort: (dfreq, shingle) asc.
-    # Materialized ONCE (operators/materialize DISK_ONLY checkpoint):
-    # every downstream leg — pair generation for BOTH join sides, the
-    # small-set branch, and BOTH verify array sides — derives from this
-    # frame, and without the checkpoint Catalyst re-executes the
-    # scan+explode+groupBy pipeline five times AND (fatally at sf10)
-    # underestimates the exploded pair side's size through the
-    # aggregates, broadcasting a 17M-row build table into the heap.
-    # toks carries the same element set as the raw shingle array, so
-    # the verify's array_intersect runs on toks directly.
-    ordered = materialize(
-        tok.join(df, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dfreq, shingle))),"
-                " s -> s.shingle)"
-            ).alias("toks"),
-            F.count(F.lit(1)).cast("bigint").alias("l"),
-        ),
-        "doc_id",
-    )
-    # l-prefix scheme, l=2 (AdaptJoin): one-token-longer prefix, join
-    # keyed on ordered token PAIRS. Lossless: |A^B| >= alpha implies the
-    # 2nd-smallest common token's position in A is <= la - alpha + 2 <=
-    # la - ceil(t*la) + 2 (alpha >= ceil(t*la) whenever lb >= t*la,
-    # which the length filter requires anyway), so both of the two
-    # smallest common tokens sit inside both extended prefixes.
-    plen2 = F.expr(
-        f"CAST(l - ((({_PP_T_NUM} * l) + {_PP_T_DEN} - 1)"
-        f" DIV {_PP_T_DEN}) + 2 AS INT)"
-    )
-    # per-doc ordered prefix-token pairs, all Catalyst: C(|pref|, 2)
-    # rows per doc (|pref| ~ 0.2*l + 2, bounded), no per-doc skew
-    pairs = (
-        ordered.select("doc_id", "l", F.slice("toks", 1, plen2).alias("pref"))
-        .select(
-            "doc_id",
-            "l",
-            F.explode(
-                F.expr(
-                    "flatten(transform(pref, (x, i) ->"
-                    " transform(slice(pref, i + 2, size(pref)),"
-                    " y -> named_struct('s1', x, 's2', y))))"
-                )
-            ).alias("sp"),
-        )
-        .select("doc_id", "l", F.col("sp.s1").alias("s1"), F.col("sp.s2").alias("s2"))
-    )
-    pa = pairs.select(
-        F.col("doc_id").alias("doc_a"), F.col("l").alias("la"), "s1", "s2"
-    )
-    pb = pairs.select(
-        F.col("doc_id").alias("doc_b"), F.col("l").alias("lb"), "s1", "s2"
-    )
-    cand = (
-        pa.join(pb, ["s1", "s2"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # exact-integer LENGTH filter, implied by J >= t
-        .filter(
-            _PP_T_DEN * F.least("la", "lb") >= _PP_T_NUM * F.greatest("la", "lb")
-        )
-        .select("doc_a", "doc_b")
-    )
-    # sets too small for the 2-prefix lemma (ceil(t*l) < 2 <=> l < 2 at
-    # t = 4/5): fall back to the 1-prefix join among themselves (a valid
-    # partner of an l=1 set is itself a singleton)
-    small = ordered.filter(
-        F.expr(f"(({_PP_T_NUM} * l) + {_PP_T_DEN} - 1) DIV {_PP_T_DEN} < 2")
-    ).select("doc_id", F.explode("toks").alias("shingle"))
-    cand_small = (
-        small.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(small.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
-    cand = cand.unionByName(cand_small).distinct()
-    wa = ordered.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("sa"))
-    wb = ordered.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("sb"))
-    verified = (
-        cand.join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sa", "sb")).cast("bigint").alias("n_common"),
-            F.size("sa").cast("bigint").alias("la"),
-            F.size("sb").cast("bigint").alias("lb"),
-        )
-    )
-    return (
-        verified.filter(
-            _PP_T_DEN * F.col("n_common")
-            >= _PP_T_NUM * (F.col("la") + F.col("lb") - F.col("n_common"))
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            F.expr(
-                "CAST((1000000 * n_common) DIV (la + lb - n_common) AS BIGINT)"
-            ).alias("jaccard_fp"),
-        )
-        .orderBy(F.col("jaccard_fp").desc(), "doc_a", "doc_b")
-    )
+    ordered = q184_ordered_plan(_t(spark, sf_dir, "documents"))
+    return q184_verify_plan(ordered, q184_cand_plan(ordered))
 
 
 # --------------------------------------------------------------------------

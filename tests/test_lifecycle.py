@@ -18,8 +18,11 @@ def _n_persistent(spark) -> int:
 
 
 def test_release_reclaims_iterative_residue(spark, sf_dir):
+    from e2e_stock_data_pipeline_spark.operators import graph
     from e2e_stock_data_pipeline_spark.operators.dedup import connected_components
 
+    graph._EDGE_PLAN_CACHE.clear()  # no spared memos in this scenario
+    registry.release(spark)
     nodes = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 38, 2)], ["doc_a", "doc_b"]
@@ -32,6 +35,37 @@ def test_release_reclaims_iterative_residue(spark, sf_dir):
     stats = registry.release(spark)
     assert stats["rdds_unpersisted"] > 0
     assert _n_persistent(spark) == 0
+
+
+def test_release_spares_live_session_memo(spark, sf_dir):
+    """VERDICT r16 item 4: the co-purchase edge memo (five graph
+    consumers) must survive a between-queries release — its DISK_ONLY
+    blocks cost scratch disk, not heap — while non-memo checkpoint
+    residue in the same session is still reclaimed."""
+    from e2e_stock_data_pipeline_spark.operators import graph
+    from e2e_stock_data_pipeline_spark.operators.materialize import materialize
+
+    graph._EDGE_PLAN_CACHE.clear()
+    registry.release(spark)
+    li = spark.createDataFrame(
+        [(o, p) for o in range(30) for p in (o % 5, (o + 1) % 5, (o + 2) % 5)],
+        ["l_orderkey", "l_partkey"],
+    )
+    edges = graph.copurchase_edges_plan(li, min_support=2)
+    n_edges = edges.count()
+    assert n_edges > 0 and len(graph._EDGE_PLAN_CACHE) == 1
+    # unrelated checkpoint residue that release MUST still reclaim
+    residue = materialize(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    assert residue.count() == 100
+    stats = registry.release(spark)
+    assert stats["rdds_spared"], "memo rdd should be spared"
+    assert stats["rdds_unpersisted"] > 0, "non-memo residue still reclaimed"
+    # the memo hit is served (blocks alive), and the frame still reads
+    again = graph.copurchase_edges_plan(li, min_support=2)
+    assert again is edges, "live memo must be reused after release"
+    assert again.count() == n_edges
+    graph._EDGE_PLAN_CACHE.clear()
+    registry.release(spark)
 
 
 def test_release_keeps_session_usable_and_plans_rebuild(spark, sf_dir):
