@@ -71,6 +71,10 @@ _CHANGED_IN_ROUND = {
     # checkpointed token pass, integer rarity ranks downstream —
     # output bijection-identical, sf10 110.8 -> 51.5 s:
     "q184_set_similarity_join": 17,
+    # r17 IVF probe ring widened to cells DIV 2 (VERDICT item 2):
+    # output CHANGES at every density (more probed cells can only add
+    # true neighbors); oracle mirrors via the shared IVF_PROBE_DIV:
+    "q128_ivf_rerank": 17,
 }
 
 

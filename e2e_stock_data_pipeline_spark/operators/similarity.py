@@ -384,8 +384,24 @@ def _d2_int(a: Column, b: Column) -> Column:
 # IVF_CELLS_MAX bounds the static seed scan (smallest-id top-K) —
 # past ~IVF_CELLS_SCALE_DIV * IVF_CELLS_MAX^2 candidate rows the cell
 # count stops scaling; raise it with the seed-scan budget at 100 TB.
+#
+# IVF_PROBE_DIV = 2 since r17 (VERDICT r16 item 2: q128's 81.6%
+# recall@5 was the similarity family's low bar, misses pure probe
+# pruning). The knob sweep at sf10 (scripts/ivf_variants.py, planted
+# protocol, 2 reps x 25 truth slots per variant, one session):
+#   lloyd=1 div=4: 78.0%  41.9 s   (the r16 geometry)
+#   lloyd=1 div=2: 92.0%  44.3 s   <- chosen
+#   lloyd=2 div=4: 80.0%  55.5 s
+#   lloyd=2 div=2: 88.0%  57.4 s
+# Probe fraction is the lever; an extra Lloyd step costs a full
+# corpus x cells assignment pass (+13 s) and buys ~nothing on this
+# corpus (near-uniform synthetic embeddings — cluster structure is
+# weak, so sharper centroids don't move neighbor-cell ranking). The
+# div=2 rerank leg is cheap because only probed-cell rows pay exact
+# distance and the query set is small; the dominant cost stays the
+# assignment passes, which div does not touch.
 IVF_CELLS_SCALE_DIV = 4
-IVF_PROBE_DIV = 4
+IVF_PROBE_DIV = 2
 IVF_CELLS_MAX = 1024
 
 

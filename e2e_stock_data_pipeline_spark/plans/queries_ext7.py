@@ -31,8 +31,12 @@ from .registry import query
 # candidate count (r16, VERDICT r15 item 2): cells = clamp(floor(sqrt(
 # n_cand DIV similarity.IVF_CELLS_SCALE_DIV)), 16, IVF_CELLS_MAX) and
 # probes = max(4, cells DIV IVF_PROBE_DIV) — the probed-cell FRACTION
-# stays 1/4 while the cells get finer as the corpus grows. At gate
-# density (n_cand <= 1024) this is exactly the pre-r16 16/4 geometry.
+# stays 1/IVF_PROBE_DIV (1/2 since r17 — the sf10 knob sweep in
+# operators/similarity.py put the 81.6% r16 recall on probe pruning
+# alone: div=2 measured 92% at +2.4 s) while the cells get finer as
+# the corpus grows. At gate density (n_cand <= 1024) cells clamp to 16
+# and probes to max(4, 16 DIV 2) = 8 — the bucket geometry matches the
+# pre-r16 16-cell table with a wider probe ring.
 _DIM, _N_CELLS, _N_PROBE, _K = 64, 16, 4, 5
 _CSD = similarity_ops.IVF_CELLS_SCALE_DIV
 _PDIV = similarity_ops.IVF_PROBE_DIV
@@ -114,11 +118,13 @@ _CMAX = similarity_ops.IVF_CELLS_MAX
     "cell, each query probes its nearest cells and exact-reranks "
     "only in-cell candidates to top-5. The cell/probe counts are "
     "DENSITY-SCALED from a lazy one-row candidate count (cells ~ "
-    "sqrt(n_cand DIV 4) clamped to [16, 1024], probes = cells DIV 4 "
-    "floored at 4 — constant probed fraction over ever-finer cells, "
-    "so recall no longer decays as the corpus outgrows a pinned 16-"
-    "cell table; at gate density this is exactly the pre-r16 16/4 "
-    "geometry). Every centroid frame is broadcast and the search "
+    "sqrt(n_cand DIV 4) clamped to [16, 1024], probes = cells DIV 2 "
+    "floored at 4 since r17 — constant probed fraction over ever-finer "
+    "cells; the r16 1/4 fraction left recall@5 at 81.6%, the family's "
+    "low bar, and the sf10 knob sweep showed the probe ring, not "
+    "centroid quality, was the binding constraint: 1/2 measures 92% "
+    "at +2.4 s because only probed-cell rows pay exact distance). "
+    "Every centroid frame is broadcast and the search "
     "joins candidates to the BROADCAST probe frame — candidates are "
     "never shuffled on the low-cardinality cell key. Closes the last "
     "ANN path without oracle evidence (ivf_topk is the KMeans-fit "

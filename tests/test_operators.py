@@ -1182,16 +1182,26 @@ class TestDensityScaledGeometry:
             assert abs(dot / (na * nb) - cs) < 1e-12
 
     def test_ivf_density_scaled_matches_legacy_below_threshold(self, spark, sf_dir):
-        """n_cand < 1024 -> the scaled geometry IS 16 cells / 4 probes:
-        the registered q128 stays bit-unchanged at gate density."""
+        """n_cand < 1024 -> the scaled geometry is 16 cells with a
+        probe ring of max(4, 16 DIV IVF_PROBE_DIV) — r17 widened the
+        fraction to 1/2 (8 probes at gate density), so the scaled path
+        must equal an explicit 16/8 call on the same cells."""
         from e2e_stock_data_pipeline_spark.operators.similarity import (
+            IVF_PROBE_DIV,
             ivf_rerank_topk_seeded,
         )
         from e2e_stock_data_pipeline_spark.sources import tables
 
         e = tables.load(spark, sf_dir, "embeddings")
         q, c = e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5)
-        legacy = sorted(map(tuple, ivf_rerank_topk_seeded(q, c, k_top=5).collect()))
+        legacy = sorted(
+            map(
+                tuple,
+                ivf_rerank_topk_seeded(
+                    q, c, k_top=5, n_probe=max(4, 16 // IVF_PROBE_DIV)
+                ).collect(),
+            )
+        )
         scaled = sorted(
             map(
                 tuple,
@@ -1203,8 +1213,9 @@ class TestDensityScaledGeometry:
     def test_ivf_density_scaled_matches_explicit_geometry_above(self, spark):
         """Above the threshold the scaled path must equal an explicit
         call at the geometry the expressions pick: n_cand=1595 ->
-        cells = floor(sqrt(1595 DIV 4)) = 19, probes = max(4, 19 DIV 4)
-        = 4 — proving the lazy count drives the same plan."""
+        cells = floor(sqrt(1595 DIV 4)) = 19, probes = max(4, 19 DIV 2)
+        = 9 (r17 probe fraction) — proving the lazy count drives the
+        same plan."""
         import random
 
         from e2e_stock_data_pipeline_spark.operators.similarity import (
@@ -1230,7 +1241,7 @@ class TestDensityScaledGeometry:
             map(
                 tuple,
                 ivf_rerank_topk_seeded(
-                    q, c, dim=dim, n_cells=19, n_probe=4, k_top=3
+                    q, c, dim=dim, n_cells=19, n_probe=9, k_top=3
                 ).collect(),
             )
         )
