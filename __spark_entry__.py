@@ -75,6 +75,9 @@ _CHANGED_IN_ROUND = {
     # output CHANGES at every density (more probed cells can only add
     # true neighbors); oracle mirrors via the shared IVF_PROBE_DIV:
     "q128_ivf_rerank": 17,
+    # r17 PQ codebook 16 -> 32 seeds (family recall floor; knob sweep
+    # in queries_ext6.py): output changes at every sf, oracle mirrors:
+    "q123_pq_rerank": 17,
 }
 
 
