@@ -78,6 +78,9 @@ _CHANGED_IN_ROUND = {
     # r17 PQ codebook 16 -> 32 seeds (family recall floor; knob sweep
     # in queries_ext6.py): output changes at every sf, oracle mirrors:
     "q123_pq_rerank": 17,
+    # r17 q109 median via bounded-domain value histogram (3-partition
+    # window sort removed; values identical, sf10 33.1 -> 1.3 s):
+    "q109_exact_group_median": 17,
 }
 
 

@@ -617,19 +617,58 @@ def q108_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "agg", "median"),
 )
 def q109_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r17 rewrite (guide §2.5): the original formulation ranked every
+    # row with row_number() PARTITION BY l_returnflag — a 3-value key,
+    # so the whole fact table hash-shuffled into 3 partitions and each
+    # sorted single-threaded (sf10: 20M rows/partition, 39.9 s; at
+    # 100 TB a non-starter). But the median VALUE only depends on the
+    # cumulative distribution of l_quantity, and l_quantity is a
+    # bounded domain (TPC-H: integers 1..50 at every SF) — knowledge
+    # the optimizer cannot use (§8). So: value histogram per group
+    # (partial map-side agg collapses the fact table to
+    # |flags|x|quantities| rows before the exchange), cumulative
+    # counts over the ~150-row histogram, pick the value(s) covering
+    # the two middle positions. Bit-equal to the old plan: the rank-k
+    # l_quantity under ANY tiebreak is the histogram value whose
+    # cumulative range covers k, and (v_lo + v_hi) / 2.0 reproduces
+    # SUM(middle rows)/COUNT exactly in IEEE arithmetic for all three
+    # cases (odd: (v+v)/2 == v == v/1.0; even-tied: (v+v)/2 == v;
+    # even-distinct: same sum, same divide). For UNBOUNDED value
+    # domains use the q162/q168 bucket-histogram machinery instead
+    # (exact_group_quantiles_plan) — this shape relies on the bounded
+    # quantity domain to keep the histogram dimension-sized.
     l = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    wc = Window.partitionBy("l_returnflag")
-    r = l.select(
+    hist = l.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    r = hist.select(
         "l_returnflag",
         "l_quantity",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
+        F.col("c"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("cnt"),
+    ).select(
+        "l_returnflag",
+        "l_quantity",
+        "cnt",
+        (F.col("cum") - F.col("c")).alias("prev"),
+        "cum",
+        F.expr("(cnt + 1) DIV 2").alias("p1"),
+        F.expr("(cnt + 2) DIV 2").alias("p2"),
     )
-    mid = r.filter(
-        (F.col("rn") == F.expr("(cnt + 1) DIV 2")) | (F.col("rn") == F.expr("(cnt + 2) DIV 2"))
-    )
-    return mid.groupBy("l_returnflag").agg(
+    covers1 = (F.col("prev") < F.col("p1")) & (F.col("p1") <= F.col("cum"))
+    covers2 = (F.col("prev") < F.col("p2")) & (F.col("p2") <= F.col("cum"))
+    return r.groupBy("l_returnflag").agg(
         F.max("cnt").cast("bigint").alias("n_rows"),
-        (F.sum("l_quantity") / F.count(F.lit(1)).cast("double")).alias("median_qty"),
+        (
+            (
+                F.max(F.when(covers1, F.col("l_quantity")))
+                + F.max(F.when(covers2, F.col("l_quantity")))
+            )
+            / F.lit(2.0)
+        ).alias("median_qty"),
     )
