@@ -81,6 +81,17 @@ _CHANGED_IN_ROUND = {
     # r17 q109 median via bounded-domain value histogram (3-partition
     # window sort removed; values identical, sf10 33.1 -> 1.3 s):
     "q109_exact_group_median": 17,
+    # r17 q04: lineitem pre-aggregated to max(l_shipdate) per orderkey
+    # before a merge-hinted semi join (was: 60M-row static broadcast;
+    # sf10 32.2 -> 2.1 s, values identical):
+    "q04_order_priority": 17,
+    # r17 q77: EXISTS/NOT-EXISTS pair collapsed to per-order supplier
+    # counts sharing one exchange (sf10 24.3 -> 12.5 s, identical):
+    "q77_sole_late_supplier": 17,
+    # r17 q60: scoring leg moved from full-explode distinct+join to
+    # per-doc array_intersect vs the nested dimension-sized profile
+    # (sf10 26.5 -> 16.7 s, identical):
+    "q60_char_ngram_langid": 17,
 }
 
 

@@ -346,15 +346,32 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "semi", "agg", "tpch"),
 )
 def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r17 (guide §2.3, §3.1): the direct semi join made Catalyst
+    # broadcast the ENTIRE lineitem side (only o_orderkey is an equi
+    # key; the shipdate bound is a join condition, so nothing prunes
+    # the build side) — a 60M-row HashedRelation at sf10, the same
+    # static-giant-broadcast class as the r16 q86/q126 flake. Instead:
+    # (a) pre-filter lineitem to l_shipdate > window start — rows at or
+    # below it can never beat an in-window o_orderdate, and the
+    # predicate reaches the parquet scan; (b) aggregate to one
+    # max(l_shipdate) row per orderkey BEFORE the shuffle (EXISTS(ship
+    # > date) == max(ship) > date; partial map-side agg collapses the
+    # 4-rows-per-key fact); (c) merge-hint the semi join so neither
+    # side is ever a data-sized broadcast.
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
     )
-    l = _t(spark, sf_dir, "lineitem")
+    lx = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz"))
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
     return (
         o.join(
-            l,
-            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            lx.hint("merge"),
+            (o.o_orderkey == lx.l_orderkey) & (lx.max_ship > o.o_orderdate),
             "left_semi",
         )
         .groupBy("o_orderpriority")

@@ -479,33 +479,42 @@ def q76_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "semijoin", "antijoin", "subquery", "tpch"),
 )
 def q77_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r17 (guide §2.3/§2.4): the literal EXISTS/NOT-EXISTS translation
+    # made FOUR data-sized shuffles of the fact (late distinct, all_sup
+    # distinct, the semi self-join, the anti self-join), each carrying
+    # (l_orderkey, l_suppkey). But both subqueries are per-ORDER
+    # predicates over the same grouping: "another supplier exists" ==
+    # n_suppliers >= 2, "no other late supplier" == n_late_suppliers
+    # == 1 (me being late and the only late one). So: one lineitem x
+    # orders join keyed on l_orderkey, then two nested aggregations
+    # that REUSE the join's hash partitioning (HashPartitioning on
+    # l_orderkey satisfies the (l_orderkey, l_suppkey) clustering, so
+    # neither groupBy adds an exchange). The sole late supplier's
+    # identity is max(suppkey | late) — unique when n_late == 1, so no
+    # tiebreak ambiguity. Supplier-set equivalence vs the oracle's
+    # un-joined all_sup: "me" rows come from the join, so me.l_orderkey
+    # is always present in orders, and for such orderkeys every
+    # lineitem row survives the inner join — identical per-order
+    # supplier sets.
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
-    late = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    lo = l.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate").hint("merge"),
+        l.l_orderkey == o.o_orderkey,
     )
-    all_sup = l.select("l_orderkey", "l_suppkey").distinct()
-    me = late.alias("me")
-    others = all_sup.alias("o2")
-    other_late = late.alias("l2")
-    has_other = me.join(
-        others,
-        (F.col("me.l_orderkey") == F.col("o2.l_orderkey"))
-        & (F.col("me.l_suppkey") != F.col("o2.l_suppkey")),
-        "leftsemi",
+    is_late_line = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(is_late_line, 1).otherwise(0)).alias("is_late")
     )
-    sole_late = has_other.alias("me").join(
-        other_late,
-        (F.col("me.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("me.l_suppkey") != F.col("l2.l_suppkey")),
-        "leftanti",
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
     )
+    sole = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        sole.join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -311,18 +311,31 @@ def q59_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "langid", "ngram", "ext"),
 )
 def q60_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r17 (guide §2.3/§2.4): the classification leg previously
+    # materialized per-doc DISTINCT trigrams as ROWS — a full-explode
+    # distinct (every (doc_id, lang, tg) row shuffled, ~200M at sf10),
+    # a row join against the profile, and a per-(doc, p_lang) count —
+    # three data-sized shuffles to compute what is per-doc-local
+    # arithmetic. The profile frame is dimension-sized (top-20 per
+    # language), so: nest it to ONE ROW PER LANGUAGE (collect_list),
+    # broadcast-cross-join those |langs| rows, and score each doc with
+    # size(array_intersect(distinct_doc_trigrams, profile_trigrams)) —
+    # set identity is exactly the old DISTINCT-join-count. hits=0 rows
+    # are filtered (the old inner join never produced them), and the
+    # argmax keeps the (hits DESC, p_lang ASC) tiebreak as
+    # min(struct(-hits, p_lang)). No data-sized exchange remains: the
+    # per-doc argmax collapses map-side (a doc's |langs| score rows
+    # are partition-local), as does the confusion-matrix aggregate.
+    # The trigram transform still runs twice (once per pass), but
+    # DISK_ONLY-materializing it was measured SLOWER (34.4 s vs 26.5
+    # baseline at sf10) than recomputing — the r17 notes price both.
     d = _docs(spark, sf_dir)
-    tri = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "CASE WHEN length(text) >= 3 THEN "
-                "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) "
-                "ELSE CAST(array() AS ARRAY<STRING>) END"
-            )
-        ).alias("tg"),
+    tg_arr = F.expr(
+        "CASE WHEN length(text) >= 3 THEN "
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
+    tri = d.select("doc_id", "lang", F.explode(tg_arr).alias("tg"))
     wp = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tg"))
     profile = (
         tri.groupBy("lang", "tg")
@@ -331,17 +344,22 @@ def q60_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select(F.col("lang").alias("p_lang"), "tg")
     )
-    doc_tri = tri.select("doc_id", "lang", "tg").distinct()
-    scores = (
-        doc_tri.join(F.broadcast(profile), "tg")
-        .groupBy("doc_id", "lang", "p_lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    profile_sets = profile.groupBy("p_lang").agg(F.collect_list("tg").alias("ptgs"))
+    scored = (
+        d.select("doc_id", "lang", F.array_distinct(tg_arr).alias("tgs"))
+        .crossJoin(F.broadcast(profile_sets))
+        .select(
+            "doc_id",
+            "lang",
+            "p_lang",
+            F.size(F.array_intersect("tgs", "ptgs")).alias("hits"),
+        )
+        .filter(F.col("hits") >= 1)
     )
-    wd = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("p_lang"))
-    pred = (
-        scores.withColumn("r", F.row_number().over(wd))
-        .filter(F.col("r") == 1)
-        .select("lang", F.col("p_lang").alias("lang_pred"))
+    pred = scored.groupBy("doc_id", "lang").agg(
+        F.min(F.struct((-F.col("hits")).alias("nh"), F.col("p_lang").alias("pl")))
+        .getField("pl")
+        .alias("lang_pred")
     )
     return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
 

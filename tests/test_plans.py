@@ -281,9 +281,15 @@ def test_q76_plans_semi_joins(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
-def test_q77_plans_semi_and_anti(spark, sf_dir):
+def test_q77_plans_single_pass_aggregation(spark, sf_dir):
+    # r17 rewrite: the EXISTS/NOT-EXISTS pair is now per-order counts
+    # over ONE merge-hinted lineitem x orders join; both nested
+    # groupBys must reuse the join's l_orderkey hash partitioning, so
+    # the plan carries exactly 3 shuffle exchanges (two join inputs +
+    # the dimension-sized final agg) and no data-sized broadcast.
     plan = formatted_plan(REGISTRY["q77_sole_late_supplier"].spark(spark, sf_dir))
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" in plan
+    assert plan.count(") Exchange") == 3
 
 
 def test_q78_anti_join_with_broadcast_scalar(spark, sf_dir):
