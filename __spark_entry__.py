@@ -92,6 +92,19 @@ _CHANGED_IN_ROUND = {
     # per-doc array_intersect vs the nested dimension-sized profile
     # (sf10 26.5 -> 16.7 s, identical):
     "q60_char_ngram_langid": 17,
+    # r17 combination expansions: slice()-lambda pair/triple generation
+    # replaced by index sequences + element_at (same i<j(<k) sets,
+    # ~5x less expansion CPU). q175 direct; q138 via order_part_pairs;
+    # the graph tier via copurchase_edges_plan's in-operator copy:
+    "q175_frequent_triples": 17,
+    "q138_copurchase_pairs": 17,
+    "q170_triangle_census": 17,
+    "q193_bfs_hops": 17,
+    "q194_kcore_peel": 17,
+    # r17 q187: per-round rescan of the data-sized pair frame replaced
+    # by one collect_set aggregation + dimension-sized array_except
+    # rounds (sf10 40.4 -> 24.6 s; q144 also re-keyed above):
+    "q187_greedy_coverage": 17,
 }
 
 

@@ -42,23 +42,42 @@ def greedy_max_coverage(
     set key (fully deterministic). Sets contributing zero new items are
     never picked; the result may have fewer than k rows.
     """
+    # r17 (guide §2.3 "aggregate before you shuffle", §1.2 step 1): the
+    # previous shape re-scanned the data-sized distinct (set, item)
+    # pair frame EVERY round (broadcast anti-join + full
+    # re-aggregation, k passes over ~50M rows at sf10). All the rounds
+    # need is each set's item SET, which never changes — so aggregate
+    # ONCE to a per-set array frame (collect_set dedups (s, i) repeats
+    # exactly like the old distinct) and let each round score
+    # size(array_except(items, covered)) over the SET-dimension frame
+    # (100k rows at sf10 vs 50M pair rows). The covered set stays a
+    # distributed frame collected into a one-row broadcast array per
+    # round (bounded by k * max-set-size, same bound and driver
+    # contract as before: exactly k argmax rows cross the driver).
+    # Precondition inherited from the array form: one set's items must
+    # fit a single array cell (max-set-size * 8B, executor-bounded);
+    # for set cardinalities beyond that, the pre-r17 per-round
+    # anti-join form in git history is the fallback.
     spark: SparkSession = pairs.sparkSession
     p = materialize(
         pairs.select(F.col(set_col).alias("_s"), F.col(item_col).alias("_i"))
-        .distinct(),
-        "_i",
+        .groupBy("_s")
+        .agg(F.collect_set("_i").alias("_items")),
+        "_s",
     )
     covered: DataFrame | None = None
     out_rows: list[tuple] = []
     total = 0
     for round_no in range(1, k + 1):
-        remaining = p if covered is None else p.join(
-            F.broadcast(covered), p["_i"] == covered["_c"], "left_anti"
-        )
+        if covered is None:
+            scored = p.select("_s", F.size("_items").alias("_n"))
+        else:
+            cov1 = covered.agg(F.collect_set("_c").alias("_cov"))
+            scored = p.crossJoin(F.broadcast(cov1)).select(
+                "_s", F.size(F.array_except("_items", "_cov")).alias("_n")
+            )
         best = (
-            remaining.groupBy("_s")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .orderBy(F.col("_n").desc(), F.col("_s").asc())
+            scored.orderBy(F.col("_n").desc(), F.col("_s").asc())
             .limit(1)
             .collect()
         )
@@ -67,8 +86,9 @@ def greedy_max_coverage(
         s_key, gain = best[0]["_s"], int(best[0]["_n"])
         total += gain
         out_rows.append((round_no, s_key, gain, total))
-        picked_items = remaining.filter(F.col("_s") == F.lit(s_key)).select(
-            F.col("_i").alias("_c")
+        picked_items = (
+            p.filter(F.col("_s") == F.lit(s_key))
+            .select(F.explode("_items").alias("_c"))
         )
         # bounded by k * max-set-size — plain checkpoint is fine, but
         # the serialized storage level costs nothing here

@@ -282,12 +282,23 @@ def copurchase_edges_plan(li: DataFrame, min_support: int = 2) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_distinct(F.sort_array(F.collect_list("l_partkey"))).alias("ps")
     )
+    # r17 (q175/q184 interpreted-lambda lesson): index sequences +
+    # element_at instead of per-element slice() copies — identical
+    # i<j pairs of the same sorted array, ~5x less expansion CPU. The
+    # size guard is REQUIRED here (unlike queries_ext8.order_part_pairs
+    # there is no size >= 2 pre-filter, and sequence(1, 0) would emit a
+    # DESCENDING range, not an empty one).
     pairs = baskets.select(
         F.explode(
             F.expr(
-                "flatten(transform(ps, (x, i) ->"
-                " transform(slice(ps, i + 2, size(ps)),"
-                " y -> struct(x AS pa, y AS pb))))"
+                "CASE WHEN size(ps) >= 2 THEN"
+                " flatten(transform(sequence(1, size(ps) - 1), i ->"
+                " transform(sequence(i + 1, size(ps)), j ->"
+                " struct(element_at(ps, i) AS pa, element_at(ps, j) AS pb))))"
+                # empty branch typed FROM ps (never evaluated) so the
+                # operator stays generic over the key's integer width
+                " ELSE transform(CAST(array() AS ARRAY<INT>), z ->"
+                " struct(element_at(ps, 1) AS pa, element_at(ps, 1) AS pb)) END"
             )
         ).alias("pr")
     ).select("pr.pa", "pr.pb")

@@ -159,14 +159,17 @@ def order_part_pairs(li: DataFrame) -> DataFrame:
         .filter(F.size("_ps") >= 2)
         .select("_ps")
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("_ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ps"), i + 2, F.size(F.col("_ps"))),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
+    # r17 (guide §1.2 step 2, the q175/q184 interpreted-lambda lesson):
+    # slice() allocated a copy of the part array per outer element and
+    # flatten copied every struct again; index sequences + element_at
+    # emit the SAME i<j pairs of the same sorted array while allocating
+    # only small int sequences. The size >= 2 filter above guarantees
+    # both sequence() bounds are ascending. Shared by q138 and the
+    # graph tier's edge build, so the cut lands in every consumer.
+    pairs = F.expr(
+        "flatten(transform(sequence(1, size(_ps) - 1), i ->"
+        " transform(sequence(i + 1, size(_ps)), j ->"
+        " struct(element_at(_ps, i) AS u, element_at(_ps, j) AS v))))"
     )
     return ps.select(F.explode(pairs).alias("_p")).select(
         F.col("_p.u").alias("u"), F.col("_p.v").alias("v")
