@@ -391,8 +391,17 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "anti", "agg"),
 )
 def q07_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r17 (guide §2.3 "aggregate before you shuffle", §3.1): anti-join
+    # membership only needs the DISTINCT l_partkey set. Catalyst
+    # planned the raw form as BroadcastHashJoin LeftAnti over the
+    # ENTIRE 60M-row lineitem key column — a data-sized HashedRelation
+    # that grows with the fact table (the q04/q86/q126 static-giant-
+    # broadcast class, winning only by GC timing at the heap edge).
+    # Deduping first bounds the build side at |part| (~2M at sf10,
+    # 30x fewer entries), and the distinct's partial map-side
+    # aggregation collapses most duplicates before its exchange.
     p = _t(spark, sf_dir, "part")
-    l = _t(spark, sf_dir, "lineitem")
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
     return (
         p.join(l, p.p_partkey == l.l_partkey, "left_anti")
         .groupBy("p_brand")
