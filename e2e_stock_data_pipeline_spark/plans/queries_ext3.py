@@ -402,9 +402,8 @@ def q104_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q105_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sh = D.exploded_shingles(docs, distinct=False)
-    pairs = D.lsh_candidate_pairs(D.minhash_bands(sh))
-    labels = D.connected_components(docs.select("doc_id"), pairs, assume_canonical=True)
+    # r17: session-memoized cluster fixpoint shared with q56/q153/q158
+    _pairs, labels = D.cluster_labels_plan(docs)
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
 

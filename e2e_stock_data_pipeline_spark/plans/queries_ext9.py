@@ -579,21 +579,13 @@ def _split_col(col: str, seed: int = 42):
 )
 def q153_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sh = D.exploded_shingles(docs, distinct=False)
     # The pair set has THREE consumers here (the CC fixpoint + both leak
-    # audits), so it is checkpointed ONCE at query level and CC is told
-    # so (pre_materialized) — the old shape re-executed the whole
-    # banding pipeline per consumer (r12: 3 x ~60 s at sf10).
-    from ..operators.materialize import materialize
-
-    pairs = materialize(
-        D.lsh_candidate_pairs(D.minhash_bands(sh)),
-        "doc_a",
-        widen=False,
-    )
-    labels = D.connected_components(
-        docs.select("doc_id"), pairs, assume_canonical=True, pre_materialized=True
-    )
+    # audits) and the fixpoint a FOURTH query family — both now come
+    # from the session memo (operators/dedup.cluster_labels_plan, r17),
+    # which checkpoints each ONCE per session; the pre-memo shape
+    # re-executed the whole banding pipeline per consumer (r12: 3 x
+    # ~60 s at sf10).
+    pairs, labels = D.cluster_labels_plan(docs)
     csplit = labels.select(
         "doc_id", "cluster_id", _split_col("cluster_id").alias("split")
     )
@@ -994,9 +986,8 @@ _REP_B = 10**12  # ord = n_chars * B - doc_id: unique, int64-safe
 )
 def q158_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sh = D.exploded_shingles(docs, distinct=False)
-    pairs = D.lsh_candidate_pairs(D.minhash_bands(sh))
-    labels = D.connected_components(docs.select("doc_id"), pairs, assume_canonical=True)
+    # r17: session-memoized cluster fixpoint shared with q56/q105/q153
+    _pairs, labels = D.cluster_labels_plan(docs)
     joined = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
     return joined.groupBy("cluster_id").agg(
         F.expr(f"max_by(doc_id, n_chars * {_REP_B} - doc_id)").alias("rep_doc_id"),

@@ -194,10 +194,12 @@ SQL_CLUSTER_LABELS = f"""
     tags=("dedup", "clustering", "iterative", "ext"),
 )
 def q56_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r17: the (pairs, labels) build is session-memoized — FOUR
+    # registered queries (q56/q105/q153/q158) consume the identical
+    # cluster fixpoint (operators/dedup.cluster_labels_plan)
     docs = _docs(spark, sf_dir)
-    sh = D.exploded_shingles(docs, distinct=False)
-    pairs = D.lsh_candidate_pairs(D.minhash_bands(sh))
-    return D.connected_components(docs.select("doc_id"), pairs, assume_canonical=True)
+    _pairs, labels = D.cluster_labels_plan(docs)
+    return labels
 
 
 @query(

@@ -98,9 +98,10 @@ def release(spark: SparkSession) -> dict:
     dropped it.
 
     SESSION MEMOS ARE SPARED (r17, VERDICT r16 item 4): RDD ids that a
-    live session memo still references (today: graph._EDGE_PLAN_CACHE's
-    co-purchase edge frame, shared by five registered graph queries)
-    are skipped, because (a) dropping them forces every graph query in
+    live session memo still references (graph._EDGE_PLAN_CACHE's
+    co-purchase edge frame, shared by five registered graph queries,
+    and dedup._CLUSTER_PLAN_CACHE's near-dup pair/label frames, shared
+    by four) are skipped, because (a) dropping them forces every graph query in
     a sweep to pay the ~40 s sf10 edge rebuild the memo exists to
     amortize (118 s in-sweep vs 59 s steady for q144 in r16), and (b)
     the blocks are DISK_ONLY localCheckpoints — sparing them holds
@@ -116,6 +117,7 @@ def release(spark: SparkSession) -> dict:
     spark.catalog.clearCache()
     spared: set[int] = set()
     try:
+        from ..operators import dedup as _dedup
         from ..operators import graph as _graph
 
         app_id = spark.sparkContext.applicationId
@@ -123,6 +125,14 @@ def release(spark: SparkSession) -> dict:
             rid
             for key, (_df, rid) in _graph._EDGE_PLAN_CACHE.items()
             if key[0] == app_id
+        }
+        # the dedup-tier cluster memo (r17): same contract, two backing
+        # rids per entry (candidate pairs + cluster labels)
+        spared |= {
+            rid
+            for key, (_p, _l, rid_p, rid_l) in _dedup._CLUSTER_PLAN_CACHE.items()
+            if key[0] == app_id
+            for rid in (rid_p, rid_l)
         }
     except Exception:  # noqa: BLE001 — no live context / import cycle
         spared = set()

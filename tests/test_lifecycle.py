@@ -84,3 +84,41 @@ def test_release_is_idempotent(spark):
     b = registry.release(spark)
     assert b["rdds_unpersisted"] == 0
     assert a["plans_dropped"] >= 0
+
+def test_release_spares_live_cluster_memo(spark, sf_dir):
+    """r17: the dedup-tier cluster memo (q56/q105/q153/q158) follows the
+    graph memo's contract — BOTH backing frames (pairs, labels) survive
+    a between-queries release, the memo hit is served afterwards, and a
+    dead memo (blocks force-dropped) rebuilds instead of handing out an
+    unrecomputable frame."""
+    from e2e_stock_data_pipeline_spark.operators import dedup
+
+    dedup._CLUSTER_PLAN_CACHE.clear()
+    registry.release(spark)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)]
+        + [(i, f"unique{i} text{i} body{i} words{i} here{i}") for i in range(6, 12)],
+        ["doc_id", "text"],
+    )
+    pairs, labels = dedup.cluster_labels_plan(docs)
+    n_pairs, n_labels = pairs.count(), labels.count()
+    assert n_labels == 12 and len(dedup._CLUSTER_PLAN_CACHE) == 1
+    # the 6 identical docs share one cluster rooted at the min doc_id
+    assert labels.filter("cluster_id = 0").count() == 6
+    stats = registry.release(spark)
+    assert stats["rdds_spared"], "cluster memo rids should be spared"
+    p2, l2 = dedup.cluster_labels_plan(docs)
+    assert p2 is pairs and l2 is labels, "live memo must be reused after release"
+    assert l2.count() == n_labels and p2.count() == n_pairs
+    # kill the blocks WITH the memo entry still present -> the liveness
+    # probe must force a rebuild, not hand out an unrecomputable frame
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)
+    assert len(dedup._CLUSTER_PLAN_CACHE) == 1  # stale entry still cached
+    p3, l3 = dedup.cluster_labels_plan(docs)
+    assert p3 is not pairs and l3 is not labels
+    assert l3.count() == n_labels and p3.count() == n_pairs
+    dedup._CLUSTER_PLAN_CACHE.clear()
+    registry.release(spark)

@@ -138,9 +138,10 @@ def test_no_eager_actions_in_plan_modules():
     #     prefix join — materializing once at build time is the measured
     #     629s->123s sf10 win AND suppresses a Catalyst through-aggregate
     #     size underestimate that broadcast a 17M-row side;
-    #   queries_ext9.py (q153): the LSH pair set has THREE consumers
-    #     (CC fixpoint + both leak audits); checkpointing once at query
-    #     level replaced 3x full banding re-executions (r12, sf10).
+    #   (queries_ext9.py's q153 pair-set checkpoint moved into
+    #     operators/dedup.cluster_labels_plan in r17 — the session memo
+    #     shared by q56/q105/q153/q158; dedup.py, like graph.py, is an
+    #     operator module with sanctioned eager sites, not a target.)
     #   queries_ext15.py second site (r17): the (doc_id, shingle) token
     #     explode is checkpointed so the interpreted shingle build runs
     #     ONCE instead of twice (dfreq pass + rank-attach pass) — half
@@ -155,7 +156,7 @@ def test_no_eager_actions_in_plan_modules():
     # Keyed by file -> EXPECTED materialize() occurrence count, so a new
     # eager call site added to an already-allowlisted file still fails
     # here and must be consciously recorded (ADVICE r15).
-    allowed_eager = {"queries_ext15.py": 2, "queries_ext9.py": 1, "similarity.py": 1}
+    allowed_eager = {"queries_ext15.py": 2, "similarity.py": 1}
     offenders = []
     eager_seen: dict[str, int] = {}
     for f in targets:
