@@ -455,16 +455,29 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", seed: int = 7) -> DataFra
         .distinct()
         .select(id_col, _seeded_hash(F.col("word"), F.lit(seed)).alias("h"))
     )
-    spark = docs.sparkSession
-    bits = F.broadcast(spark.range(16).withColumnRenamed("id", "b"))
-    contrib = F.when(F.expr("(shiftright(h, CAST(b AS INT)) & 1) = 1"), 1).otherwise(-1)
-    per_bit = (
-        wds.crossJoin(bits)
-        .groupBy(id_col, "b")
-        .agg(F.sum(contrib).alias("s"))
+    # r17 (guide §2.3 "aggregate before you shuffle", the
+    # minhash_signatures k-min lesson applied to sign counts): all 16
+    # per-bit sums ride ONE groupBy(id) as 16 agg columns. The old shape
+    # cross-joined every distinct word with a 16-row bit frame — 16x the
+    # rows through the (id, b) exchange — then needed a SECOND exchange
+    # to fold bits per doc; this one collapses map-side to one row per
+    # doc and removes the bit fold's exchange outright. Values are
+    # identical: per (doc, b), s = sum(+/-1 over distinct words), bit b
+    # set iff s > 0, fingerprint = sum of 2^b over set bits.
+    wide = wds.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(16)
+        ]
     )
-    bitval = F.when(F.col("s") > 0, F.expr("CAST(pow(2, b) AS BIGINT)")).otherwise(F.lit(0))
-    return per_bit.groupBy(id_col).agg(F.sum(bitval).cast("bigint").alias("simhash16"))
+    fp: Column = F.lit(0).cast("bigint")
+    for b in range(16):
+        fp = fp + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return wide.select(id_col, fp.cast("bigint").alias("simhash16"))
 
 
 # Broadcast the per-node star-round min tables when the graph has at

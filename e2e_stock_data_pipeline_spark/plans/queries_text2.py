@@ -108,6 +108,14 @@ def q55_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     terms = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # r17 note: deriving df FROM tf (count(*) per term over the tf
+    # frame) was tried and measured NEUTRAL, then reverted — Catalyst
+    # rewrites the count-over-group into a plain (doc, term) distinct,
+    # which makes the two branches' exchanges canonically different, so
+    # the hoped-for exchange reuse never fires and both shapes pay two
+    # scans + one data-sized exchange per branch. The top-3 window is
+    # already cheap: Spark 4 plans it as partial WindowGroupLimit
+    # (top-3 per doc BEFORE the exchange). Priced in BENCH_NOTES r17.
     df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     # Corpus size as a broadcast 1-row aggregate (exactly the oracle's
     # CROSS JOIN n) — no driver-side d.count() action in plan construction.
@@ -571,14 +579,18 @@ def q89_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q90_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    ws = F.split(F.trim(F.col("text")), " +")
+    # r17 (the q184/q175 interpreted-lambda lesson): hoist the split
+    # into its own projection — higher-order-function lambdas get no
+    # common-subexpression elimination, so the inline form re-ran
+    # split(trim(text)) per ARRAY ELEMENT (twice per bigram: ws[i] and
+    # ws[i+1]). Identical bigrams, one split per document.
+    ws = d.select("doc_id", F.split(F.trim(F.col("text")), " +").alias("ws"))
     bigram = F.expr(
-        "CASE WHEN size(split(trim(text), ' +')) >= 2 THEN "
-        "transform(sequence(0, size(split(trim(text), ' +')) - 2), "
-        "i -> split(trim(text), ' +')[i] || ' ' || split(trim(text), ' +')[i+1]) "
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(0, size(ws) - 2), i -> ws[i] || ' ' || ws[i+1]) "
         "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    bigrams = d.select("doc_id", F.explode(bigram).alias("bg"))
+    bigrams = ws.select("doc_id", F.explode(bigram).alias("bg"))
     counts = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     agg = counts.groupBy("doc_id").agg(
         F.max("c").cast("bigint").alias("top_bigram_n"),
