@@ -105,6 +105,25 @@ _CHANGED_IN_ROUND = {
     # by one collect_set aggregation + dimension-sized array_except
     # rounds (sf10 40.4 -> 24.6 s; q144 also re-keyed above):
     "q187_greedy_coverage": 17,
+    # r17 resumed session: q07 anti-join build side bounded by a
+    # distinct key set (plan only, identity values):
+    "q07_parts_never_ordered": 17,
+    # r17 cluster-fixpoint session memo (dedup.cluster_labels_plan) —
+    # same values, plans now read the shared checkpointed frames:
+    "q56_dedup_clusters": 17,
+    "q105_cluster_size_histogram": 17,
+    "q153_cluster_split": 17,
+    "q158_cluster_canonicals": 17,
+    # r17 simhash 16-sums-in-one-aggregate (bit-identical values):
+    "q43_simhash": 17,
+    # r17 q90 split hoisted out of the bigram lambda (identical):
+    "q90_repetition_stats": 17,
+    # r17 q145 distinct counts split out of the mixed aggregate
+    # (identical values, Expand removed):
+    "q145_table_profile": 17,
+    # r17 q44b sliding min moved to array land (identical
+    # fingerprints, window exchange+sort removed):
+    "q44b_winnowing_fingerprints": 17,
 }
 
 

@@ -18,10 +18,14 @@ def _n_persistent(spark) -> int:
 
 
 def test_release_reclaims_iterative_residue(spark, sf_dir):
-    from e2e_stock_data_pipeline_spark.operators import graph
+    from e2e_stock_data_pipeline_spark.operators import dedup, graph
     from e2e_stock_data_pipeline_spark.operators.dedup import connected_components
 
-    graph._EDGE_PLAN_CACHE.clear()  # no spared memos in this scenario
+    # no spared memos in this scenario (earlier tests in the session may
+    # have populated either session memo — both must be emptied or
+    # release() correctly spares their backing rids)
+    graph._EDGE_PLAN_CACHE.clear()
+    dedup._CLUSTER_PLAN_CACHE.clear()
     registry.release(spark)
     nodes = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
     edges = spark.createDataFrame(
