@@ -124,6 +124,14 @@ _CHANGED_IN_ROUND = {
     # r17 q44b sliding min moved to array land (identical
     # fingerprints, window exchange+sort removed):
     "q44b_winnowing_fingerprints": 17,
+    # r17 third session: exploded-shingle Jaccard verify moved to
+    # array land (shingle_sets + in-row array_intersect, merge-hinted
+    # against the static corpus-sized broadcast) in q86/q126, and
+    # q155 additionally counts signature matches on wide sketch rows
+    # (identical values; sf10 29.5->14.8 / 16.2->12.5 / 30.5->14.9 s):
+    "q86_neardup_pipeline": 17,
+    "q126_incremental_dedup": 17,
+    "q155_minhash_calibration": 17,
 }
 
 

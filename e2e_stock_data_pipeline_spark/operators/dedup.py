@@ -65,6 +65,83 @@ def exploded_shingles(
     return out.distinct() if distinct else out
 
 
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sset): each doc's DISTINCT shingle set as ONE array cell —
+    the array-land twin of ``exploded_shingles(distinct=True)``.
+
+    Same set membership (``array_distinct`` over the same ``transform``
+    the exploded form flattens), but the set never leaves its row: no
+    explode, and crucially no corpus-sized DISTINCT shuffle. Docs with
+    < n words carry an empty array; such docs have no shingles, hence
+    no MinHash signature, hence never appear in an LSH candidate list,
+    so verify joins keyed from a candidate frame see identical rows
+    either way (r17, guide §2.4 "remove shuffles outright").
+
+    Scale bound: one doc's distinct shingle set must fit an array cell
+    (the q187 covered-set precondition) — shingle counts are bounded by
+    doc length, which a 100 TB text corpus bounds at ingest anyway."""
+    joined = "concat_ws(' ', " + ", ".join(f"w[i + {j}]" for j in range(n)) + ")"
+    with_words = docs.select(F.col(id_col), words_col("text").alias("w"))
+    sh = F.expr(
+        f"CASE WHEN size(w) >= {n} THEN"
+        f" array_distinct(transform(sequence(0, size(w) - {n}), i -> {joined}))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return with_words.select(F.col(id_col), sh.alias("sset"))
+
+
+def jaccard_verify_arrays(
+    cands: DataFrame,
+    ssets: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, n_common, n_a, n_b) for each candidate pair, with the
+    exact set intersection computed INSIDE the row.
+
+    Replaces the exploded-shingle verify shape (cands ⋈ shingled ⋈
+    shingled on (id, shingle) + re-aggregate + two size joins): that
+    form shuffles the corpus-sized exploded frame twice and the
+    |cands| × |shingles-per-doc| intermediate once, all to compare
+    elements that never needed to leave their documents. Here the two
+    joins are keyed on the candidate's doc ids over the one-row-per-doc
+    array frame, ``array_intersect`` intersects in-row, and sizes are
+    ``size()`` on the same arrays (no separate counts aggregate).
+    n_common = |set(a) ∩ set(b)| exactly as the exploded COUNT(*) — the
+    arrays are distinct by construction (:func:`shingle_sets`). Any
+    extra columns riding on ``cands`` (e.g. q155's n_match_sigs) pass
+    through unchanged.
+
+    The merge hints block the static planner from broadcasting the
+    array frame: its size estimate is the documents RELATION's bytes,
+    blind to the fan-out of the built arrays, so it ships a corpus-
+    sized HashedRelation (the r16 q86/q126 heap-edge flake class —
+    observed again here on the first r17 array-land plan). SMJ spills
+    gracefully and shuffles each side once; the candidate side is
+    pair-list-sized."""
+    wa = ssets.select(
+        F.col(id_col).alias(a_col), F.col("sset").alias("_sa")
+    ).hint("merge")
+    wb = ssets.select(
+        F.col(id_col).alias(b_col), F.col("sset").alias("_sb")
+    ).hint("merge")
+    return (
+        cands.join(wa, a_col)
+        .join(wb, b_col)
+        .select(
+            *[F.col(c) for c in cands.columns],
+            F.size(F.array_intersect("_sa", "_sb"))
+            .cast("bigint")
+            .alias("n_common"),
+            F.size("_sa").cast("bigint").alias("n_a"),
+            F.size("_sb").cast("bigint").alias("n_b"),
+        )
+    )
+
+
 # Universal-hash family for MinHash: ONE sha256 per shingle produces a
 # 28-bit base hash; the k family members are (a_s*h + b_s) mod P derived
 # arithmetically (standard k-wise hashing). 28 bits keeps a_s*h inside
@@ -124,6 +201,30 @@ LSH_ROWS_PER_BAND = 2
 LSH_BAND_KEYS = ("band", "s0", "s1")
 
 
+def minhash_wide(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    family: str = "v2",
+) -> DataFrame:
+    """(id, _s0.._s{k-1}): the per-doc MinHash signature as ONE wide row
+    — all k family members aggregated in one groupBy(id) (see
+    :func:`minhash_signatures`, which unpivots this frame to the
+    (id, seed, sig) banding layout). Exposed since r17 so signature-
+    match counting (q155) can compare two docs' sketches as k equality
+    terms on two wide rows instead of exploding 2k rows per doc through
+    a (seed, sig)-keyed join; both consumers share this aggregate's
+    exchange via AQE stage reuse when they appear in one plan."""
+    fam = {"v1": universal_hash, "v2": universal_hash_v2}[family]
+    hashed = shingled.select(id_col, base_hash28(F.col("shingle")).alias("h"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(fam(F.col("h"), F.lit(s).cast("bigint"))).alias(f"_s{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     shingled: DataFrame,
     id_col: str = "doc_id",
@@ -144,14 +245,18 @@ def minhash_signatures(
     only so the independence regression test can measure the defect it
     replaced.
     """
-    fam = {"v1": universal_hash, "v2": universal_hash_v2}[family]
-    hashed = shingled.select(id_col, base_hash28(F.col("shingle")).alias("h"))
-    wide = hashed.groupBy(id_col).agg(
-        *[
-            F.min(fam(F.col("h"), F.lit(s).cast("bigint"))).alias(f"_s{s}")
-            for s in range(num_hashes)
-        ]
-    )
+    wide = minhash_wide(shingled, id_col, num_hashes, family)
+    return minhash_signatures_from_wide(wide, id_col, num_hashes)
+
+
+def minhash_signatures_from_wide(
+    wide: DataFrame, id_col: str = "doc_id", num_hashes: int = 12
+) -> DataFrame:
+    """Unpivot a :func:`minhash_wide` frame to the (id, seed, sig)
+    banding layout — free (one explode of a k-element struct array per
+    row, no shuffle). Split out (r17) so a caller that needs BOTH
+    layouts (q155: bands for candidacy, wide rows for per-pair match
+    counts) builds the aggregate once."""
     pairs = F.array(
         *[
             F.struct(
@@ -416,29 +521,20 @@ def incremental_neardup(
         .distinct()
     )
 
-    shd = exploded_shingles(flagged, id_col, distinct=True)
-    sizes = shd.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sa = shd.select(F.col(id_col).alias("doc_new"), "shingle")
-    sb = shd.select(F.col(id_col).alias("doc_old"), "shingle")
-    # merge-hint the exploded-shingle sides (q86's r16 smoke flake):
-    # Catalyst's through-explode size estimate statically broadcast the
-    # edge-of-heap ~50M-row (id, shingle) frames at sf10; SMJ spills.
-    inter = (
-        cands.join(sa.hint("merge"), "doc_new")
-        .join(sb.hint("merge"), ["doc_old", "shingle"])
-        .groupBy("doc_new", "doc_old")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Exact-Jaccard verify in ARRAY land (r17): the candidate pair list
+    # joins the one-row-per-doc distinct shingle-set frame and
+    # intersects in-row — replacing the exploded-shingle 3-frame join
+    # whose 50M-row merge-hinted SMJ legs (the r16 broadcast-flake fix)
+    # were this query's dominant cost. Set semantics identical; sizes
+    # read off the same arrays.
+    ver = jaccard_verify_arrays(
+        cands, shingle_sets(flagged, id_col), "doc_new", "doc_old", id_col
     )
-    sx = sizes.select(F.col(id_col).alias("doc_new"), F.col("n").alias("n_a"))
-    sy = sizes.select(F.col(id_col).alias("doc_old"), F.col("n").alias("n_b"))
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
-    return (
-        inter.join(sx, "doc_new")
-        .join(sy, "doc_old")
-        .select("doc_new", "doc_old", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return ver.select("doc_new", "doc_old", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 

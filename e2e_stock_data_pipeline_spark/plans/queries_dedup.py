@@ -338,30 +338,18 @@ def q86_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = D.lsh_candidate_pairs(
         D.filter_hot_buckets(bands, max_bucket=100, keys=D.LSH_BAND_KEYS)
     )
-    shd = D.exploded_shingles(docs, distinct=True)
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = shd.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shd.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # merge-hint the exploded-shingle sides: Catalyst's size estimate
-    # THROUGH the explode undershoots so badly it statically broadcast
-    # the ~50M-row (doc, shingle) string frames at sf10 — a multi-GB
-    # HashedRelation build that OOMs the driver heap by luck of GC
-    # timing (r16 smoke flake). SMJ is spillable and this verify join
-    # is shuffle-sized anyway.
-    inter = (
-        cands.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sy = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    # Exact-Jaccard verify in ARRAY land (r17, guide §2.4): the pair
+    # list joins the one-row-per-doc distinct shingle-set frame and
+    # intersects in-row. The old shape (cands ⋈ shingled ⋈ shingled on
+    # (doc, shingle) + regroup + two size joins) shuffled the exploded
+    # frame twice through merge-hinted SMJs — the r16 broadcast-flake
+    # fix made it safe, this makes it cheap: elements that never leave
+    # their document are no longer exchanged at all. n_common / sizes
+    # are bijection-free set counts, identical by construction.
+    ver = D.jaccard_verify_arrays(cands, D.shingle_sets(docs))
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
-    return (
-        inter.join(sx, "doc_a")
-        .join(sy, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+    return ver.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.5
     )

@@ -782,49 +782,59 @@ def q154_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q155_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sh = D.exploded_shingles(docs, distinct=True)
-    sigs = D.minhash_signatures(sh)
+    # distinct=False: min over a multiset equals min over its set, and
+    # the verify leg no longer consumes the exploded frame (r17) — the
+    # corpus-sized DISTINCT shuffle bought nothing.
+    wide = D.minhash_wide(D.exploded_shingles(docs, distinct=False))
+    sigs = D.minhash_signatures_from_wide(wide)
     bands = D.filter_hot_buckets(
         D.band_signatures(sigs, num_hashes=D.LSH_NUM_HASHES),
         100,
         keys=D.LSH_BAND_KEYS,
     )
     cands = D.lsh_candidate_pairs(bands)
-    siga = sigs.select(F.col("doc_id").alias("doc_a"), "seed", "sig")
-    sigb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", "sig")
+    # Signature-match count as 12 equality terms over two WIDE sketch
+    # rows (r17): the old shape exploded 12 (seed, sig) rows per doc
+    # through a 3-key join and re-aggregated per pair; a sketch compare
+    # is a per-pair operation on two k-slot rows, so join the candidate
+    # list to minhash_wide twice and sum the slot equalities — same
+    # count (one join row per matching seed ⟺ one equality term true),
+    # no explode, no regroup. AQE stage reuse shares the wide aggregate
+    # with the banding leg.
+    # merge hints: the wide sketch frame is corpus-sized (one 12-slot
+    # row per doc) and the static planner's estimate would broadcast it
+    # (the r16 data-sized-broadcast hazard class); SMJ spills.
+    k = D.LSH_NUM_HASHES
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"_s{s}").alias(f"_a{s}") for s in range(k)]
+    ).hint("merge")
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"_s{s}").alias(f"_b{s}") for s in range(k)]
+    ).hint("merge")
+    n_match = sum(
+        (F.col(f"_a{s}") == F.col(f"_b{s}")).cast("bigint") for s in range(k)
+    )
     match = (
-        cands.join(siga, "doc_a")
-        .join(sigb, ["doc_b", "seed", "sig"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_match_sigs"))
+        cands.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match_sigs"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # shuffle_hash hints: explode-derived sides inherit the PRE-explode
-    # size estimate (Spark propagates the relation's sizeInBytes through
-    # Generate), so the static planner under-estimates the shingle frame
-    # ~48x and picked BROADCAST for these joins — at sf10 that is a
-    # 24M-row build relation and the driver dies with "Not enough memory
-    # to build and broadcast" (caught by the r11 execution smoke).
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle").hint("shuffle_hash")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle").hint("shuffle_hash")
-    inter = (
-        match.select("doc_a", "doc_b")
-        .join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sx = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sy = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    # Exact-Jaccard verify in ARRAY land (the q86 r17 shape): in-row
+    # array_intersect over per-doc distinct shingle sets replaces the
+    # shuffle_hash-hinted exploded-shingle joins + sizes aggregate. The
+    # old LEFT join kept collision-only pairs at jaccard 0; here
+    # n_common = 0 yields jfp = 0 on the same inner-joined row — no
+    # outer join needed (every candidate doc has shingles).
+    ver = D.jaccard_verify_arrays(match, D.shingle_sets(docs))
     jfp = F.floor(
-        (nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc)) * 1000000
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        * 1000000
     ).cast("bigint")
     return (
-        match.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sx, "doc_a")
-        .join(sy, "doc_b")
-        .select("n_match_sigs", jfp.alias("jaccard_fp"))
+        ver.select("n_match_sigs", jfp.alias("jaccard_fp"))
         .groupBy("n_match_sigs")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),

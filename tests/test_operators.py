@@ -15,6 +15,11 @@ from e2e_stock_data_pipeline_spark.sources import tables
 from e2e_stock_data_pipeline_spark.operators.asof import asof_join, asof_join_filtered
 from e2e_stock_data_pipeline_spark.operators.dedup import (
     exploded_shingles,
+    jaccard_verify_arrays,
+    minhash_signatures,
+    minhash_signatures_from_wide,
+    minhash_wide,
+    shingle_sets,
     simhash16,
 )
 from e2e_stock_data_pipeline_spark.operators.multimodal import (
@@ -196,6 +201,109 @@ class TestSimHash:
         docs = spark.createDataFrame([(1, "a b c d"), (2, "x y")], ["doc_id", "text"])
         got = {(r.doc_id, r.shingle) for r in exploded_shingles(docs, n=3).collect()}
         assert got == {(1, "a b c"), (1, "b c d")}  # doc 2 too short -> dropped
+
+
+class TestArrayLandVerify:
+    """r17: the exploded-shingle verify moved into array land
+    (shingle_sets + jaccard_verify_arrays) and q155's signature-match
+    count moved onto wide sketch rows — these pin the equivalences the
+    rewrites rely on."""
+
+    _DOCS = [
+        (1, "a b c d a b c"),      # repeated shingles -> distinct matters
+        (2, "a b c d"),            # subset of 1
+        (3, "x y z w"),            # disjoint from 1/2
+        (4, "x y"),                # too short: no shingles
+        (5, "q r s a b c"),        # partial overlap with 1/2
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(self._DOCS, ["doc_id", "text"])
+
+    def test_shingle_sets_match_exploded_distinct(self, spark):
+        docs = self._docs(spark)
+        exploded = {}
+        for r in exploded_shingles(docs, distinct=True).collect():
+            exploded.setdefault(r.doc_id, set()).add(r.shingle)
+        for r in shingle_sets(docs).collect():
+            arr = r.sset
+            assert len(arr) == len(set(arr))  # arrays are distinct
+            assert set(arr) == exploded.get(r.doc_id, set())
+        # the short doc is PRESENT with an empty array (vs absent when
+        # exploded) — candidate-keyed inner joins see identical rows
+        sets = {r.doc_id: r.sset for r in shingle_sets(docs).collect()}
+        assert sets[4] == []
+        assert 4 not in exploded
+
+    def test_jaccard_verify_matches_exploded_form(self, spark):
+        docs = self._docs(spark)
+        # candidate list includes a zero-overlap pair (2, 3) and an
+        # extra pass-through column
+        cands = spark.createDataFrame(
+            [(1, 2, "k12"), (1, 5, "k15"), (2, 3, "k23")],
+            ["doc_a", "doc_b", "tag"],
+        )
+        got = {
+            (r.doc_a, r.doc_b): (r.tag, r.n_common, r.n_a, r.n_b)
+            for r in jaccard_verify_arrays(cands, shingle_sets(docs)).collect()
+        }
+        # exploded-form reference (the pre-r17 shape)
+        shd = exploded_shingles(docs, distinct=True)
+        sa = {}
+        for r in shd.collect():
+            sa.setdefault(r.doc_id, set()).add(r.shingle)
+        for (a, b), (tag, n_common, n_a, n_b) in got.items():
+            assert n_common == len(sa[a] & sa[b])
+            assert n_a == len(sa[a])
+            assert n_b == len(sa[b])
+        assert got[(2, 3)][1] == 0  # zero-overlap pair kept, n_common 0
+        assert {v[0] for v in got.values()} == {"k12", "k15", "k23"}
+
+    def test_wide_match_count_equals_sig_join(self, spark):
+        docs = self._docs(spark)
+        sh = exploded_shingles(docs, distinct=False)
+        wide = minhash_wide(sh)
+        sigs = minhash_signatures(sh)
+        # signatures_from_wide is the same unpivot minhash_signatures does
+        a = {(r.doc_id, r.seed): r.sig for r in sigs.collect()}
+        b = {
+            (r.doc_id, r.seed): r.sig
+            for r in minhash_signatures_from_wide(wide).collect()
+        }
+        assert a == b
+        # wide-row equality count == (seed, sig)-join row count per pair
+        k = 12
+        sig_by_doc = {}
+        for (d, s), v in a.items():
+            sig_by_doc.setdefault(d, {})[s] = v
+        cands = spark.createDataFrame(
+            [(1, 2), (1, 5), (2, 3)], ["doc_a", "doc_b"]
+        )
+        wa = wide.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"_s{s}").alias(f"_a{s}") for s in range(k)],
+        )
+        wb = wide.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"_s{s}").alias(f"_b{s}") for s in range(k)],
+        )
+        n_match = sum(
+            (F.col(f"_a{s}") == F.col(f"_b{s}")).cast("bigint") for s in range(k)
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.n
+            for r in cands.join(wa, "doc_a")
+            .join(wb, "doc_b")
+            .select("doc_a", "doc_b", n_match.alias("n"))
+            .collect()
+        }
+        for (x, y), n in got.items():
+            expect = sum(
+                1
+                for s in range(k)
+                if sig_by_doc[x][s] == sig_by_doc[y][s]
+            )
+            assert n == expect
 
 
 class TestSimilarity:
