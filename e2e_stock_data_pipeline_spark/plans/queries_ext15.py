@@ -268,7 +268,20 @@ def q184_ordered_plan(d: DataFrame) -> DataFrame:
             " ELSE CAST(array() AS ARRAY<STRING>) END)"
         ).alias("sset"),
     )
-    tok = materialize(w.select("doc_id", F.explode("sset").alias("shingle")))
+    # Checkpoint at the PRE-explode (doc, sset) level, not the exploded
+    # token level (r17 third pass). Two reasons, both measured at sf10:
+    # (a) the frame is 500k array rows instead of 16.5M token rows —
+    # a ~30x smaller write for the same double-consumption guarantee;
+    # (b) exploding the in-pipeline array build trips Spark's
+    # InferFiltersFromGenerate: the inferred `size(g) > 0 AND
+    # isnotnull(g)` filter sits BELOW the projections, so its condition
+    # inlines the whole array_distinct(transform(...)) build — the
+    # shingle array is constructed ~3x per doc and the word split
+    # re-runs inside the interpreted lambda, which made the fused
+    # explode pipeline cost 30-34 s where its parts cost ~9 s. Against
+    # checkpointed blocks the inferred filter tests a stored column.
+    wm = materialize(w)
+    tok = wm.select("doc_id", F.explode("sset").alias("shingle"))
     df = tok.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("bigint").alias("dfreq")
     )
@@ -288,9 +301,9 @@ def q184_ordered_plan(d: DataFrame) -> DataFrame:
         ),
         "doc_id",
     )
-    # both consumers (dfreq agg, rank attach) ran inside the eager
-    # materialize above — the token blocks are dead weight now
-    unpersist_materialized(tok)
+    # both consumers (dfreq agg, rank attach) re-explode the cheap
+    # checkpointed arrays — the sset blocks are dead weight now
+    unpersist_materialized(wm)
     return ordered
 
 
