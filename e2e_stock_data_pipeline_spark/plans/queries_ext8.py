@@ -677,7 +677,7 @@ from ..operators.graph import PR_SCALE as _PR_SCALE  # noqa: E402
 _PR_ITERS = 3
 
 
-def copurchase_sym_edges(li: DataFrame) -> DataFrame:
+def copurchase_sym_edges(li: DataFrame, distinct: bool = True) -> DataFrame:
     """Symmetrized co-purchase edge list: distinct (order, part) pairs
     paired within each order (u < v kills self-loops and halves the
     intermediate), then mirrored. Shared by the oracle-form lazy unroll
@@ -688,8 +688,19 @@ def copurchase_sym_edges(li: DataFrame) -> DataFrame:
     exchange on (order, part) PLUS a sort-merge join sorting 60M rows
     twice at sf10) followed by the (u, v) distinct. Same distinct pair
     set, bit-for-bit (r16: edge build 87.5 s -> measured win recorded
-    in BENCH_NOTES)."""
-    half = order_part_pairs(li.select("l_orderkey", "l_partkey")).distinct()
+    in BENCH_NOTES).
+
+    ``distinct=False`` skips the pair-level DISTINCT for consumers that
+    deduplicate per node anyway (r17): pagerank's adjacency build is a
+    ``collect_set``, so the same-set guarantee holds while the full
+    edge-sized exchange+sort the DISTINCT paid disappears — at sf10 the
+    co-purchase pair multiset is ~1:1 with its set, so that exchange
+    bought nothing. Consumers that COUNT edges (the lazy unrolled
+    pagerank_plan derives degree via GROUP BY u COUNT(*)) must keep the
+    default."""
+    half = order_part_pairs(li.select("l_orderkey", "l_partkey"))
+    if distinct:
+        half = half.distinct()
     return half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
@@ -793,7 +804,12 @@ def q144_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     li = tables.load(spark, sf_dir, "lineitem")
-    ranks = pagerank(copurchase_sym_edges(li), n_iters=_PR_ITERS)
+    # distinct=False (r17): pagerank's adjacency is a collect_set, so
+    # the pair-level DISTINCT was a redundant edge-sized exchange+sort
+    # layered under the same dedup — adjacency sets verified identical
+    # over all 2M sf10 nodes (array_except both ways = 0), ranks
+    # bit-identical. sf10 adj build 38.0 -> 27.5 s.
+    ranks = pagerank(copurchase_sym_edges(li, distinct=False), n_iters=_PR_ITERS)
     return (
         ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "part_id")

@@ -61,11 +61,21 @@ def main(argv: list[str]) -> int:
             print(f"MISSING {name}")
             continue
         spark.sparkContext.setJobDescription(f"time: {name}")
-        noop(spec.spark(spark, sf_dir))  # warmup
+
+        def one_pass() -> float:
+            # time construction + noop: iterative operators (pagerank,
+            # coverage, CC) run their rounds EAGERLY while the plan is
+            # being built, so timing only the noop would miss them
+            t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
+            noop(df)
+            return time.perf_counter() - t0
+
+        one_pass()  # warmup
         registry.release(spark)
         ts = []
         for _ in range(runs):
-            ts.append(noop(spec.spark(spark, sf_dir)))
+            ts.append(one_pass())
             registry.release(spark)
         ts.sort()
         med = ts[len(ts) // 2]

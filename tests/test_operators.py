@@ -1898,9 +1898,12 @@ class TestGraphPagerank:
         li = tables.load(spark, "/root/testdata/sf0.001", "lineitem")
         want = [tuple(r) for r in pagerank_plan(li).collect()]
 
-        # build edges via the SAME helper the registry query uses, so
-        # this bit-equality pin covers the exact registered path...
-        edges = copurchase_sym_edges(li)
+        # build edges via the SAME helper call the registry query uses
+        # (distinct=False since r17: pagerank's collect_set adjacency
+        # dedups identically, the pair-level DISTINCT was a redundant
+        # exchange), so this bit-equality pin covers the exact
+        # registered path...
+        edges = copurchase_sym_edges(li, distinct=False)
         got = [
             tuple(r)
             for r in pagerank(edges, n_iters=_PR_ITERS)
@@ -1910,6 +1913,18 @@ class TestGraphPagerank:
             .collect()
         ]
         assert got == want
+
+        # the distinct and non-distinct inputs must yield the same
+        # ranks (the set-equality argument behind the r17 change)
+        got_distinct = [
+            tuple(r)
+            for r in pagerank(copurchase_sym_edges(li), n_iters=_PR_ITERS)
+            .select(F.col("node").alias("part_id"), F.col("rank").alias("pagerank"))
+            .orderBy(F.col("pagerank").desc(), "part_id")
+            .limit(100)
+            .collect()
+        ]
+        assert got_distinct == want
 
         # ...which makes the helper itself a shared blind spot (a bug in
         # it would hit both sides identically). Cross-check the edge SET
