@@ -38,8 +38,17 @@ def dot_q(a: Column, b: Column) -> Column:
 
 
 def with_quantized_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    # The coalesce is a nullability fence (the self-dot is never null):
+    # downstream cosine-threshold filters are null-intolerant, so a
+    # NULLABLE _nn gets an inferred isnotnull(_nn) pushed below this
+    # projection — the whole quantize+fold re-evaluated per scan row
+    # just for the null check (the banded_hyperplane_buckets _bucket
+    # lesson, r17). A provably non-null column infers nothing.
     q = quantized(vec_col)
-    return df.withColumn("_q", q).withColumn("_nn", dot_q(F.col("_q"), F.col("_q")))
+    return df.withColumn("_q", q).withColumn(
+        "_nn",
+        F.coalesce(dot_q(F.col("_q"), F.col("_q")), F.lit(-1).cast("bigint")),
+    )
 
 
 def cosine_q(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
@@ -703,11 +712,23 @@ def banded_hyperplane_buckets(
     # Descending fold => LSB-first weights: folding s = _r-1 .. 0 with
     # acc*2 + bit_s yields SUM(bit_s * 2^s) in pure bigint arithmetic —
     # exactly embed_banded_sql's pow(2, s) encoding, no float pow.
-    bucket = F.aggregate(
-        F.sequence(F.col("_r") - 1, F.lit(0), F.lit(-1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, s: acc * F.lit(2).cast("bigint")
-        + bit(F.col("_band") * F.lit(EMBED_R_MAX) + s),
+    # The coalesce is a nullability fence, not a value change (the fold
+    # is never null: non-null init over a non-null sequence): consumers
+    # join on _bucket, and for a NULLABLE computed key
+    # InferFiltersFromConstraints adds isnotnull(_bucket), which
+    # predicate pushdown substitutes below this projection — the whole
+    # r-bit fold (r plane dots of the full vector) re-evaluated once
+    # more per (vector, band) row, measured ~2x the banding leg's cost
+    # at sf10 (r17). coalesce with a literal makes the key provably
+    # non-null, so the filter is never inferred.
+    bucket = F.coalesce(
+        F.aggregate(
+            F.sequence(F.col("_r") - 1, F.lit(0), F.lit(-1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc * F.lit(2).cast("bigint")
+            + bit(F.col("_band") * F.lit(EMBED_R_MAX) + s),
+        ),
+        F.lit(-1).cast("bigint"),
     )
     out = out_id or id_col
     q = quantized(vec_col)

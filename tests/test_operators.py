@@ -27,8 +27,11 @@ from e2e_stock_data_pipeline_spark.operators.multimodal import (
     frame_sample,
 )
 from e2e_stock_data_pipeline_spark.operators.similarity import (
+    banded_hyperplane_buckets,
     brute_force_topk,
+    embed_band_params,
     hyperplane_lsh_buckets,
+    with_quantized_norm,
 )
 from e2e_stock_data_pipeline_spark.operators.windows import keep_last
 
@@ -326,6 +329,25 @@ class TestSimilarity:
             expect = sorted(sims, key=lambda c: (-sims[c], c))[:3]
             got = [r.cand_id for r in sorted(out, key=lambda r: r.rnk) if r.query_id == qid]
             assert got == expect
+
+    def test_nonnull_fences_survive(self, spark):
+        """r17: _nn and the banded _bucket are coalesce-fenced to be
+        NON-NULLABLE so join/filter constraint inference cannot add an
+        isnotnull(<full fold>) filter that predicate pushdown inlines
+        below the projection (measured ~2x the banding leg's cost at
+        sf10). A regression to a nullable schema silently reintroduces
+        the recompute — pin the nullability, and pin that the fence is
+        a no-op on values (the folds are never null)."""
+        df = spark.createDataFrame(
+            [(1, [1.0] * 8), (2, [-0.5] * 8)], ["vec_id", "embedding"]
+        )
+        n = with_quantized_norm(df)
+        assert not n.schema["_nn"].nullable
+        got = {r.vec_id: r._nn for r in n.collect()}
+        assert got == {1: 8 * 10000 * 10000, 2: 8 * 5000 * 5000}
+        b = banded_hyperplane_buckets(df, embed_band_params(df), dim=8)
+        assert not b.schema["_bucket"].nullable
+        assert all(r._bucket >= 0 for r in b.collect())  # fence never fires
 
     def test_lsh_buckets_deterministic_and_discriminative(self, spark):
         df = spark.createDataFrame(
