@@ -132,6 +132,14 @@ _CHANGED_IN_ROUND = {
     "q86_neardup_pipeline": 17,
     "q126_incremental_dedup": 17,
     "q155_minhash_calibration": 17,
+    # r17 third session: non-nullable fences on the banded bucket fold
+    # and the quantized norm (values identical — the coalesce sentinel
+    # can never fire; kills the constraint-inferred isnotnull(<fold>)
+    # recompute). Every with_quantized_norm / banded-bucket consumer's
+    # plan changed: q50b/q87/q130 above, plus
+    "q48_knn_bruteforce": 17,
+    "q50_cosine_neardup_pairs": 17,
+    "q148_rrf_hybrid_search": 17,
 }
 
 
