@@ -92,6 +92,31 @@ def shingle_sets(
     return with_words.select(F.col(id_col), sh.alias("sset"))
 
 
+def exploded_shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs, DISTINCT PER DOC, with the dedup done in-row
+    — ``exploded_shingles(distinct=True)`` without the corpus-sized
+    DISTINCT shuffle.
+
+    Deliberately explodes the ``array_distinct(transform(...))``
+    EXPRESSION, not a projected attribute: ``InferFiltersFromGenerate``
+    (SPARK-36715) only infers ``size(g) > 0 AND isnotnull(g)`` when the
+    generator input is a plain attribute, and predicate pushdown then
+    substitutes that filter through the projection so the whole shingle
+    build lands INLINE in the scan filter — the q184 r17 trap, measured
+    again on q99's r18 rewrite (sf10 20 -> 81 s before this form).
+    Exploding the expression keeps the rule silent and the plan lazy."""
+    joined = "concat_ws(' ', " + ", ".join(f"w[i + {j}]" for j in range(n)) + ")"
+    with_words = docs.select(F.col(id_col), words_col("text").alias("w"))
+    sh = F.expr(
+        f"CASE WHEN size(w) >= {n} THEN"
+        f" array_distinct(transform(sequence(0, size(w) - {n}), i -> {joined}))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return with_words.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
 def jaccard_verify_arrays(
     cands: DataFrame,
     ssets: DataFrame,

@@ -17,7 +17,7 @@ data-sized join + one reduce.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .materialize import materialize, unpersist_materialized
@@ -59,16 +59,52 @@ def pagerank(
     # edge-sized aggregation plus its own checkpoint), and (c) turns
     # each round's broadcast-hash probe count from per-edge into
     # per-node; the explode then re-expands to edge volume only INSIDE
-    # the round's single aggregation pipeline. PRECONDITION: the edge
-    # list must be DISTINCT pairs — collect_set dedups parallel edges,
-    # so a multigraph input would silently lose the duplicate-edge
-    # weighting a count(*)-based degree gives (r16 ADVICE; the q144
-    # builder and every in-repo caller feed distinct pairs — callers
-    # with multigraph semantics must pre-aggregate an explicit weight).
+    # the round's single aggregation pipeline. PRECONDITION: the input
+    # may be a pair MULTISET — the collect_set dedup here is
+    # LOAD-BEARING for correctness (r17: q144 feeds
+    # copurchase_sym_edges(distinct=False), relying on this set
+    # semantics; r17 ADVICE). Consequences: (a) parallel edges carry no
+    # weight — a multigraph caller that wants duplicate-edge weighting
+    # must pre-aggregate an explicit weight; (b) any refactor toward a
+    # count(*)-based degree must first restore distinct=True at every
+    # caller, or degrees silently inflate and ranks change.
     # Set order is storage-nondeterministic, which is safe: the only
     # consumer is an integer SUM, order-independent and exact.
+    #
+    # r18 (§2.3 narrower types): node ids are narrowed to INT for the
+    # whole iteration — the adjacency exchange's payload is the
+    # serialized partial SETS (UnsafeArrayData packs int elements in 4
+    # bytes vs 8), so the one edge-sized shuffle and every per-round
+    # explode move half the bytes. The guard raises loudly (never
+    # silently wraps) the moment an id leaves int range — at that scale
+    # drop the two casts, the recursion is width-agnostic. Ranks stay
+    # bigint throughout; ids round-trip int<->bigint exactly, so results
+    # are bit-identical (pinned by TestGraphPagerank).
+    out_type = edges.schema[src].dataType.simpleString()
+
+    def _as_int(c: str) -> Column:
+        col = F.col(c)
+        if out_type in ("int", "smallint", "tinyint"):
+            return col.alias(c)  # already narrow: no guard needed
+        return (
+            F.when(
+                (col >= F.lit(-2147483648)) & (col <= F.lit(2147483647)),
+                col.cast("int"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("pagerank: node id overflows int narrowing: "),
+                        col.cast("string"),
+                    )
+                )
+            )
+            .alias(c)
+        )
+
     adj = materialize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .select(_as_int("u"), _as_int("v"))
         .groupBy("u")
         .agg(F.collect_set("v").alias("_nb")),
         "u",
@@ -117,7 +153,9 @@ def pagerank(
     # blocks are dead once the loop ends (bfs_hops releases sym the
     # same way)
     unpersist_materialized(adj)
-    return ranks
+    # undo the int narrowing at the boundary: callers see the input's
+    # node id type (the cast is exact — ids proved in-range above)
+    return ranks.select(F.col("node").cast(out_type).alias("node"), "rank")
 
 
 def bfs_hops(edges: DataFrame, max_hops: int = 4) -> DataFrame:

@@ -173,8 +173,19 @@ def bucketed_group_keep(
     from ..functions.hashing import portable_hash64
 
     h = portable_hash64(id_col, seed=seed)
+    # The coalesce on _b is a nullability fence (the df67656/r17
+    # with_quantized_norm pattern): _b is a JOIN key below, and a
+    # NULLABLE computed key gets an inferred isnotnull(_b) pushed to the
+    # scan with the whole sha2 rank hash inlined — the hash evaluated
+    # once more per row just for the null check (visible in the r17
+    # q127/q129/q134 plans). The -1 sentinel is unreachable for non-null
+    # id_col (portable_hash64 is a sha2 fold of a concat — non-null in,
+    # non-null out) and must never be read as a real bucket.
     bucketed = df.select(
-        id_col, *keys, h.alias("_h"), F.shiftright(h, n_bucket_shift).alias("_b")
+        id_col,
+        *keys,
+        h.alias("_h"),
+        F.coalesce(F.shiftright(h, n_bucket_shift), F.lit(-1)).alias("_b"),
     )
     hist = bucketed.groupBy(*keys, "_b").agg(F.count(F.lit(1)).alias("_bc"))
     w_cum = (
@@ -227,9 +238,12 @@ def bucketed_budget_keep(
     from ..functions.hashing import portable_hash64
 
     h = portable_hash64(id_col, seed=seed)
+    # same _b nullability fence as bucketed_group_keep (q134's plan
+    # showed the inferred isnotnull inlining the sha2 hash at the scan);
+    # -1 unreachable for non-null id_col, never a real bucket
     bucketed = df.select(
         id_col, *keys, weight_col, h.alias("_h"),
-        F.shiftright(h, n_bucket_shift).alias("_b"),
+        F.coalesce(F.shiftright(h, n_bucket_shift), F.lit(-1)).alias("_b"),
     )
     hist = bucketed.groupBy(*keys, "_b").agg(
         F.sum(weight_col).cast("bigint").alias("_bw")

@@ -44,6 +44,11 @@ def with_quantized_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     # projection — the whole quantize+fold re-evaluated per scan row
     # just for the null check (the banded_hyperplane_buckets _bucket
     # lesson, r17). A provably non-null column infers nothing.
+    # Caveat (r17 ADVICE): _nn = -1 ENCODES "null input vector" — it is
+    # a semantically impossible norm, only reachable when the whole
+    # fold is NULL, and every cosine over such a row is NULL anyway.
+    # No consumer may read _nn as a real norm (e.g. a norm-range
+    # filter) without first excluding the -1 sentinel.
     q = quantized(vec_col)
     return df.withColumn("_q", q).withColumn(
         "_nn",
@@ -456,9 +461,16 @@ def ivf_rerank_topk_seeded(
     """
     def checked_q(side: str) -> Column:
         # length guard inside the _q expression (pq.py convention): a
-        # short embedding would silently truncate zip_with dots
+        # short embedding would silently truncate zip_with dots.
+        # The coalesce is a nullability fence (r17 df67656 pattern):
+        # _q feeds joins/explodes downstream, and a NULLABLE computed
+        # column gets an inferred isnotnull(_q) pushed to the scan with
+        # the whole quantize transform inlined per row (r18: both
+        # before-plans showed the CASE evaluated twice per scan row).
+        # The empty-array arm is unreachable: a wrong length raises, a
+        # NULL embedding raises too (size(q) NULL -> otherwise branch).
         q = quantized(vec_col)
-        return F.when(F.size(q) == dim, q).otherwise(
+        checked = F.when(F.size(q) == dim, q).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(f"ivf_rerank: {side} embedding length != dim={dim} for id "),
@@ -466,6 +478,7 @@ def ivf_rerank_topk_seeded(
                 )
             )
         )
+        return F.coalesce(checked, F.expr("CAST(array() AS ARRAY<BIGINT>)"))
 
     qn = queries.select(F.col(id_col).alias("query_id"), checked_q("query").alias("_q"))
     cn = candidates.select(F.col(id_col).alias("cand_id"), checked_q("candidate").alias("_q"))
@@ -720,7 +733,14 @@ def banded_hyperplane_buckets(
     # r-bit fold (r plane dots of the full vector) re-evaluated once
     # more per (vector, band) row, measured ~2x the banding leg's cost
     # at sf10 (r17). coalesce with a literal makes the key provably
-    # non-null, so the filter is never inferred.
+    # non-null, so the filter is never inferred. Caveat (r17 ADVICE):
+    # the -1 sentinel is only reachable for a NULL input vector (every
+    # plane dot NULL -> the fold NULL), and it maps ALL such rows to the
+    # shared bucket -1 — they become LSH candidates of each other where
+    # a NULL key would have dropped them from the join. Safe today
+    # because downstream cosine is NULL for those rows (filtered) and
+    # the generators emit no NULL embeddings; pre-filter null vectors
+    # before banding if a dirty source ever feeds this.
     bucket = F.coalesce(
         F.aggregate(
             F.sequence(F.col("_r") - 1, F.lit(0), F.lit(-1)),

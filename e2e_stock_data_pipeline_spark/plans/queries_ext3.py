@@ -139,18 +139,57 @@ def q98_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "contamination", "ext"),
 )
 def q99_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = D.exploded_shingles(_t(spark, sf_dir, "documents"), distinct=True)
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
-    capped = sh.join(df_counts.filter(F.col("c") <= 50), "shingle").select("doc_id", "shingle")
-    ev = capped.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("eval_doc"), "shingle"
+    # r18 (guide §2.3/§2.4): posting-list form instead of the exploded
+    # double-join. The old shape ran the shingle pipeline THREE times
+    # (df-count leg + both join sides), shuffled the exploded frame for
+    # the per-doc DISTINCT, again for the df join, and a third time for
+    # the tr x ev posting join. Here per-doc dedup happens in-row
+    # (shingle_sets — no distinct shuffle), the doc-frequency cut is a
+    # partial-agg count whose exchange carries (shingle, count) partial
+    # rows only, and surviving shingles' postings group ONCE per shingle
+    # into (eval-list, train-list) arrays whose in-row cross expansion
+    # emits exactly the rows the posting join emitted. Equivalence:
+    # each capped shingle contributes one row per (train, eval) in
+    # tr_docs(s) x ev_docs(s) in both forms, so the per-pair counts are
+    # identical; the cap test size(_ev) + size(_tr) <= 50 is the old
+    # df(s) <= 50 because the exploded rows are per-doc distinct.
+    # The count pass runs BEFORE any collect_list, so a hot shingle
+    # (df > 50) is dropped without ever building its posting array —
+    # the unbounded-array-cell hazard the naive one-pass collect form
+    # would have (the q187 precondition class).
+    # exploded_shingle_sets explodes the distinct-set EXPRESSION (not a
+    # projected attribute): exploding the attribute trips
+    # InferFiltersFromGenerate + pushdown, which inlines the whole
+    # shingle build into both scan filters (measured: sf10 20 -> 81 s)
+    sh = D.exploded_shingle_sets(_t(spark, sf_dir, "documents"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= 50)
+        .select("shingle")
     )
-    tr = capped.filter(F.col("doc_id") % 97 != 0).select(
-        F.col("doc_id").alias("train_doc"), "shingle"
+    posting = (
+        sh.join(rare.hint("merge"), "shingle")
+        .groupBy("shingle")
+        .agg(
+            F.collect_list(
+                F.when(F.col("doc_id") % 97 == 0, F.col("doc_id"))
+            ).alias("_ev"),
+            F.collect_list(
+                F.when(F.col("doc_id") % 97 != 0, F.col("doc_id"))
+            ).alias("_tr"),
+        )
     )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_tr, t ->"
+                " transform(_ev, e -> struct(t AS train_doc, e AS eval_doc))))"
+            )
+        ).alias("_p")
+    ).select("_p.train_doc", "_p.eval_doc")
     return (
-        tr.join(ev, "shingle")
-        .groupBy("train_doc", "eval_doc")
+        pairs.groupBy("train_doc", "eval_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )

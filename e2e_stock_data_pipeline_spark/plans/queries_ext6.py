@@ -210,7 +210,15 @@ def q124_late_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev_us + (portable_hash64("event_id", seed=7) % _JITTER_S) * F.lit(1_000_000)
         ).alias("arr_us"),
     )
-    batched = ev.select("ev_us", F.expr(f"arr_us div {_BATCH_US}").alias("batch"))
+    # coalesce = nullability fence (the r17 df67656 pattern): batch is
+    # the audit's join key, and a NULLABLE computed key gets an inferred
+    # isnotnull(batch) pushed to the scan with the whole
+    # unix_micros+hash-jitter chain inlined per row. -1 is unreachable
+    # (ts and event_id are non-null) and never a real batch.
+    batched = ev.select(
+        "ev_us",
+        F.coalesce(F.expr(f"arr_us div {_BATCH_US}"), F.lit(-1)).alias("batch"),
+    )
     return late_audit_plan(batched, _DELAY_US)
 
 

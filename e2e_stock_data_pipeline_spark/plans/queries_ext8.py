@@ -697,10 +697,51 @@ def copurchase_sym_edges(li: DataFrame, distinct: bool = True) -> DataFrame:
     co-purchase pair multiset is ~1:1 with its set, so that exchange
     bought nothing. Consumers that COUNT edges (the lazy unrolled
     pagerank_plan derives degree via GROUP BY u COUNT(*)) must keep the
-    default."""
-    half = order_part_pairs(li.select("l_orderkey", "l_partkey"))
-    if distinct:
-        half = half.distinct()
+    default.
+
+    r18: the distinct=False branch mirrors IN-ROW — all ordered pairs
+    i != j of the same sorted distinct part array in ONE Generate —
+    instead of union-mirroring the half-pair frame, which planned the
+    basket build + C(L,2) expansion TWICE (ReuseExchange shares the
+    baskets shuffle, but each union branch re-ran the in-row expansion
+    over it). Multiset identity: {(e_i, e_j) : i < j} u {(e_j, e_i) :
+    i < j} = {(e_i, e_j) : i != j}, and ps is distinct so p.u != p.v
+    filters exactly the i == j diagonal."""
+    if not distinct:
+        # int-narrowed part keys (§2.3): the basket exchange and the
+        # 2x-edge-sized downstream payloads (pagerank's adjacency sets)
+        # ship 4-byte elements; the guard raises loudly past int range
+        # (drop the cast at that scale — everything downstream is
+        # width-agnostic). No array_sort: the ordered-pair multiset and
+        # the per-node collect_set downstream are enumeration-order-
+        # independent, so the i<j orientation the sorted array bought
+        # the distinct=True branch buys nothing here.
+        pk = F.when(
+            (F.col("l_partkey") >= F.lit(-2147483648))
+            & (F.col("l_partkey") <= F.lit(2147483647)),
+            F.col("l_partkey").cast("int"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("copurchase_sym_edges: part key overflows int: "),
+                    F.col("l_partkey").cast("string"),
+                )
+            )
+        )
+        ps = (
+            li.select("l_orderkey", pk.alias("_pk"))
+            .groupBy("l_orderkey")
+            .agg(F.collect_set("_pk").alias("_ps"))
+            .filter(F.size("_ps") >= 2)
+            .select("_ps")
+        )
+        both = F.expr(
+            "filter(flatten(transform(_ps, x ->"
+            " transform(_ps, y -> struct(x AS u, y AS v)))),"
+            " p -> p.u != p.v)"
+        )
+        return ps.select(F.explode(both).alias("_p")).select("_p.u", "_p.v")
+    half = order_part_pairs(li.select("l_orderkey", "l_partkey")).distinct()
     return half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
@@ -810,8 +851,13 @@ def q144_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over all 2M sf10 nodes (array_except both ways = 0), ranks
     # bit-identical. sf10 adj build 38.0 -> 27.5 s.
     ranks = pagerank(copurchase_sym_edges(li, distinct=False), n_iters=_PR_ITERS)
+    # the edge build narrows part keys to int (guarded, r18); the output
+    # contract stays BIGINT part_id — the cast back is exact
     return (
-        ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("pagerank"))
+        ranks.select(
+            F.col("node").cast("bigint").alias("part_id"),
+            F.col("rank").alias("pagerank"),
+        )
         .orderBy(F.col("pagerank").desc(), "part_id")
         .limit(100)
     )

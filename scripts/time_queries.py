@@ -1,6 +1,6 @@
 """Isolated warm noop timings for named registry queries at any sf dir.
 
-One session; per query: N_WARM untimed warmups then N_RUNS timed passes
+One session; per query: ONE untimed warmup then --runs timed passes
 via the noop sink (guide §1.4), reporting each pass and the median.
 Floor/canary probes ride along (bench.py's machine-state controls) so a
 polluted box is visible in the output.
@@ -27,6 +27,9 @@ def noop(df) -> float:
 
 
 def main(argv: list[str]) -> int:
+    if not argv:
+        print(__doc__.strip().splitlines()[-1].strip())
+        return 2
     sf_dir = argv[0]
     runs = 3
     if "--runs" in argv:
