@@ -419,6 +419,70 @@ IVF_PROBE_DIV = 2
 IVF_CELLS_MAX = 1024
 
 
+def _arrow_assign_cells(
+    cn: DataFrame, cells, cents, dim: int, id_type: str
+) -> DataFrame:
+    """Argmin-cell assignment of (cand_id, _q) rows against a fixed
+    centroid matrix, computed as ONE int64 matrix product per Arrow
+    batch (guide §4.2: hand whole batches to vectorized native code).
+
+    Exactness contract (must stay bit-identical to the Catalyst fold
+    ``min(struct(reduced_d2, c))`` and to the oracle's ``row_number()
+    ORDER BY d2, c``): all arithmetic is int64 (quantized components
+    are < ~2^17, so a 64-dim reduced distance is < 2^45 — no overflow),
+    the reduced distance |c|^2 - 2<x,c> drops the row's own |x|^2 term
+    (constant across cells, cannot reorder an argmin), ``cents`` rows
+    are sorted by ascending cell id so numpy's first-minimum argmin
+    breaks ties toward the smallest cell id, exactly the struct min.
+    ``_q`` is passed through the batch, so consumers need no join back
+    to the candidate table.
+
+    Why not a smarter pruned scan: both exact-pruning bounds were
+    measured DEAD on this corpus before this path was written (r18,
+    BENCH_NOTES) — Cauchy-Schwarz prunes 0.05% of (row, cell) pairs and
+    the Elkan triangle bound 0.0%, because near-uniform 64-dim vectors
+    sit ~2x farther from every centroid than centroids sit from each
+    other. The win here is constant-factor (interpreted HOF fold ->
+    native matmul), not algorithmic."""
+    import numpy as np
+
+    cents = np.ascontiguousarray(cents, dtype=np.int64)
+    cells_np = np.asarray(cells, dtype=np.int32)
+    nc2 = (cents * cents).sum(axis=1)
+
+    def fn(batches):
+        import numpy as np  # noqa: F811 — resolved once per task
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            idx = b.schema.get_field_index("_q")
+            qcol = b.column(idx)
+            flat = qcol.flatten().to_numpy(zero_copy_only=False)
+            if flat.shape[0] != n * dim:
+                raise ValueError(
+                    f"ivf arrow assign: ragged _q batch ({flat.shape[0]}"
+                    f" values for {n} rows at dim={dim})"
+                )
+            x = flat.reshape(n, dim).astype(np.int64, copy=False)
+            d2r = nc2[None, :] - 2 * (x @ cents.T)
+            cell = cells_np[d2r.argmin(axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("cand_id")),
+                    pa.array(cell, type=pa.int32()),
+                    qcol,
+                ],
+                ["cand_id", "cell", "_q"],
+            )
+
+    return cn.mapInArrow(
+        fn, f"cand_id {id_type}, cell int, _q array<bigint>"
+    )
+
+
 def ivf_rerank_topk_seeded(
     queries: DataFrame,
     candidates: DataFrame,
@@ -431,6 +495,7 @@ def ivf_rerank_topk_seeded(
     density_scaled: bool = False,
     lloyd_steps: int = 1,
     probe_div: int = IVF_PROBE_DIV,
+    arrow_assign: bool = True,
 ) -> DataFrame:
     """IVF probe -> exact rerank, fully lazy and integer-exact.
 
@@ -482,6 +547,33 @@ def ivf_rerank_topk_seeded(
 
     qn = queries.select(F.col(id_col).alias("query_id"), checked_q("query").alias("_q"))
     cn = candidates.select(F.col(id_col).alias("cand_id"), checked_q("candidate").alias("_q"))
+
+    if lloyd_steps < 1:
+        raise ValueError(f"lloyd_steps must be >= 1, got {lloyd_steps}")
+    if arrow_assign:
+        try:
+            import numpy as np  # noqa: F401
+            import pyarrow  # noqa: F401
+        except ImportError:  # pragma: no cover — local env always has both
+            arrow_assign = False
+    if arrow_assign:
+        # r18 (guide §4.2): the corpus x cells assignment — 2.85 B
+        # interpreted multiply-adds per pass at sf10, twice adjudicated
+        # at its Catalyst floor in r16/r17, with both exact pruning
+        # bounds measured dead (see _arrow_assign_cells) — moves to one
+        # int64 numpy matmul per Arrow batch. Everything the oracle
+        # replays arithmetically (quantize, Lloyd's sum-div-count, the
+        # probe ranking, the exact rerank) STAYS in Catalyst; only the
+        # argmin scan is vectorized, and its tie order is proved
+        # identical in _arrow_assign_cells. The centroid frames this
+        # path collects are dimension-sized (<= IVF_CELLS_MAX x dim —
+        # the same rows the lazy path broadcasts), recomputed from the
+        # parquet inputs on every call: eager like the iterative
+        # operators, never a cross-run memo.
+        return _ivf_rerank_arrow(
+            qn, cn, dim, n_cells, n_probe, k_top,
+            density_scaled, lloyd_steps, probe_div,
+        )
 
     if density_scaled:
         # one lazy one-row count picks the geometry (no driver probe);
@@ -553,8 +645,6 @@ def ivf_rerank_topk_seeded(
     # Each extra step pays one more corpus x cells assignment pass plus
     # a (cells x dim)-row update agg; the oracle replays the same fixed
     # number of (a_i, cent_i) CTE rounds.
-    if lloyd_steps < 1:
-        raise ValueError(f"lloyd_steps must be >= 1, got {lloyd_steps}")
     cent = seeds
     for step in range(lloyd_steps):
         if step > 0:
@@ -598,6 +688,108 @@ def ivf_rerank_topk_seeded(
         "query_id", F.col("_q").alias("_qq"), F.col("c").alias("cell")
     )
 
+    wk = Window.partitionBy("query_id").orderBy("exact_d2", "cand_id")
+    return (
+        indexed.join(F.broadcast(probes), "cell")
+        .select(
+            "query_id",
+            "cand_id",
+            "cell",
+            _d2_int(F.col("_qq"), F.col("_q")).alias("exact_d2"),
+        )
+        .withColumn("rnk", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rnk") <= k_top)
+    )
+
+
+def _ivf_rerank_arrow(
+    qn: DataFrame,
+    cn: DataFrame,
+    dim: int,
+    n_cells: int,
+    n_probe: int,
+    k_top: int,
+    density_scaled: bool,
+    lloyd_steps: int,
+    probe_div: int,
+) -> DataFrame:
+    """The arrow_assign=True body of :func:`ivf_rerank_topk_seeded` —
+    identical recursion, the two corpus x cells argmin scans run in
+    :func:`_arrow_assign_cells`. Eager like the iterative operators
+    (connected_components, pagerank): the seed scan, each Lloyd
+    centroid update, and the geometry count are collected at build
+    time — all dimension-sized (<= IVF_CELLS_MAX rows), exactly what
+    the lazy path would broadcast anyway. Bit-equality with the lazy
+    path is pinned by tests/test_operators.py (arrow-vs-catalyst and
+    the oracle parity rows)."""
+    import math
+
+    import numpy as np
+
+    spark = cn.sparkSession
+    id_type = cn.schema["cand_id"].dataType.simpleString()
+
+    if density_scaled:
+        # python mirror of the lazy params frame: LEAST(CMAX,
+        # GREATEST(n_cells, FLOOR(SQRT(n DIV CSD)))). math.isqrt ==
+        # FLOOR(SQRT(double)) for every count below 2^52 (IEEE sqrt is
+        # correctly rounded and the nearest double to isqrt's integer
+        # result never crosses an integer boundary at these magnitudes).
+        n_cand = cn.count()
+        ncells_eff = min(
+            IVF_CELLS_MAX,
+            max(n_cells, math.isqrt(n_cand // IVF_CELLS_SCALE_DIV)),
+        )
+        nprobe_eff = max(n_probe, ncells_eff // int(probe_div))
+    else:
+        ncells_eff, nprobe_eff = n_cells, n_probe
+
+    # seeds: the ncells smallest-id candidates, c = 0..m-1 in id order
+    # (the lazy path's row_number() - 1 over the same TakeOrdered scan)
+    seed_rows = cn.orderBy("cand_id").limit(ncells_eff).collect()
+    cells = np.arange(len(seed_rows), dtype=np.int32)
+    cents = np.asarray([r["_q"] for r in seed_rows], dtype=np.int64)
+
+    for _step in range(lloyd_steps):
+        # assignment in Arrow, centroid update (sum div count — the
+        # truncating division the oracle replays) in Catalyst, then ONE
+        # dimension-sized collect of the new centroids
+        assigned = _arrow_assign_cells(cn, cells, cents, dim, id_type)
+        comp = assigned.select("cell", F.posexplode("_q").alias("pos", "val"))
+        cent_rows = (
+            comp.groupBy("cell", "pos")
+            .agg(F.sum("val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select("cell", "pos", F.expr("_s div _n").alias("_cv"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "_cv"))).alias("_a"))
+            .select("cell", F.transform(F.col("_a"), lambda s: s["_cv"]).alias("_cent"))
+            .collect()
+        )
+        # empty refined cells vanish (both engines agree); keep rows
+        # sorted by cell id so argmin tie order stays smallest-cell
+        cent_rows.sort(key=lambda r: r["cell"])
+        cells = np.asarray([r["cell"] for r in cent_rows], dtype=np.int32)
+        cents = np.asarray([r["_cent"] for r in cent_rows], dtype=np.int64)
+
+    indexed = _arrow_assign_cells(cn, cells, cents, dim, id_type)
+
+    # probe ranking + exact rerank stay in Catalyst over a rebuilt
+    # dimension-sized centroid frame (created from the collected values
+    # — re-deriving it lazily would re-run the assignment pipeline)
+    cent_df = spark.createDataFrame(
+        [(int(c), [int(v) for v in vec]) for c, vec in zip(cells, cents)],
+        schema="c int, _cent array<bigint>",
+    )
+    with_cn2 = cent_df.withColumn("_cn2", dot_q(F.col("_cent"), F.col("_cent")))
+    d2r = F.col("_cn2") - F.lit(2).cast("bigint") * dot_q(F.col("_q"), F.col("_cent"))
+    wp = Window.partitionBy("query_id").orderBy("_d2", "c")
+    probes = (
+        qn.crossJoin(F.broadcast(with_cn2))
+        .select("query_id", "_q", d2r.alias("_d2"), "c")
+        .withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= F.lit(int(nprobe_eff)))
+        .select("query_id", F.col("_q").alias("_qq"), F.col("c").alias("cell"))
+    )
     wk = Window.partitionBy("query_id").orderBy("exact_d2", "cand_id")
     return (
         indexed.join(F.broadcast(probes), "cell")

@@ -890,15 +890,20 @@ class TestVectorLengthGuards:
         bad = [(99, [1.0, 2.0])]  # length 2 != dim 16
         df = spark.createDataFrame(good + bad, ["vec_id", "embedding"])
         q, c = df.filter(F.col("vec_id") < 3), df.filter(F.col("vec_id") >= 3)
-        if which == "pq":
-            res = pq_rerank_topk_seeded(q, c, m=4, dim=16, n_seeds=8, shortlist=8, k_top=3)
-        else:
-            res = ivf_rerank_topk_seeded(q, c, dim=16, n_cells=8, n_probe=4, k_top=3)
         # the USER_RAISED_EXCEPTION may fire on an executor task or
         # inside a broadcast-exchange thread depending on which stage
         # evaluates the bad row first, and Spark wraps the two
-        # differently — assert on the message, not the wrapper class
+        # differently — assert on the message, not the wrapper class.
+        # Construction sits INSIDE the raises block because the IVF
+        # arrow path (r18) is eager like the iterative operators: its
+        # seed/centroid collects evaluate the guard at build time.
         with pytest.raises(Exception, match="embedding length"):
+            if which == "pq":
+                res = pq_rerank_topk_seeded(
+                    q, c, m=4, dim=16, n_seeds=8, shortlist=8, k_top=3
+                )
+            else:
+                res = ivf_rerank_topk_seeded(q, c, dim=16, n_cells=8, n_probe=4, k_top=3)
             res.collect()
 
 
@@ -1376,6 +1381,42 @@ class TestDensityScaledGeometry:
             )
         )
         assert scaled == explicit
+
+    def test_ivf_arrow_assign_matches_catalyst_bitwise(self, spark, sf_dir):
+        """r18: the arrow_assign path (numpy int64 matmul argmin per
+        Arrow batch) must be BIT-IDENTICAL to the pure-Catalyst fold it
+        replaces — same reduced-distance arithmetic, same smallest-cell
+        tie order — on both the fixed and the density-scaled geometry.
+        This is the parity row that licenses the only registered
+        mapInArrow site outside the sanctioned q125 boundary."""
+        from e2e_stock_data_pipeline_spark.operators.similarity import (
+            ivf_rerank_topk_seeded,
+        )
+        from e2e_stock_data_pipeline_spark.sources import tables
+
+        e = tables.load(spark, sf_dir, "embeddings")
+        q, c = e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5)
+        for kwargs in (
+            {"n_cells": 8, "n_probe": 4},
+            {"density_scaled": True},
+        ):
+            arrow = sorted(
+                map(
+                    tuple,
+                    ivf_rerank_topk_seeded(
+                        q, c, k_top=5, arrow_assign=True, **kwargs
+                    ).collect(),
+                )
+            )
+            catalyst = sorted(
+                map(
+                    tuple,
+                    ivf_rerank_topk_seeded(
+                        q, c, k_top=5, arrow_assign=False, **kwargs
+                    ).collect(),
+                )
+            )
+            assert arrow == catalyst, kwargs
 
     def test_pq_shortlist_div_zero_rejected(self, spark, sf_dir):
         """ADVICE r15: shortlist_scale_div=0 used to silently disable

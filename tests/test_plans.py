@@ -157,14 +157,33 @@ def test_no_eager_actions_in_plan_modules():
     # eager call site added to an already-allowlisted file still fails
     # here and must be consciously recorded (ADVICE r15).
     allowed_eager = {"queries_ext15.py": 2, "similarity.py": 1}
+    # driver-side collects/counts allowed in plan builders, file ->
+    # EXPECTED occurrence count (same conscious-decision contract):
+    #   similarity.py (r18): _ivf_rerank_arrow collects the density
+    #     count, the seed scan, and each Lloyd centroid update — all
+    #     dimension-sized (<= IVF_CELLS_MAX rows, the exact frames the
+    #     lazy path broadcasts), recomputed from parquet every call.
+    #     Eager like the iterative operators; licensed by the measured
+    #     sf10 win (50.6 -> see OPTIMIZATION_r18.md) after both exact
+    #     pruning bounds measured dead on this corpus.
+    allowed_driver_eager = {"similarity.py": 3}
+    eager_pat = re.compile(r"\.(count|first|collect|toPandas|head)\(\)")
     offenders = []
     eager_seen: dict[str, int] = {}
+    driver_seen: dict[str, int] = {}
     for f in targets:
         for i, line in enumerate(f.read_text().splitlines(), 1):
             if pat.search(line.split("#")[0]):
                 if "materialize(" in line and f.name in allowed_eager:
                     eager_seen[f.name] = eager_seen.get(f.name, 0) + 1
                     if eager_seen[f.name] <= allowed_eager[f.name]:
+                        continue
+                elif (
+                    eager_pat.search(line.split("#")[0])
+                    and f.name in allowed_driver_eager
+                ):
+                    driver_seen[f.name] = driver_seen.get(f.name, 0) + 1
+                    if driver_seen[f.name] <= allowed_driver_eager[f.name]:
                         continue
                 offenders.append(f"{f.name}:{i}")
     assert not offenders, offenders
